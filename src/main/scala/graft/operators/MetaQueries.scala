@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's own dataflow, generalized (SURVEY.md §2.1-2.8, §3.3):
+  * enumerate → filter compactable → aggregate/report → rank/cursor → verify
+  * change. The reference runs it imperatively over HBase store-file metadata
+  * (QHBaseCompact.java:117-270); here each step is a declarative Spark plan
+  * over the test star schema, so Catalyst handles pushdown/pruning/partial
+  * aggregation and the same plan scales from 6k rows to 100 TB.
+  */
+object MetaQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // S1: scan + project + filter; predicate and column pruning reach the
+    // parquet reader (PushedFilters / ReadSchema in .explain).
+    "q_scan_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // S2: range-shard enumeration (region analog, QHBaseCompact.java:139):
+    // deterministic range partitioning via (min,max) bounds — the arithmetic
+    // mirror of repartitionByRange, so the shard map is oracle-able.
+    "q_scan_partitioned" -> ((s, d) => {
+      val o      = Tables.orders(s, d)
+      val bounds = o.agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn(
+          "shard",
+          floor((col("o_orderkey") - col("lo")) * 8.0 / (col("hi") - col("lo") + 1)).cast("long"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("shard"))
+    }),
+
+    // F1+A1: stores with >1 file → (count, Σsize) per store
+    // (QHBaseCompact.java:151-156); customer=region, orders=files analog.
+    "q_filter_compactable" -> ((s, d) => {
+      Compaction
+        .compactableStores(Tables.orders(s, d), Seq(col("o_custkey")), col("o_totalprice"))
+        .withColumn("total_size", round(col("total_size"), 2))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // F2: HH:mm:ss admission window with the reference's *string-compare*
+    // semantics (QHBaseCompact.java:48-60; window conf/config.properties:5-6).
+    "q_time_window_gate" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("hms", date_format(col("ts"), "HH:mm:ss"))
+        .filter(col("hms").between("08:30:00", "12:30:00"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("hms"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F3 + C2: the documented-but-dead size-threshold routing
+    // (QHBaseCompact.java:97-98, README.md:23-24) + the reference's 40 s/GB
+    // wait heuristic (QHBaseCompact.java:170) as a per-class report.
+    "q_size_threshold" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("size_class", Compaction.classifyBySize(col("o_totalprice"), 50000L, 200000L))
+        .groupBy(col("size_class"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          ceil(sum(col("o_totalprice")) / 1073741824.0 * 40000).cast("long").as("est_wait_ms"))
+        .orderBy(col("size_class"))
+    }),
+
+    // A2: max + argmax with deterministic tiebreak (QHBaseCompact.java:153-161):
+    // single-shuffle max_by(struct) instead of a window sort.
+    "q_agg_max_argmax" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max(col("o_totalprice")).as("max_price"),
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("max_order"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // A1 (pure form): Σ/count per group, partial+final hash aggregation.
+    "q_agg_sum_by_group" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A3: per-store subtotal + grand total in one pass (grouping sets),
+    // the reference's getTableDetails report (QHBaseCompact.java:238-255).
+    "q_rollup_report" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"),
+          col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // A4: exact distinct (expand+two-phase under the hood).
+    "q_agg_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A5 flagship: major-compaction LWW semantics (QHBaseCompact.java:167).
+    "q_compact_lww" -> ((s, d) => {
+      Compaction
+        .lastWriteWins(Tables.events(s, d), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("event_id").as("last_event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // T1: top-k (generalizes the reference's k=1 max-file scan, :155-161);
+    // TakeOrderedAndProject — no global sort materialized.
+    "q_topk_files" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
+    // T2: rolling cursor with wrap-around (QHBaseCompact.java:133,140-143,193):
+    // tick = in how many rounds this shard gets compacted, cursor at 7.
+    "q_round_robin_cursor" -> ((s, d) => {
+      val n  = Tables.nation(s, d)
+      val cn = n.agg(count(lit(1)).as("n_total"))
+      n.select(col("n_nationkey"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("n_nationkey"))).cast("long"))
+        .crossJoin(broadcast(cn))
+        .withColumn("tick", pmod(col("rn") - 1 - 7 + col("n_total"), col("n_total")))
+        .select(col("n_nationkey"), col("rn"), col("tick"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // C1: snapshot change detection — the reference's compaction-done test
+    // ("largest file name differs", QHBaseCompact.java:171-184) over two
+    // snapshots of the keyed relation.
+    "q_change_detect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def topPerKey(df: org.apache.spark.sql.DataFrame, as: String) =
+        Compaction
+          .lastWriteWins(df, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+          .select(col("user_id"), col("event_type"), col("event_id").as(as))
+      val before = topPerKey(ev.filter(col("ts") < lit("2024-01-15").cast("timestamp")), "before_id")
+      val after  = topPerKey(ev, "after_id")
+      after
+        .join(before, Seq("user_id", "event_type"), "left_outer")
+        .filter(col("before_id").isNull || col("before_id") =!= col("after_id"))
+        .select(col("user_id"), col("event_type"), col("before_id"), col("after_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_partitioned" ->
+      """WITH b AS (SELECT min(o_orderkey) lo, max(o_orderkey) hi FROM orders)
+        |SELECT CAST(floor((o_orderkey - lo) * 8.0 / (hi - lo + 1)) AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_filter_compactable" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_files,
+        |       round(sum(o_totalprice), 2) AS total_size
+        |FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q_time_window_gate" ->
+      """SELECT event_id, user_id, event_type, strftime(ts, '%H:%M:%S') AS hms
+        |FROM events
+        |WHERE strftime(ts, '%H:%M:%S') BETWEEN '08:30:00' AND '12:30:00'
+        |ORDER BY event_id""".stripMargin,
+    "q_size_threshold" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'direct'
+        |            WHEN o_totalprice > 200000 THEN 'skip'
+        |            ELSE 'scheduled' END AS size_class,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       CAST(ceil(sum(o_totalprice) / 1073741824.0 * 40000) AS BIGINT) AS est_wait_ms
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_max_argmax" ->
+      """SELECT o_orderpriority, o_totalprice AS max_price, o_orderkey AS max_order
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_sum_by_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rollup_report" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_compact_lww" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |       epoch_us(ts) AS ts_us, value AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_topk_files" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_round_robin_cursor" ->
+      """WITH r AS (SELECT n_nationkey,
+        |                  row_number() OVER (ORDER BY n_nationkey) AS rn
+        |           FROM nation),
+        |     c AS (SELECT count(*) AS n_total FROM nation)
+        |SELECT n_nationkey, CAST(rn AS BIGINT) AS rn,
+        |       CAST((rn - 1 - 7 + n_total) % n_total AS BIGINT) AS tick
+        |FROM r, c ORDER BY n_nationkey""".stripMargin,
+    "q_change_detect" ->
+      """WITH b AS (SELECT user_id, event_type, event_id AS before_id FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-15'
+        |           QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                                      ORDER BY ts DESC, event_id DESC) = 1),
+        |     a AS (SELECT user_id, event_type, event_id AS after_id FROM events
+        |           QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                                      ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT a.user_id, a.event_type, b.before_id, a.after_id
+        |FROM a LEFT JOIN b USING (user_id, event_type)
+        |WHERE b.before_id IS NULL OR b.before_id <> a.after_id
+        |ORDER BY a.user_id, a.event_type""".stripMargin
+  )
+}
