@@ -8,7 +8,8 @@ import graft.operators._
   * this object only aggregates them.
   */
 object SparkEntry {
-  private val packs: Seq[QueryPack] = Seq(MetaQueries)
+  private val packs: Seq[QueryPack] =
+    Seq(MetaQueries, JoinQueries, AnalyticsQueries, TextQueries, VectorQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * LWW compaction — the reference's core data semantics (SURVEY.md §2.4 A5).

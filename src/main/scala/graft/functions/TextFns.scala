@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline scalar functions (SURVEY.md §2.11). All pure built-in
+  * Catalyst expressions (higher-order functions — codegen-friendly, no UDFs),
+  * and all *portable*: each has an exact DuckDB formulation so the oracle can
+  * hash-match. That rules out xxhash64/md5-to-int (engine-specific) in favor
+  * of an explicit polynomial rolling hash.
+  */
+object TextFns {
+  val HashMod = 1000000007L
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (w consecutive tokens joined by a space), with
+    * duplicates — callers dedupe when set semantics are needed.
+    */
+  def shingles(toks: Column, w: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),
+      i => array_join(slice(toks, i, lit(w)), " "))
+
+  /** Polynomial rolling hash over characters: fold of (acc*31 + ascii(c)) mod
+    * 1e9+7. Exactly reproducible in DuckDB via list_reduce — the portable
+    * stand-in for a fingerprint/MinHash base hash.
+    */
+  def rollingHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * 31 + x, lit(HashMod)))
+
+  /** i-th member of the MinHash affine hash family applied to a base hash. */
+  def affineHash(h: Column, i: Column): Column =
+    pmod((lit(3) + lit(2) * i) * h + (lit(7) + lit(11) * i), lit(HashMod))
+
+  /** Count of tokens that are stopwords (fixed tiny list present in the
+    * fixture vocabulary).
+    */
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin("the", "a")))
+}

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over ArrayType(FloatType) columns (SURVEY.md §2.11).
+  * Higher-order built-ins only (zip_with/aggregate/transform) — codegen'd,
+  * distributed, no UDF serialization. Everything computes in DOUBLE with a
+  * sequential left-fold so the DuckDB oracle (same casts, list_transform +
+  * list_sum) reproduces results to full precision; DuckDB's native
+  * list_cosine_similarity accumulates in float32 and is deliberately NOT the
+  * oracle formulation.
+  */
+object VectorFns {
+
+  /** Dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Axis-aligned sign-bit LSH bucket over the first `bits` dimensions: bit j
+    * set iff v[j+1] > 0. Deterministic (no RNG to ship to the oracle) and the
+    * scale path for ANN: candidates are confined to the probe's bucket, so a
+    * 100 TB corpus prunes to ~n/2^bits before any distance math.
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    aggregate(
+      transform(
+        sequence(lit(0), lit(bits - 1)),
+        j => when(get(v, j) > 0, pow(lit(2.0), j).cast("int")).otherwise(lit(0))),
+      lit(0),
+      (acc, x) => acc + x)
+}

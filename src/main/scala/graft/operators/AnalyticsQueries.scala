@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window functions, event-time windows, set ops, and the scalar-function
+  * suite (SURVEY.md §2.5-2.7, §2.9-2.10). All category coverage (N): the
+  * reference has no analytics beyond scalar max-tracking; its only time logic
+  * is the processing-time HH:mm:ss gate (QHBaseCompact.java:48-60), which
+  * MetaQueries covers. Event-time tumbling/sliding/session windows here are
+  * the batch analogs of the §2.10 streaming mapping — identical expressions
+  * run under readStream in [[graft.streaming.StreamingDemo]].
+  */
+object AnalyticsQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // W1: rank with a unique ordering (deterministic) — top-3 orders per
+    // priority; runs as one shuffle on the partition key.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
+    // W2: running sum per user (rowsBetween frame). Sequential accumulation
+    // order is fixed by the (ts, event_id) total order, so both engines add
+    // in the same order.
+    "q_window_running" -> ((s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("run_sum", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("run_sum"))
+        .orderBy(col("event_id"))
+    }),
+
+    // W3: lag — inter-event deltas per user; the reference's before/after
+    // snapshot compare (C1) in one relation.
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .withColumn("delta_us", (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("prev_id"), col("delta_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.10 event-time tumbling window (batch analog): 1-day buckets are
+    // epoch-aligned in both engines.
+    "q_window_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_micros(col("win.start")).as("day_us"), col("event_type"), col("n"), col("total"))
+        .orderBy(col("day_us"), col("event_type"))
+    }),
+
+    // §2.10 sliding window: 2-day windows sliding 1 day — each event lands in
+    // exactly 2 windows; Spark's epoch-aligned starts reproduce as
+    // date_trunc(day) - {0,1} days.
+    "q_window_sliding" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("win"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("win.start")).as("win_us"), col("n"))
+        .orderBy(col("win_us"))
+    }),
+
+    // §2.10 session window (batch analog): 30-min-gap sessions per user;
+    // oracle is the gaps-and-islands formulation.
+    "q_window_session" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("win"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), unix_micros(col("win.start")).as("session_start_us"), col("n"))
+        .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
+    // §2.7 set ops: nations present among customers vs suppliers.
+    "q_setop_union" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy(col("nk"))
+    }),
+    "q_setop_except" -> ((s, d) => {
+      Tables.orders(s, d).select(col("o_orderkey").as("k"))
+        .except(Tables.lineitem(s, d).select(col("l_orderkey").as("k")))
+        .orderBy(col("k"))
+    }),
+    "q_setop_intersect" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))
+    }),
+
+    // §2.9 scalar suite: string/date/math/JSON functions in one projection —
+    // all codegen'd built-ins, no UDFs.
+    "q_scalar_suite" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          upper(col("event_type")).as("et_upper"),
+          substring(col("event_type"), 1, 3).as("et3"),
+          concat(col("event_type"), lit("#"), col("user_id").cast("string")).as("tag"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          hour(col("ts")).cast("long").as("hr"),
+          round(col("value"), 1).as("v1"),
+          round(abs(col("value") - 50), 2).as("av"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("part0", element_at(split(col("tag"), "#"), 1))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             rank() OVER (PARTITION BY o_orderpriority
+        |                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       lag(event_id, 1) OVER w AS prev_id,
+        |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS delta_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_window_sliding" ->
+      """SELECT epoch_us(date_trunc('day', ts) - INTERVAL (o) DAY) AS win_us,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events CROSS JOIN (VALUES (0), (1)) t(o)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_session" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tus,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, min(tus) AS session_start_us, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q_setop_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "q_setop_except" ->
+      """SELECT o_orderkey AS k FROM orders
+        |EXCEPT SELECT l_orderkey AS k FROM lineitem ORDER BY k""".stripMargin,
+    "q_setop_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    "q_scalar_suite" ->
+      """SELECT event_id,
+        |       upper(event_type) AS et_upper,
+        |       substr(event_type, 1, 3) AS et3,
+        |       event_type || '#' || CAST(user_id AS VARCHAR) AS tag,
+        |       strftime(ts, '%Y-%m-%d') AS day,
+        |       CAST(hour(ts) AS BIGINT) AS hr,
+        |       round(value, 1) AS v1,
+        |       round(abs(value - 50), 2) AS av,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       split_part(event_type || '#' || CAST(user_id AS VARCHAR), '#', 1) AS part0
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join coverage (SURVEY.md §2.3). The reference performs no joins — its only
+  * correlation is the regions × families nested loop (QHBaseCompact.java:144-146)
+  * — so these are category coverage on the star schema, each shaped for scale:
+  * dims broadcast explicitly, fact⋈fact left to sort-merge, the theta join
+  * anchored on an equi key so it never degenerates to a full BNLJ, and the
+  * as-of join expressed as a single-shuffle window rather than a quadratic
+  * self-join.
+  *
+  * Oracle discipline: money sums aggregate in decimal(18,6) then cast back to
+  * double — double summation order differs between Spark and DuckDB and can
+  * flip a 2-dp rounding once groups get large.
+  */
+object JoinQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // J1: small dims broadcast — no shuffle of the fact side for the join.
+    "q_join_broadcast" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // J2: fact⋈fact equi join — sort-merge at scale (both sides shuffle on
+    // l_orderkey/o_orderkey); decimal aggregation for cross-engine determinism.
+    "q_join_sortmerge" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // J3: left semi — customers that have orders; no payload from the right.
+    "q_join_semi" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J4: left anti — the reference's "skip" set analog (QHBaseCompact.java:186-190):
+    // orders with no lineitems (non-empty at every sf, unlike customer∖orders).
+    "q_join_anti" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J5: left outer with null-fill — every customer, 0-filled spend.
+    "q_join_outer" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice").cast("decimal(18,4)")), lit(0)), 2)
+            .cast("double").as("spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J6: theta/range join anchored on an equi key (nation) so the range
+    // predicate runs inside a hash/SMJ match, not a BNLJ over the cross
+    // product: customers whose balance is within ±100 of a same-nation
+    // supplier's.
+    "q_join_theta_range" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val cust = Tables.customer(s, d)
+      sup.join(
+          cust,
+          col("s_nationkey") === col("c_nationkey") &&
+            col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_near"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // J7: as-of join — for each purchase, the latest view at-or-before it per
+    // user. Single shuffle on user_id via last(_, ignoreNulls) over the
+    // type-tagged union, instead of a per-user quadratic self-join; at 100 TB
+    // the window sort is the only cost and there is no row explosion.
+    "q_join_asof" -> ((s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .withColumn("view_id", when(col("event_type") === "view", col("event_id")))
+        .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("last_view_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Cross traversal: the reference's regions × families nested loop
+    // (QHBaseCompact.java:144-146) — tiny dims only, broadcast NLJ.
+    "q_join_cross" -> ((s, d) => {
+      Tables.region(s, d)
+        .select(col("r_name"))
+        .crossJoin(broadcast(Tables.events(s, d).select(col("event_type")).distinct()))
+        .orderBy(col("r_name"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_join_sortmerge" ->
+      """SELECT o_orderpriority,
+        |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_outer" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |       CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0), 2) AS DOUBLE) AS spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_theta_range" ->
+      """SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_near
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey
+        | AND c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q_join_asof" ->
+      """WITH vp AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_view_id
+        |FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         last_value(view_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_id
+        |  FROM vp)
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, event_type
+        |FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        |ORDER BY r_name, event_type""".stripMargin
+  )
+}

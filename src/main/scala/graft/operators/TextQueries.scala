@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** LLM-data-pipeline text operators (SURVEY.md §2.11, driver north star):
+  * deduplication (exact hash, n-gram Jaccard, MinHash banding, SimHash) and
+  * text analysis (token stats, quality scoring, trained language-ID,
+  * rolling-hash fingerprinting) over the `documents` table.
+  *
+  * Scale posture: the Jaccard self-join is the exact small-sf oracle
+  * formulation; its 100 TB path is q_dedup_minhash — LSH banding confines the
+  * quadratic candidate join to per-bucket groups, so candidates scale with
+  * collision count, not n². SimHash is one linear pass. All hashes are the
+  * portable polynomial fold from [[TextFns]] so DuckDB reproduces them bit-
+  * for-bit.
+  */
+object TextQueries extends QueryPack {
+
+  private def docTokens(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("w"))
+
+  /** Distinct 2-token shingles per doc. */
+  private def docShingles(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 2))).as("sh"))
+
+  val queries: Map[String, Q] = Map(
+    // X1: exact dedup — content-hash groupBy, deterministic keeper = min id.
+    // One shuffle on the hash; at 100 TB this is the cheapest dedup pass.
+    "q_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // X2a: near-dup via 2-gram Jaccard — exact all-pairs-sharing-a-shingle
+    // formulation (the oracle-able small-sf form; MinHash below is the scale
+    // path). Top-20 pairs so output is deterministic and non-empty regardless
+    // of corpus similarity structure.
+    "q_dedup_near" -> ((s, d) => {
+      val sh  = docShingles(s, d)
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      sh.as("x")
+        .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .select(
+          col("doc_a"), col("doc_b"),
+          round(col("shared") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
+    // X2b: MinHash + LSH banding (the dedup scale path): 8 affine hashes over
+    // the portable shingle hash, 4 bands of 2 rows; docs sharing any band
+    // bucket become candidate pairs. Join key is (band, bucket), never the
+    // raw shingle — candidate count scales with true similarity.
+    "q_dedup_minhash" -> ((s, d) => {
+      val hs = docShingles(s, d).withColumn("h", TextFns.rollingHash(col("sh")))
+      val mh = hs
+        .withColumn("i", explode(sequence(lit(0), lit(7))))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(TextFns.affineHash(col("h"), col("i"))).as("minh"))
+      val bands = mh
+        .withColumn("band", (col("i") / 2).cast("int"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("i"), col("minh")))),
+              p => p.getField("minh").cast("string")),
+            ",").as("bkey"))
+      bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+        .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")), Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // X2c: SimHash — 16-bit signature from token-hash bit votes; one linear
+    // pass + two small shuffles, the cheapest near-dup signal at scale.
+    "q_dedup_simhash" -> ((s, d) => {
+      val tok = docTokens(s, d).withColumn("h", TextFns.rollingHash(col("w")))
+      tok
+        .withColumn("j", explode(sequence(lit(0), lit(15))))
+        .withColumn("contrib",
+          when(expr("(h div CAST(pow(2, j) AS BIGINT)) % 2") === 1, lit(1)).otherwise(lit(-1)))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("contrib")).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L)))
+          .as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4: per-language token statistics.
+    "q_text_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(TextFns.tokens(col("text"))).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          round(avg(col("n_tok")), 2).as("avg_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // X4: corpus word frequencies (explode + count — the canonical shuffle).
+    "q_text_tokens" -> ((s, d) => {
+      docTokens(s, d)
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+    }),
+
+    // X4: per-doc quality scoring — length + stopword-ratio heuristics.
+    "q_text_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("toks")).cast("long").as("n_tok"),
+          TextFns.stopwordCount(col("toks")).cast("long").as("n_stop"))
+        .withColumn("stop_ratio", round(col("n_stop") / col("n_tok"), 4))
+        .withColumn("quality",
+          round((lit(1.0) - col("n_stop") / col("n_tok")) * least(col("n_tok") / 100.0, lit(1.0)), 4))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4: language-ID — word-frequency profile classifier trained on the
+    // corpus itself: top-5 words per language, docs vote by occurrence count;
+    // deterministic argmax (votes desc, lang asc). The n-gram-profile
+    // classifier pattern with n=1 tokens.
+    "q_text_langid" -> ((s, d) => {
+      val tok = docTokens(s, d)
+      val tf  = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      val top5 = tf
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("lang")).orderBy(col("c").desc, col("w"))))
+        .filter(col("rn") <= 5)
+        .select(col("lang").as("plang"), col("w"))
+      val votes = tok.select(col("doc_id"), col("w"))
+        .join(broadcast(top5), "w")
+        .groupBy(col("doc_id"), col("plang"))
+        .agg(count(lit(1)).as("v"))
+      val pred = votes
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("v").desc, col("plang"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .join(pred, Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"), col("lang"),
+          coalesce(col("plang"), lit("unknown")).as("pred_lang"),
+          when(col("lang") === col("plang"), 1L).otherwise(0L).as("hit"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4: document fingerprint — portable polynomial rolling hash of the full
+    // text (the content-defined-chunking / winnowing base primitive).
+    "q_text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.rollingHash(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** DuckDB fragment reproducing [[TextFns.rollingHash]] exactly. */
+  private def rhSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e)+1), c -> CAST(ascii($e[c]) AS BIGINT))), " +
+      s"(a,b) -> (a*31+b) % 1000000007)"
+
+  private val shCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
+      |       FROM t)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_dedup_near" ->
+      s"""WITH $shCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+         |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       round(shared / (ca.n + cb.n - shared), 4) AS jaccard
+         |FROM p JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $shCte,
+         |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
+         |mh AS (SELECT doc_id, r.i AS i,
+         |              min(((3 + 2*r.i) * h + (7 + 11*r.i)) % 1000000007) AS minh
+         |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
+         |          FROM mh GROUP BY 1, 2)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, ${rhSql("w")} AS h FROM tok),
+         |b AS (SELECT doc_id, r.j AS j,
+         |             sum(CASE WHEN (h // (1 << r.j)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |      FROM h CROSS JOIN range(16) r(j) GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT w, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY n DESC, w""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, n_chars,
+        |       len(string_split(text, ' ')) AS n_tok,
+        |       len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
+        |       round(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+        |             / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |       round((1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+        |                    / len(string_split(text, ' ')))
+        |             * least(len(string_split(text, ' ')) / 100.0, 1.0), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top5 AS (SELECT lang AS plang, w
+        |         FROM (SELECT lang, w, row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rn
+        |               FROM tf)
+        |         WHERE rn <= 5),
+        |votes AS (SELECT t.doc_id, p.plang, count(*) AS v
+        |          FROM tok t JOIN top5 p ON t.w = p.w GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, plang
+        |         FROM (SELECT doc_id, plang,
+        |                      row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, plang) AS rn
+        |               FROM votes)
+        |         WHERE rn = 1)
+        |SELECT d.doc_id, d.lang, coalesce(p.plang, 'unknown') AS pred_lang,
+        |       CAST(CASE WHEN d.lang = p.plang THEN 1 ELSE 0 END AS BIGINT) AS hit
+        |FROM documents d LEFT JOIN pred p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id, ${rhSql("text")} AS fp FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

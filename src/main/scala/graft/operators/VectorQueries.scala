@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFns
+
+/** Similarity search + multimodal columns (SURVEY.md §2.11): brute-force
+  * cosine top-k (baseline), sign-bit-LSH-bucketed ANN (scale path),
+  * embedding near-dup pairs, and the documents⋈embeddings multimodal
+  * projection with an opaque-binary feature pass.
+  *
+  * All vector math is [[VectorFns]] double-precision folds so the DuckDB
+  * oracle reproduces values; cosines are rounded to 6 dp BEFORE the top-k
+  * order/cut so the selection itself is cross-engine deterministic.
+  */
+object VectorQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // X3 baseline: brute-force cosine top-10 vs probe vec_id=0. O(n·d) scan —
+    // correct at any scale, and the yardstick the ANN path is judged against.
+    "q_simsearch_topk" -> ((s, d) => {
+      val e     = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(
+          col("vec_id"), col("label"),
+          round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // X3 scale path: sign-bit LSH over the first 4 dims (16 buckets) — the
+    // probe's bucket prunes candidates ~16× before any distance math; at
+    // 100 TB the bucket column is the shuffle/partition key and only the
+    // probe's bucket is scanned.
+    "q_simsearch_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("bkt", VectorFns.signBucket(col("embedding"), 4))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe"), col("bkt").as("pbkt"))
+      e.crossJoin(broadcast(probe))
+        .filter(col("bkt") === col("pbkt") && col("vec_id") =!= 0)
+        .select(
+          col("vec_id"), col("bkt"),
+          round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // X2e: embedding-cosine near-dup — top-10 most-similar pairs. The exact
+    // O(n²) form for the oracle; the LSH bucket above is the scale gate
+    // (bucket-equality join instead of the cross join).
+    "q_dedup_embed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.crossJoin(b)
+        .filter(col("vec_a") < col("vec_b"))
+        .select(
+          col("vec_a"), col("vec_b"),
+          round(VectorFns.cosine(col("ea"), col("eb")), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_a"), col("vec_b"))
+        .limit(10)
+    }),
+
+    // X5: multimodal join — text metadata + vector payload in one schema.
+    "q_multimodal_join" -> ((s, d) => {
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          size(col("embedding")).cast("long").as("dim"),
+          col("label"),
+          round(VectorFns.norm(col("embedding")), 6).as("norm_r"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X5: opaque-binary feature pass — text bytes stand in for image/audio
+    // payloads (the container has no media codecs; see
+    // graft.multimodal.MediaPipeline for the stubbed decode plumbing). The
+    // Spark-side shape is the real thing: binary column + typed metadata +
+    // cheap header probes, all codegen'd.
+    "q_multimodal_features" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("bin", encode(col("text"), "utf-8"))
+        .select(
+          col("doc_id"),
+          length(col("bin")).cast("long").as("n_bytes"),
+          substring(hex(col("bin")), 1, 8).as("header8"),
+          concat(lit("text/plain;lang="), col("lang")).as("mime"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** DuckDB double-precision mirrors of [[VectorFns]]. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
+  private val bktSql =
+    "CAST(list_sum(list_transform(range(0, 4), j -> CASE WHEN embedding[j+1] > 0 THEN CAST(pow(2, j) AS INT) ELSE 0 END)) AS INT)"
+
+  val oracles: Map[String, String] = Map(
+    "q_simsearch_topk" ->
+      s"""WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round(${cosSql("embedding", "pe")}, 6) AS cos_r
+         |FROM embeddings, probe WHERE vec_id <> 0
+         |ORDER BY cos_r DESC, vec_id LIMIT 10""".stripMargin,
+    "q_simsearch_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $bktSql AS bkt FROM embeddings),
+         |probe AS (SELECT embedding AS pe, bkt AS pbkt FROM e WHERE vec_id = 0)
+         |SELECT vec_id, bkt, round(${cosSql("embedding", "pe")}, 6) AS cos_r
+         |FROM e, probe WHERE bkt = pbkt AND vec_id <> 0
+         |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
+    "q_dedup_embed" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_r
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY cos_r DESC, vec_a, vec_b LIMIT 10""".stripMargin,
+    "q_multimodal_join" ->
+      s"""SELECT doc_id, lang, n_chars, CAST(len(embedding) AS BIGINT) AS dim, label,
+         |       round(${normSql("embedding")}, 6) AS norm_r
+         |FROM documents JOIN embeddings ON doc_id = vec_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |       substr(hex(CAST(text AS BLOB)), 1, 8) AS header8,
+        |       'text/plain;lang=' || lang AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
