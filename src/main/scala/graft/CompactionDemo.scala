@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Compaction, Compactor}
+import graft.streaming.StreamingDaemon
+
+/** Runnable analog of the reference's full daemon loop (SURVEY.md §3.2):
+  * enumerate store files → size report → filter compactable → compact (LWW +
+  * sorted runs) → verify the change → stream the same loop incrementally.
+  * No oracle — this is the operational demo the driver's queries gate can't
+  * express; correctness of each piece is covered by the specs and the
+  * q_compact_lww oracle.
+  */
+object CompactionDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val work  = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    val spark = Sessions.tuned("local[8]", "8")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. A "store" with many small files (the un-compacted state).
+    val ev = Tables.events(spark, sfDir)
+    ev.repartition(8).write.parquet(s"$work/store")
+    val store = spark.read.parquet(s"$work/store")
+
+    // 2. The report query (getTableDetails analog): files, rows, compactable?
+    val files = store.select(input_file_name().as("f")).groupBy("f").count()
+    val nFiles = files.count()
+    println(s"[demo] store files=$nFiles rows=${store.count()}")
+
+    // 3. Compact: LWW + range-sharded sorted runs.
+    val nOut = Compactor.planFileCount(totalBytes = 8L * 1024 * 1024, targetFileBytes = 4L * 1024 * 1024)
+    Compactor.compact(store, Seq("user_id", "event_type"), Seq("ts", "event_id"),
+      numFiles = nOut, outDir = Some(s"$work/compacted"))
+    val compacted = spark.read.parquet(s"$work/compacted")
+    println(s"[demo] compacted files=${compacted.select(input_file_name()).distinct().count()} rows=${compacted.count()}")
+
+    // 4. Change detection (quickPoll analog): compacted vs original argmax.
+    val changed = compacted.count() != store.count()
+    println(s"[demo] change detected=$changed (versions dropped: ${store.count() - compacted.count()})")
+
+    // 5. The streaming loop over the same store, one file per trigger.
+    val q = StreamingDaemon.compactionLoop(
+      spark, s"$work/store", s"$work/stream-out", s"$work/ckp",
+      Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    q.awaitTermination()
+    val batches = new java.io.File(s"$work/stream-out").listFiles().count(_.getName.startsWith("batch="))
+    println(s"[demo] streaming loop processed $batches micro-batches (1 file each)")
+
+    // 6. Idempotence: compacting the compacted store is a no-op.
+    val again = Compaction.lastWriteWins(compacted, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    println(s"[demo] idempotent=${again.count() == compacted.count()}")
+    println(s"[demo] OK work=$work")
+    spark.stop()
+  }
+}

@@ -19,9 +19,13 @@ object TextFns {
     * duplicates — callers dedupe when set semantics are needed.
     */
   def shingles(toks: Column, w: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(w)), " "))
+    // guard: sequence(1, 0) DESCENDS in Spark, so a doc shorter than w must
+    // short-circuit to an empty array rather than slice(toks, 0, w).
+    when(size(toks) < lit(w), array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (w - 1)),
+          i => array_join(slice(toks, i, lit(w)), " ")))
 
   /** Polynomial rolling hash over characters: fold of (acc*31 + ascii(c)) mod
     * 1e9+7. Exactly reproducible in DuckDB via list_reduce — the portable

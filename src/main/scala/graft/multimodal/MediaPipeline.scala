@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.11 / driver north star): treat
+  * image/audio/video payloads as opaque `binary` columns with typed metadata,
+  * and run decode / feature-extract / frame-sample as partition-batched
+  * transforms.
+  *
+  * The container ships no media codecs, so [[decodeStub]] is a clearly-marked
+  * deterministic fake — but everything Spark-side is real and tested: the
+  * schema (binary + struct metadata), the `Dataset[MediaRecord]` encoder, the
+  * mapPartitions batch shape (decode amortized per-partition, never
+  * per-row-lambda-with-init), and the partitioning story (records are
+  * repartitioned by byte-size budget so one executor never holds a skewed
+  * set of large blobs).
+  */
+object MediaPipeline {
+
+  /** Typed metadata carried beside the opaque payload. */
+  case class MediaMeta(mime: String, sourceId: Long, nBytes: Long)
+
+  case class MediaRecord(id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  /** Fixed feature dimension emitted by the (stubbed) extractor. */
+  val FeatureDim = 8
+
+  /** STUB — stands in for a real image/audio decode (no codec libs in this
+    * container). Deterministic: features derive from byte statistics, so
+    * tests and oracles are stable. Replace the body with a real decoder
+    * (e.g. JavaCV / TwelveMonkeys) without touching any Spark plumbing.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val n = math.max(payload.length, 1)
+    val sums = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      sums(i % FeatureDim) += payload(i) & 0xff
+      i += 1
+    }
+    sums.map(s => s.toFloat / n)
+  }
+
+  /** documents.text bytes as stand-in payloads (mime records the fake). */
+  def fromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id").as("id"),
+        encode(col("text"), "utf-8").as("payload"),
+        struct(
+          concat(lit("text/plain;lang="), col("lang")).as("mime"),
+          col("doc_id").as("sourceId"),
+          length(encode(col("text"), "utf-8")).cast("long").as("nBytes")).as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** Rebalance so each partition holds ≈`bytesPerPartition` of payload —
+    * blob tables are size-skewed, and row-count partitioning would let one
+    * executor OOM on the large-blob partition at 100 TB.
+    */
+  def repartitionByBytes(ds: Dataset[MediaRecord], totalBytes: Long, bytesPerPartition: Long): Dataset[MediaRecord] = {
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / math.max(bytesPerPartition, 1L)).toInt)
+    ds.repartition(parts, col("id"))
+  }
+
+  /** Batch feature extraction: mapPartitions so real decoders init once per
+    * partition (codec contexts are expensive); emits (id, features).
+    */
+  def extractFeatures(ds: Dataset[MediaRecord])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      // Real decoders acquire codec context here, once per partition.
+      it.map(r => (r.id, decodeStub(r.payload)))
+    }.toDF("id", "features")
+  }
+
+  /** Frame sampling for "video" payloads: every k-th fixed-size frame slice
+    * of the byte stream — the Spark-side shape of keyframe extraction
+    * (explode to one row per sampled frame, frame index carried).
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int, everyK: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ds.flatMap { r =>
+      val nFrames = r.payload.length / frameBytes
+      (0 until nFrames).filter(_ % everyK == 0).map { f =>
+        (r.id, f, r.payload.slice(f * frameBytes, (f + 1) * frameBytes))
+      }
+    }.toDF("id", "frame_idx", "frame")
+  }
+}

@@ -75,15 +75,15 @@ object JoinQueries extends QueryPack {
 
     // J6: theta/range join anchored on an equi key (nation) so the range
     // predicate runs inside a hash/SMJ match, not a BNLJ over the cross
-    // product: customers whose balance is within ±100 of a same-nation
-    // supplier's.
+    // product: customers whose balance is within ±500 of a same-nation
+    // supplier's (band sized to be non-empty even at sf0.001's 10 suppliers).
     "q_join_theta_range" -> ((s, d) => {
       val sup = Tables.supplier(s, d)
       val cust = Tables.customer(s, d)
       sup.join(
           cust,
           col("s_nationkey") === col("c_nationkey") &&
-            col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+            col("c_acctbal").between(col("s_acctbal") - 500, col("s_acctbal") + 500))
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_near"))
         .orderBy(col("s_suppkey"))
@@ -152,7 +152,7 @@ object JoinQueries extends QueryPack {
       """SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_near
         |FROM supplier JOIN customer
         |  ON s_nationkey = c_nationkey
-        | AND c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+        | AND c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "q_join_asof" ->
       """WITH vp AS (

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Compaction
+
+/** Structured-Streaming re-expression of the reference daemon loop
+  * (/root/reference/src/main/java/com/qunar/dba/QHBaseCompact.java:135-195;
+  * SURVEY.md §2.10). The reference is an unbounded program in control-flow
+  * form — infinite poll loop, processing-time admission window, durable
+  * cursor, one-region-per-tick pacing. The Spark-native mapping:
+  *
+  *   - poll loop → file-source `readStream` (new files discovered per trigger)
+  *   - 60 s re-check sleep (ref :54) → `Trigger.ProcessingTime`
+  *   - one region per tick (ref :146, README.md:8-9) → `maxFilesPerTrigger=1`
+  *   - `regionindex` properties checkpoint (ref :102-115) → `checkpointLocation`
+  *     (exactly-once progress, no hand-rolled cursor)
+  *   - quickPoll completion detection (ref :62-73) → obsolete: a foreachBatch
+  *     action's return IS completion
+  *
+  * Plus the event-time layer the reference lacks: watermark + windowed
+  * aggregation with late-data handling.
+  */
+object StreamingDaemon {
+
+  /** The streaming source: schema-pinned parquet file stream, one file per
+    * trigger (the reference's one-region-per-round invariant).
+    */
+  def source(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Admission gate — the reference's HH:mm:ss *string-compare* window
+    * (QHBaseCompact.java:48-60) applied to event time. Processing-time
+    * semantics in the reference; here usable on either clock.
+    */
+  def admissionGate(df: DataFrame, start: String, end: String): DataFrame =
+    df.filter(date_format(col("ts"), "HH:mm:ss").between(start, end))
+
+  /** Event-time windowed aggregation with watermark (coverage the reference
+    * lacks, SURVEY.md §2.10): 10-minute tumbling counts per event_type,
+    * tolerating 1 hour of lateness.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** The daemon: per micro-batch, run the LWW compaction over the new file —
+    * the reference's majorCompact call as a foreachBatch job. Checkpointed,
+    * so a restart resumes from the last completed batch (the reference's
+    * `storeNewConfig` cursor, minus the crash window between act and persist).
+    */
+  def compactionLoop(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val static = spark.read.parquet(inDir)
+    source(spark, inDir, static)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Compaction
+          .lastWriteWins(batch, keys, orderCols)
+          .write.mode("append")
+          .parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Stateful per-key compaction state via flatMapGroupsWithState analog —
+    * expressed with the simpler dropDuplicates-on-stream (state store keyed
+    * dedup): keep first arrival per (key, version) within the watermark.
+    */
+  def streamingDedup(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(keys :+ "ts")
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-contract invariants (SURVEY.md §0 "Driver contract"). */
+class EntryContractSpec extends AnyFunSuite with SparkSpec {
+
+  test("every query has an oracle and every oracle has a query") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("entry() returns rows on sf0.001 (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query returns rows on sf0.001 (no vacuous operators)") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      if (n == 0) Some(name) else None
+    }
+    // q_join_anti/q_setop_except legitimately depend on orphan orders which
+    // exist at every sf; nothing should be empty.
+    assert(empty.isEmpty, s"empty results: $empty")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.MediaPipeline
+
+class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
+  private implicit val s: org.apache.spark.sql.SparkSession = spark
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val media = MediaPipeline.fromDocuments(docs)
+
+  test("fromDocuments carries binary payload + typed metadata") {
+    val r = media.head()
+    assert(r.payload.nonEmpty)
+    assert(r.meta.mime.startsWith("text/plain;lang="))
+    assert(r.meta.nBytes == r.payload.length.toLong)
+  }
+
+  test("decode stub is deterministic and fixed-dimension") {
+    val p = "hello".getBytes("UTF-8")
+    val f1 = MediaPipeline.decodeStub(p)
+    val f2 = MediaPipeline.decodeStub(p)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == MediaPipeline.FeatureDim)
+    assert(MediaPipeline.decodeStub(Array.emptyByteArray).length == MediaPipeline.FeatureDim)
+  }
+
+  test("extractFeatures emits (id, features[dim]) for every record") {
+    val feats = MediaPipeline.extractFeatures(media)
+    assert(feats.count() == docs.count())
+    val row = feats.head()
+    assert(row.getAs[scala.collection.Seq[Float]]("features").length == MediaPipeline.FeatureDim)
+  }
+
+  test("repartitionByBytes sizes partitions from a byte budget") {
+    val ds = MediaPipeline.repartitionByBytes(media, totalBytes = 100000L, bytesPerPartition = 10000L)
+    assert(ds.rdd.getNumPartitions == 10)
+  }
+
+  test("sampleFrames slices every k-th fixed-size frame") {
+    val payload = Array.tabulate(100)(_.toByte)
+    import spark.implicits._
+    val one = Seq(MediaPipeline.MediaRecord(1L, payload,
+      MediaPipeline.MediaMeta("video/fake", 1L, 100L))).toDS()
+    val frames = MediaPipeline.sampleFrames(one, frameBytes = 10, everyK = 2).collect()
+    assert(frames.length == 5) // frames 0,2,4,6,8 of 10
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4, 6, 8))
+    assert(frames.head.getAs[Array[Byte]]("frame").toSeq == payload.slice(0, 10).toSeq)
+  }
+}

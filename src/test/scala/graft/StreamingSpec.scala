@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Compaction
+import graft.streaming.StreamingDaemon
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(tag: String) = Files.createTempDirectory(tag).toString
+
+  test("compactionLoop consumes files one per trigger and matches batch LWW") {
+    val in  = tmp("stream-in")
+    val out = tmp("stream-out")
+    val ckp = tmp("stream-ckp")
+    // two "store files" arriving: two halves of sf0.001 events
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+
+    val q = StreamingDaemon.compactionLoop(
+      spark, in, out, ckp, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    q.awaitTermination()
+
+    // each per-batch output is itself LWW-compacted
+    val batches = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch="))
+    assert(batches.length >= 1)
+    batches.foreach { b =>
+      val df = spark.read.parquet(b.getPath)
+      assert(df.count() == df.select("user_id", "event_type").distinct().count())
+    }
+    // union of batches re-compacted equals batch-mode LWW over the full input
+    val streamed = Compaction.lastWriteWins(
+      spark.read.parquet(s"$out/batch=*"), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    val batch = Compaction.lastWriteWins(ev, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    assert(streamed.orderBy("user_id", "event_type").collect().toSeq ==
+      batch.orderBy("user_id", "event_type").collect().toSeq)
+  }
+
+  test("windowedCounts aggregates event-time windows with a watermark") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // batch execution of the same expression tree validates the plan shape
+    val agg = StreamingDaemon.windowedCounts(ev)
+    assert(agg.columns.toSeq == Seq("window", "event_type", "n", "total"))
+    assert(agg.count() > 0)
+  }
+
+  test("admission gate preserves the reference's string-compare semantics (overnight window admits nothing)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(StreamingDaemon.admissionGate(ev, "23:00:00", "01:00:00").count() == 0)
+    assert(StreamingDaemon.admissionGate(ev, "00:00:00", "23:59:59").count() == ev.count())
+  }
+}
