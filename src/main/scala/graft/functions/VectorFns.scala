@@ -12,9 +12,19 @@ import org.apache.spark.sql.functions._
   * oracle formulation.
   */
 object VectorFns {
+  import org.apache.spark.sql.graftshim.GraftColumn
+  import graft.functions.expr.DotProductF32
 
-  /** Dot product in double precision. */
+  /** Dot product in double precision — the codegen'd [[DotProductF32]]
+    * expression (hot-path form; same fold order as [[dotHof]]).
+    */
   def dot(a: Column, b: Column): Column =
+    GraftColumn.lift2(DotProductF32.apply)(a, b)
+
+  /** Higher-order-function dot — the portable reference formulation the
+    * DuckDB oracle mirrors; property-tested equal to [[dot]].
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -23,12 +23,17 @@ object TextQueries extends QueryPack {
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("w"))
 
-  /** Distinct 2-token shingles per doc. */
+  /** Distinct 3-token shingles per doc. Width 3 (not 2) is load-bearing at
+    * scale: the fixture vocabulary is 31 words, so the 2-gram space (961) is
+    * dense enough that every doc pair shares shingles and the candidate join
+    * goes quadratic (measured 332 s at sf0.1); the 3-gram space (29 791)
+    * keeps candidate pairs proportional to true similarity.
+    */
   private def docShingles(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        explode(array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 2))).as("sh"))
+        explode(array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3))).as("sh"))
 
   val queries: Map[String, Q] = Map(
     // X1: exact dedup — content-hash groupBy, deterministic keeper = min id.
@@ -79,8 +84,15 @@ object TextQueries extends QueryPack {
               sort_array(collect_list(struct(col("i"), col("minh")))),
               p => p.getField("minh").cast("string")),
             ",").as("bkey"))
-      bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-        .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")), Seq("band", "bkey"))
+      // Oversized-bucket guard (standard LSH practice): a bucket shared by
+      // >100 docs is boilerplate, and joining it would reintroduce the n²
+      // blowup LSH exists to avoid; singleton buckets can't produce pairs.
+      val sized = bands
+        .withColumn("bsz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
+        .filter(col("bsz").between(2, 100))
+      sized.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+        .join(sized.select(col("band"), col("bkey"), col("doc_id").as("doc_b")), Seq("band", "bkey"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_bands"))
@@ -187,7 +199,8 @@ object TextQueries extends QueryPack {
   private val shCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
-      |              unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS sh
+      |              unnest(list_transform(range(1, len(ts) - 1),
+      |                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
       |       FROM t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -213,9 +226,11 @@ object TextQueries extends QueryPack {
          |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2),
          |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
          |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
-         |          FROM mh GROUP BY 1, 2)
+         |          FROM mh GROUP BY 1, 2),
+         |sized AS (SELECT * FROM bands
+         |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100)
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
-         |FROM bands x JOIN bands y
+         |FROM sized x JOIN sized y
          |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_dedup_simhash" ->

@@ -48,6 +48,28 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(5, 0, 15))
   }
 
+  test("property: codegen DotProductF32 equals the HOF fold bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    val got = df.select(
+      VectorFns.dot(col("a"), col("b")).as("fast"),
+      VectorFns.dotHof(col("a"), col("b")).as("ref")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("DotProductF32 handles nulls and mismatched lengths") {
+    val df = Seq(
+      (Some(Array(1f, 2f, 3f)), Some(Array(4f, 5f))), // min-length semantics
+      (None, Some(Array(1f)))                          // null -> null
+    ).toDF("a", "b")
+    val got = df.select(VectorFns.dot(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == 14.0)
+    assert(got(1).isNullAt(0))
+  }
+
   test("dot is double-precision (no f32 drift on large values)") {
     val df = Seq((Array(1e7f, 1f), Array(1e7f, 1f))).toDF("a", "b")
     val got = df.select(VectorFns.dot(col("a"), col("b"))).as[Double].collect().head
