@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Dev scratchpad: time alternative formulations of hot queries at a given
+  * sf. Not part of the library surface.
+  */
+object DevProbe {
+  private def pairAgg(sh: DataFrame): DataFrame =
+    sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.tuned("local[32]", "32")
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, d)
+
+    // v1: current — HOF shingles; split(text) re-evaluated inside the lambda
+    def v1 = {
+      val sh = docs.select(col("doc_id"),
+          array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("shs"))
+        .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+      pairAgg(sh)
+    }
+
+    // v2: HOF shingles but tokens materialized through a repartition barrier
+    def v2 = {
+      val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .repartition(32, col("doc_id"))
+      val sh = base.select(col("doc_id"),
+          array_distinct(TextFns.shingles(col("toks"), 3)).as("shs"))
+        .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+      pairAgg(sh)
+    }
+
+    // v3: codegen path — posexplode + lead window, no HOFs at all
+    def v3 = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val sh0 = docs
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("w"), lead("w", 1).over(w), lead("w", 2).over(w)).as("sh"),
+          lead("w", 2).over(w).as("guard"))
+        .filter(col("guard").isNotNull)
+        .select(col("doc_id"), col("sh")).distinct()
+      val sh = sh0.withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      pairAgg(sh)
+    }
+
+    for ((name, q) <- Seq("v1-hof" -> (() => v1), "v2-barrier" -> (() => v2), "v3-window" -> (() => v3))) {
+      val t0 = System.nanoTime()
+      val n = q().count()
+      println(f"[probe] $name rows=$n ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.expr.DotProductF32
+
+/** SparkSessionExtensions entry point: registers graft's custom expressions
+  * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works and
+  * spark-submit users can opt in with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * DataFrame-API callers don't need this — [[graft.functions.VectorFns]]
+  * builds the expressions directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(
+        classOf[DotProductF32].getName, null, "graft_dot",
+        "graft_dot(a, b) - double-precision dot product of two float arrays", ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductF32(children(0), children(1))))
+  }
+}

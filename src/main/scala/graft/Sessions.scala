@@ -13,6 +13,7 @@ object Sessions {
   def tuned(master: String, cpus: String): SparkSession =
     SparkSession.builder()
       .master(master)
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -118,6 +118,17 @@ object MetaQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // A4 approx variant: HLL++ sketch distinct — at 100 TB the exact
+    // expand+two-phase distinct shuffles every (group, user) pair; the sketch
+    // is one pass with fixed-size state. No oracle: HLL estimates are
+    // engine-specific (driver records the rows-only check).
+    "q_agg_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // A5 flagship: major-compaction LWW semantics (QHBaseCompact.java:167).
     "q_compact_lww" -> ((s, d) => {
       Compaction

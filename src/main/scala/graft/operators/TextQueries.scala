@@ -50,14 +50,20 @@ object TextQueries extends QueryPack {
     // path). Top-20 pairs so output is deterministic and non-empty regardless
     // of corpus similarity structure.
     "q_dedup_near" -> ((s, d) => {
-      val sh  = docShingles(s, d)
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      // Per-doc set size computed BEFORE the explode and carried through the
+      // pair groupBy as a grouping key — no per-doc count aggregation, no
+      // count joins, and the shingle Generate subtree appears only twice
+      // (the two sides of the self-join) instead of four times.
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("shs"))
+        .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
       sh.as("x")
         .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .groupBy(
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
         .agg(count(lit(1)).as("shared"))
-        .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
         .select(
           col("doc_a"), col("doc_b"),
           round(col("shared") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
@@ -209,15 +215,17 @@ object TextQueries extends QueryPack {
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q_dedup_near" ->
-      s"""WITH $shCte,
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
-         |      FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-         |      GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |       round(shared / (ca.n + cb.n - shared), 4) AS jaccard
-         |FROM p JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+      """WITH t AS (SELECT doc_id,
+        |                  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |                         || ' ' || string_split(text, ' ')[i+2])) AS shs
+        |           FROM documents),
+        |sh AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM t)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |       round(count(*) / (x.n_sh + y.n_sh - count(*)), 4) AS jaccard
+        |FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |GROUP BY x.doc_id, y.doc_id, x.n_sh, y.n_sh
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $shCte,
          |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),

@@ -5,8 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The driver-contract invariants (SURVEY.md §0 "Driver contract"). */
 class EntryContractSpec extends AnyFunSuite with SparkSpec {
 
-  test("every query has an oracle and every oracle has a query") {
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  /** Queries deliberately shipped without a DuckDB oracle (driver then
+    * records a rows-only check): approx sketches are engine-specific.
+    */
+  private val noOracle = Set("q_agg_approx_distinct")
+
+  test("every oracle has a query; only documented no-oracle queries lack one") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == noOracle)
   }
 
   test("entry() returns rows on sf0.001 (t1 smoke)") {

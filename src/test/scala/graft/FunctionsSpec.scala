@@ -70,6 +70,12 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got(1).isNullAt(0))
   }
 
+  test("graft_dot is registered as a SQL function via GraftExtensions") {
+    val got = Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
+      .selectExpr("graft_dot(a, b)").as[Double].collect().head
+    assert(got == 11.0)
+  }
+
   test("dot is double-precision (no f32 drift on large values)") {
     val df = Seq((Array(1e7f, 1f), Array(1e7f, 1f))).toDF("a", "b")
     val got = df.select(VectorFns.dot(col("a"), col("b"))).as[Double].collect().head
