@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Compaction, Compactor}
+import graft.sources.{CompactionConfig, CursorCheckpoint}
 import graft.streaming.StreamingDaemon
 
 /** Runnable analog of the reference's full daemon loop (SURVEY.md §3.2):
@@ -17,6 +18,15 @@ object CompactionDemo {
     val work  = java.nio.file.Files.createTempDirectory("graft-demo").toString
     val spark = Sessions.tuned("local[8]", "8")
     spark.sparkContext.setLogLevel("WARN")
+
+    // 0. Typed config + durable cursor (the reference's initPropery /
+    // storeNewConfig dataflow, SURVEY.md §2.1 S3/S4).
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$work/config.properties"),
+      ("tablename=events\nstarttime=00:00:00\nendtime=23:59:59\n" +
+        "majorfilesize=530000000000\ndirectcompactsize=100000000000\n").getBytes("UTF-8"))
+    val cfg = CompactionConfig.load(s"$work/config.properties").get
+    val cursor = new CursorCheckpoint(s"$work/cursor")
+    println(s"[demo] config table=${cfg.tableName} window=${cfg.startTime}-${cfg.endTime} cursor=${cursor.read()}")
 
     // 1. A "store" with many small files (the un-compacted state).
     val ev = Tables.events(spark, sfDir)
@@ -46,6 +56,11 @@ object CompactionDemo {
     q.awaitTermination()
     val batches = new java.io.File(s"$work/stream-out").listFiles().count(_.getName.startsWith("batch="))
     println(s"[demo] streaming loop processed $batches micro-batches (1 file each)")
+
+    // 5b. Advance the durable cursor once per processed store (the
+    // reference's i++ + storeNewConfig, with atomic replace).
+    val adv = cursor.advance(total = nFiles.toInt)
+    println(s"[demo] cursor advanced to $adv/${nFiles} (durable at $work/cursor)")
 
     // 6. Idempotence: compacting the compacted store is a no-op.
     val again = Compaction.lastWriteWins(compacted, Seq("user_id", "event_type"), Seq("ts", "event_id"))

@@ -85,6 +85,23 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // Skew pattern: salted two-phase aggregation. A hot grouping key melts
+    // one reducer at 100 TB; salting spreads the partial aggregation over
+    // 16 sub-keys, then the (tiny) final pass merges partials. Result is
+    // identical to the direct groupBy — decimal sums make the re-association
+    // exact, so the oracle is the plain GROUP BY.
+    "q_agg_salted_twophase" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("user_id"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("value").cast("decimal(18,6)")).as("ps"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("pn")).as("n_events"),
+          round(sum(col("ps")), 2).cast("double").as("total_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // §2.7 set ops: nations present among customers vs suppliers.
     "q_setop_union" -> ((s, d) => {
       Tables.customer(s, d).select(col("c_nationkey").as("nk"))
@@ -165,6 +182,10 @@ object AnalyticsQueries extends QueryPack {
         |  FROM e)
         |SELECT user_id, min(tus) AS session_start_us, CAST(count(*) AS BIGINT) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q_agg_salted_twophase" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_setop_union" ->
       """SELECT c_nationkey AS nk FROM customer
         |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,

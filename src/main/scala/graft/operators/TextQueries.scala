@@ -141,6 +141,19 @@ object TextQueries extends QueryPack {
         .orderBy(col("n").desc, col("w"))
     }),
 
+    // X4: token counting two ways — whitespace and a BPE-ish regex class
+    // split ([a-z]+ runs | digit runs | single other-glyphs), plus alpha mass.
+    "q_text_tokens_regex" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_re"),
+          length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X4: per-doc quality scoring — length + stopword-ratio heuristics.
     "q_text_quality" -> ((s, d) => {
       Tables.documents(s, d)
@@ -258,6 +271,12 @@ object TextQueries extends QueryPack {
       """SELECT w, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY n DESC, w""".stripMargin,
+    "q_text_tokens_regex" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re,
+        |       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, n_chars,
         |       len(string_split(text, ' ')) AS n_tok,

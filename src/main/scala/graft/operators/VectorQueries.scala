@@ -48,6 +48,33 @@ object VectorQueries extends QueryPack {
         .limit(5)
     }),
 
+    // X3 IVF variant: inverted-file ANN. Coarse quantizer = 8 fixed seed
+    // vectors (vec_id 1..8 — a real system k-means them; fixed seeds keep the
+    // oracle deterministic); every vector is assigned to its nearest
+    // centroid, and the probe searches only its own cell. At 100 TB the cell
+    // id is the partition key: one cell scanned per probe, centroids
+    // broadcast.
+    "q_simsearch_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val centroids = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("sim", VectorFns.cosine(col("embedding"), col("ce")))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
+      val probe = assigned.filter(col("vec_id") === 0)
+        .select(col("cell").as("pcell"), col("embedding").as("pe"))
+      assigned.crossJoin(broadcast(probe))
+        .filter(col("cell") === col("pcell") && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cell"),
+          round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // X2e: embedding-cosine near-dup — top-10 most-similar pairs. The exact
     // O(n²) form for the oracle; the LSH bucket above is the scale gate
     // (bucket-equality join instead of the cross join).
@@ -114,6 +141,18 @@ object VectorQueries extends QueryPack {
          |probe AS (SELECT embedding AS pe, bkt AS pbkt FROM e WHERE vec_id = 0)
          |SELECT vec_id, bkt, round(${cosSql("embedding", "pe")}, 6) AS cos_r
          |FROM e, probe WHERE bkt = pbkt AND vec_id <> 0
+         |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
+    "q_simsearch_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a AS (SELECT vec_id, cid AS cell, embedding
+         |      FROM (SELECT e.vec_id, c.cid, e.embedding,
+         |                   row_number() OVER (PARTITION BY e.vec_id
+         |                     ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |            FROM embeddings e CROSS JOIN c)
+         |      WHERE rn = 1),
+         |p AS (SELECT cell AS pcell, embedding AS pe FROM a WHERE vec_id = 0)
+         |SELECT vec_id, cell, round(${cosSql("embedding", "pe")}, 6) AS cos_r
+         |FROM a, p WHERE cell = pcell AND vec_id <> 0
          |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
     "q_dedup_embed" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.operators.Compaction
 
 /** Structured-Streaming re-expression of the reference daemon loop
@@ -86,4 +86,44 @@ object StreamingDaemon {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keys :+ "ts")
+
+  // ---- custom state: streaming LWW via mapGroupsWithState ----
+
+  case class EventIn(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)
+
+  /** Per-(user,event_type) state: the current newest version + a version
+    * counter — the per-cell state HBase keeps implicitly and the reference's
+    * daemon recomputes by re-listing files each round.
+    */
+  case class LwwState(eventId: Long, tsUs: Long, value: Double, versionsSeen: Long)
+
+  case class LwwUpdate(user_id: Long, event_type: String, last_event_id: Long,
+      ts_us: Long, last_value: Double, versions_seen: Long)
+
+  /** Streaming LWW with explicit keyed state: each micro-batch folds its new
+    * versions into the stored newest-version per key and emits the updated
+    * row. Equivalent to re-running batch LWW over all data ever seen, but the
+    * state store holds exactly one row per key — O(keys), not O(history),
+    * which is the point at 100 TB of versioned cells.
+    */
+  def statefulLww(events: Dataset[EventIn]): Dataset[LwwUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[LwwState, LwwUpdate](GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), batchIt, state: GroupState[LwwState]) =>
+          val batch = batchIt.toSeq // per-key micro-batch; bounded
+          val prev = state.getOption
+          val candidates = batch.map(e => LwwState(e.event_id, e.ts_us, e.value, 0L)) ++ prev
+          // newest by (ts, event_id) — the same deterministic order as batch LWW
+          val newest = candidates.maxBy(s => (s.tsUs, s.eventId))
+          val next = newest.copy(
+            versionsSeen = prev.map(_.versionsSeen).getOrElse(0L) + batch.size)
+          state.update(next)
+          LwwUpdate(uid, etype, next.eventId, next.tsUs, next.value, next.versionsSeen)
+      }
+  }
+
+  /** Output-mode helper for [[statefulLww]] sinks. */
+  val statefulLwwOutputMode: OutputMode = OutputMode.Update()
 }

@@ -38,6 +38,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       batch.orderBy("user_id", "event_type").collect().toSeq)
   }
 
+  test("statefulLww folds new versions into O(keys) state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDaemon.{EventIn, LwwUpdate}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[EventIn]
+    val q = StreamingDaemon.statefulLww(input.toDS())
+      .writeStream.format("memory").queryName("lww_updates")
+      .outputMode(StreamingDaemon.statefulLwwOutputMode)
+      .start()
+    try {
+      // batch 1: two versions for key (1, click) — newest is event 2
+      input.addData(
+        EventIn(1L, 100L, 1L, "click", 1.0),
+        EventIn(2L, 200L, 1L, "click", 2.0))
+      q.processAllAvailable()
+      val b1 = spark.table("lww_updates").as[LwwUpdate].collect()
+      assert(b1.toSeq == Seq(LwwUpdate(1L, "click", 2L, 200L, 2.0, 2L)))
+
+      // batch 2: an OLDER version arrives late — state must not regress,
+      // but the version counter advances
+      input.addData(EventIn(3L, 150L, 1L, "click", 3.0))
+      q.processAllAvailable()
+      val b2 = spark.table("lww_updates").as[LwwUpdate].collect()
+      assert(b2.last == LwwUpdate(1L, "click", 2L, 200L, 2.0, 3L))
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates event-time windows with a watermark") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     // batch execution of the same expression tree validates the plan shape
