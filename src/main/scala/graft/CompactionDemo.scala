@@ -62,6 +62,14 @@ object CompactionDemo {
     val adv = cursor.advance(total = nFiles.toInt)
     println(s"[demo] cursor advanced to $adv/${nFiles} (durable at $work/cursor)")
 
+    // 5c. Persistent co-located layout (bucketing ≙ pre-split regions): the
+    // recurring user⋈compacted join without a runtime shuffle.
+    spark.sql("DROP TABLE IF EXISTS demo_compacted")
+    graft.sources.BucketedTables.writeBucketed(compacted, "demo_compacted", "user_id", 4)
+    val bucketedPlan = spark.table("demo_compacted")
+      .groupBy("user_id").count().queryExecution.executedPlan.toString
+    println(s"[demo] bucketed layout: agg-without-shuffle=${!bucketedPlan.contains("Exchange hashpartitioning")}")
+
     // 6. Idempotence: compacting the compacted store is a no-op.
     val again = Compaction.lastWriteWins(compacted, Seq("user_id", "event_type"), Seq("ts", "event_id"))
     println(s"[demo] idempotent=${again.count() == compacted.count()}")

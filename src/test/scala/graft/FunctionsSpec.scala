@@ -76,6 +76,40 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got == 11.0)
   }
 
+  test("MinHashAggregator equals the DataFrame min-over-affine formulation") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(100000).toLong))
+    val ds = rows.toDF("doc_id", "h").as[(Long, Long)]
+
+    val typed = ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MinHashAggregator(8).toColumn.name("sig"))
+      .collect().toMap.view.mapValues(_.toSeq).toMap
+
+    val frame = rows.toDF("doc_id", "h")
+      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(TextFns.affineHash(col("h"), col("i"))).as("minh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("i"), col("minh")))).as("s"))
+      .select(col("doc_id"), transform(col("s"), p => p.getField("minh")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+
+    assert(typed == frame)
+  }
+
+  test("MinHashAggregator input mapping: typed agg consumes the shingle hash column") {
+    // known-value check: the aggregator folds the mapped hash member
+    val ds = Seq((1L, 10L), (1L, 3L), (2L, 7L)).toDS()
+    val sig = ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MinHashAggregator(2).toColumn.name("sig"))
+      .collect().toMap
+    // key 1: min over h∈{10,3}: i=0: (3h+7)%P -> min(37,16)=16; i=1: (5h+18)%P -> min(68,33)=33
+    assert(sig(1L).toSeq == Seq(16L, 33L))
+    assert(sig(2L).toSeq == Seq(3L * 7 + 7, 5L * 7 + 18))
+  }
+
   test("dot is double-precision (no f32 drift on large values)") {
     val df = Seq((Array(1e7f, 1f), Array(1e7f, 1f))).toDF("a", "b")
     val got = df.select(VectorFns.dot(col("a"), col("b"))).as[Double].collect().head
