@@ -120,6 +120,51 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("nk"))
     }),
 
+    // Reshaping: long→wide pivot with a FIXED value list — at scale an
+    // unpinned pivot first runs a distinct scan to discover columns; pinning
+    // makes the plan one aggregation (and keeps the oracle deterministic).
+    "q_pivot_wide" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .select(col("user_id") +: Seq("click", "error", "purchase", "signup", "view")
+          .map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy(col("user_id"))
+    }),
+
+    // Agg-to-array: per-user distinct event types as a canonical (sorted,
+    // joined) string — collect_set order is nondeterministic, array_sort
+    // makes it reproducible.
+    "q_agg_collect" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Grouping sets, full cube (rollup's sibling in q_rollup_report).
+    "q_cube_report" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // Exact interpolated percentiles (R-7 definition in both engines).
+    "q_agg_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // §2.9 scalar suite: string/date/math/JSON functions in one projection —
     // all codegen'd built-ins, no UDFs.
     "q_scalar_suite" -> ((s, d) => {
@@ -182,6 +227,29 @@ object AnalyticsQueries extends QueryPack {
         |  FROM e)
         |SELECT user_id, min(tus) AS session_start_us, CAST(count(*) AS BIGINT) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q_pivot_wide" ->
+      """SELECT user_id,
+        |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cube_report" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+        |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_agg_salted_twophase" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value

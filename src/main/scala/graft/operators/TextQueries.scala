@@ -23,17 +23,27 @@ object TextQueries extends QueryPack {
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("w"))
 
-  /** Distinct 3-token shingles per doc. Width 3 (not 2) is load-bearing at
-    * scale: the fixture vocabulary is 31 words, so the 2-gram space (961) is
-    * dense enough that every doc pair shares shingles and the candidate join
-    * goes quadratic (measured 332 s at sf0.1); the 3-gram space (29 791)
-    * keeps candidate pairs proportional to true similarity.
+  /** Distinct 3-token shingles per doc, with per-doc set size. Two
+    * load-bearing choices, both measured at sf0.1:
+    *
+    * Width 3 (not 2): the fixture vocabulary is 31 words, so the 2-gram
+    * space (961) is dense enough that every doc pair shares shingles and the
+    * candidate join goes quadratic (332 s → 44 s with trigrams).
+    *
+    * The repartition barrier: Catalyst collapses projections, so without it
+    * `split(text)` is re-evaluated INSIDE the per-element shingle lambda
+    * (no common-subexpression elimination in interpreted higher-order
+    * functions) — ~52 re-splits per doc. Materializing the token array
+    * through one exchange computes it once and lets the self-join's two
+    * sides reuse the same shuffle output (13.7 s → 3.8 s).
     */
   private def docShingles(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        explode(array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3))).as("sh"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(TextFns.shingles(col("toks"), 3)).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
 
   val queries: Map[String, Q] = Map(
     // X1: exact dedup — content-hash groupBy, deterministic keeper = min id.
@@ -51,13 +61,9 @@ object TextQueries extends QueryPack {
     // of corpus similarity structure.
     "q_dedup_near" -> ((s, d) => {
       // Per-doc set size computed BEFORE the explode and carried through the
-      // pair groupBy as a grouping key — no per-doc count aggregation, no
-      // count joins, and the shingle Generate subtree appears only twice
-      // (the two sides of the self-join) instead of four times.
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("shs"))
-        .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+      // pair groupBy as a grouping key — no per-doc count aggregation and no
+      // count joins (see docShingles for the shared-exchange barrier).
+      val sh = docShingles(s, d)
       sh.as("x")
         .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(
@@ -76,7 +82,7 @@ object TextQueries extends QueryPack {
     // bucket become candidate pairs. Join key is (band, bucket), never the
     // raw shingle — candidate count scales with true similarity.
     "q_dedup_minhash" -> ((s, d) => {
-      val hs = docShingles(s, d).withColumn("h", TextFns.rollingHash(col("sh")))
+      val hs = docShingles(s, d).drop("n_sh").withColumn("h", TextFns.rollingHash(col("sh")))
       val mh = hs
         .withColumn("i", explode(sequence(lit(0), lit(7))))
         .groupBy(col("doc_id"), col("i"))
@@ -119,6 +125,23 @@ object TextQueries extends QueryPack {
         .agg(sum(when(col("s") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L)))
           .as("simhash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X2d: edit-distance near-dup on a bounded probe set (doc_id < 50):
+    // Levenshtein is O(len²) per pair, so the exact form only ever runs on a
+    // candidate set — at scale the candidates come from the MinHash/SimHash
+    // passes above, never a full cross join.
+    "q_text_editdist" -> ((s, d) => {
+      val probe = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      val a = probe.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val b = probe.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      a.crossJoin(b)
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+        .orderBy(col("dist"), col("doc_a"), col("doc_b"))
+        .limit(10)
     }),
 
     // X4: per-language token statistics.
@@ -262,6 +285,12 @@ object TextQueries extends QueryPack {
          |      FROM h CROSS JOIN range(16) r(j) GROUP BY 1, 2)
          |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_editdist" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 50 AND b.doc_id < 50
+        |ORDER BY dist, doc_a, doc_b LIMIT 10""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
