@@ -70,6 +70,25 @@ object CompactionDemo {
       .groupBy("user_id").count().queryExecution.executedPlan.toString
     println(s"[demo] bucketed layout: agg-without-shuffle=${!bucketedPlan.contains("Exchange hashpartitioning")}")
 
+    // 5d. Change-only stream (quickPoll analog): late/old versions emit
+    // nothing, real changes emit one delta.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingDaemon.EventIn
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[EventIn]
+      val cq = StreamingDaemon.changeStream(in.toDS())
+        .writeStream.format("memory").queryName("demo_changes").outputMode("append").start()
+      in.addData(EventIn(1L, 100L, 7L, "click", 1.0))
+      cq.processAllAvailable()
+      in.addData(EventIn(2L, 50L, 7L, "click", 2.0)) // stale version
+      cq.processAllAvailable()
+      val emitted = spark.table("demo_changes").count()
+      cq.stop()
+      println(s"[demo] change stream: 2 versions in, $emitted delta(s) out (stale suppressed)")
+    }
+
     // 6. Idempotence: compacting the compacted store is a no-op.
     val again = Compaction.lastWriteWins(compacted, Seq("user_id", "event_type"), Seq("ts", "event_id"))
     println(s"[demo] idempotent=${again.count() == compacted.count()}")

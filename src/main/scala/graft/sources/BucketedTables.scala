@@ -12,14 +12,32 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedTables {
 
-  /** Persist `df` bucketed+sorted by `key` as managed table `name`. */
-  def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+  /** Persist `df` bucketed+sorted by `key` as managed table `name`.
+    *
+    * The in-memory catalog forgets tables between sessions while the
+    * warehouse directory persists, and Overwrite refuses a location the
+    * catalog doesn't own (LOCATION_ALREADY_EXISTS) — so drop both the
+    * registration and any orphaned location first.
+    */
+  def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(name)
+  }
 
   /** Bucket-local join of two tables persisted with [[writeBucketed]] on the
     * same key and bucket count.

@@ -126,4 +126,31 @@ object StreamingDaemon {
 
   /** Output-mode helper for [[statefulLww]] sinks. */
   val statefulLwwOutputMode: OutputMode = OutputMode.Update()
+
+  /** Change-only stream via flatMapGroupsWithState: emit 0 or 1 rows per key
+    * per micro-batch — only when the newest version actually changed. This is
+    * the streaming form of the reference's quickPoll "largest file name
+    * differs" test (QHBaseCompact.java:171-184): downstream consumers see
+    * deltas, not heartbeats.
+    */
+  def changeStream(events: Dataset[EventIn]): Dataset[LwwUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LwwState, LwwUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), batchIt, state: GroupState[LwwState]) =>
+          val batch = batchIt.toSeq
+          val prev = state.getOption
+          val candidates = batch.map(e => LwwState(e.event_id, e.ts_us, e.value, 0L)) ++ prev
+          val newest = candidates.maxBy(s => (s.tsUs, s.eventId))
+          val next = newest.copy(
+            versionsSeen = prev.map(_.versionsSeen).getOrElse(0L) + batch.size)
+          state.update(next)
+          val changed = !prev.exists(p => p.eventId == next.eventId && p.tsUs == next.tsUs)
+          if (changed)
+            Iterator.single(LwwUpdate(uid, etype, next.eventId, next.tsUs, next.value, next.versionsSeen))
+          else Iterator.empty
+      }
+  }
 }

@@ -10,18 +10,7 @@ import graft.sources.BucketedTables
 class BucketingSpec extends AnyFunSuite with SparkSpec {
   private val d = "/root/testdata/sf0.001"
 
-  private def dropClean(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-    if (loc.exists()) {
-      loc.listFiles().foreach(_.delete())
-      loc.delete()
-    }
-  }
-
   test("bucketed fact-fact join runs with no exchange and no sort") {
-    dropClean("li_bucketed")
-    dropClean("ord_bucketed")
     BucketedTables.writeBucketed(Tables.lineitem(spark, d), "li_bucketed", "l_orderkey", 8)
     BucketedTables.writeBucketed(Tables.orders(spark, d), "ord_bucketed", "o_orderkey", 8)
 

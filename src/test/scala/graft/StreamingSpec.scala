@@ -67,6 +67,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("changeStream emits only when the newest version changes (flatMapGroupsWithState)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDaemon.{EventIn, LwwUpdate}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[EventIn]
+    val q = StreamingDaemon.changeStream(input.toDS())
+      .writeStream.format("memory").queryName("change_stream")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(EventIn(1L, 100L, 1L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(EventIn(2L, 50L, 1L, "click", 2.0)) // older — no change
+      q.processAllAvailable()
+      input.addData(EventIn(3L, 200L, 1L, "click", 3.0)) // newer — change
+      q.processAllAvailable()
+      val got = spark.table("change_stream").as[LwwUpdate].collect().toSeq
+      assert(got.map(_.last_event_id) == Seq(1L, 3L)) // batch 2 emitted nothing
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows beyond the tolerance in streaming aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = StreamingDaemon.windowedCounts(
+      input.toDS().toDF("ts", "value").withColumn("event_type", org.apache.spark.sql.functions.lit("x")))
+    val q = agg.writeStream.format("memory").queryName("late_agg").outputMode("update").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      input.addData((ts(0), 1.0))   // window 10:00
+      q.processAllAvailable()
+      input.addData((ts(30), 1.0))  // advances watermark to 09:30
+      q.processAllAvailable()
+      // 3 hours late (far beyond the 1h tolerance): must be dropped
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 07:00:00"), 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_agg")
+        .select("window.start", "n").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(!rows.exists(_._1.startsWith("2024-01-01 07:")), rows.toString)
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates event-time windows with a watermark") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     // batch execution of the same expression tree validates the plan shape
