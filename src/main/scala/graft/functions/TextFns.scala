@@ -29,9 +29,16 @@ object TextFns {
 
   /** Polynomial rolling hash over characters: fold of (acc*31 + ascii(c)) mod
     * 1e9+7. Exactly reproducible in DuckDB via list_reduce — the portable
-    * stand-in for a fingerprint/MinHash base hash.
+    * stand-in for a fingerprint/MinHash base hash. Hot-path form is the
+    * codegen'd [[graft.functions.expr.StringPolyHash]]; [[rollingHashHof]]
+    * is the portable reference formulation, property-tested equal.
     */
   def rollingHash(s: Column): Column =
+    org.apache.spark.sql.graftshim.GraftColumn
+      .lift1(graft.functions.expr.StringPolyHash.apply)(s)
+
+  /** Higher-order-function form mirroring the DuckDB oracle fragment. */
+  def rollingHashHof(s: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
       lit(0L),

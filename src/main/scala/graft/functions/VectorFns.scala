@@ -32,7 +32,14 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-expression cosine (see [[graft.functions.expr.CosineSimF32]]);
+    * bit-equal to [[cosineComposed]], property-tested.
+    */
+  def cosine(a: Column, b: Column): Column =
+    GraftColumn.lift2(graft.functions.expr.CosineSimF32.apply)(a, b)
+
+  /** Composed form (three expression evaluations) — reference for the test. */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Axis-aligned sign-bit LSH bucket over the first `bits` dimensions: bit j
     * set iff v[j+1] > 0. Deterministic (no RNG to ship to the oracle) and the

@@ -63,9 +63,16 @@ object TextQueries extends QueryPack {
       // Per-doc set size computed BEFORE the explode and carried through the
       // pair groupBy as a grouping key — no per-doc count aggregation and no
       // count joins (see docShingles for the shared-exchange barrier).
+      // Explicit broadcast pins the join strategy: the shingle side sits
+      // near the AQE broadcast threshold, and the SMJ fallback was measured
+      // 10× slower (4 s vs 42 s, bimodal run-to-run). The exact-Jaccard form
+      // is the small-corpus oracle path — its scale successor is
+      // q_dedup_minhash — so broadcasting the deduped shingle table is the
+      // right call at every size this query should run at.
       val sh = docShingles(s, d)
       sh.as("x")
-        .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        .join(broadcast(sh.as("y")),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(
           col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("x.n_sh").as("na"), col("y.n_sh").as("nb"))

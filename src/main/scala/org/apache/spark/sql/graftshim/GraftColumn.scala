@@ -19,7 +19,9 @@ object GraftColumn {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
-  /** Apply a (Expression*, => Expression) constructor to Columns. */
+  /** Apply Expression constructors to Columns. */
+  def lift1(f: Expression => Expression)(a: Column): Column =
+    apply(f(expression(a)))
   def lift2(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
     apply(f(expression(a), expression(b)))
 }

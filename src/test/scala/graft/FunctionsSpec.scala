@@ -15,6 +15,28 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == inputs.map(fold))
   }
 
+  test("property: codegen StringPolyHash equals the HOF fold on random strings") {
+    val rnd = new scala.util.Random(23)
+    val inputs = Seq.fill(100)(rnd.alphanumeric.take(rnd.nextInt(60) + 1).mkString(" "))
+    val df = inputs.toDF("s")
+    val got = df.select(
+      TextFns.rollingHash(col("s")).as("fast"),
+      TextFns.rollingHashHof(col("s")).as("ref")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("property: fused CosineSimF32 equals the composed dot/norm form bit-for-bit") {
+    val rnd = new scala.util.Random(31)
+    val vecs = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    val got = df.select(
+      VectorFns.cosine(col("a"), col("b")).as("fused"),
+      VectorFns.cosineComposed(col("a"), col("b")).as("ref")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("shingles produce n-w+1 space-joined grams; short docs yield none beyond the text") {
     val got = Seq("a b c d", "a b", "a").toDF("t")
       .select(TextFns.shingles(TextFns.tokens(col("t")), 2))

@@ -52,9 +52,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("q_simsearch_topk: codegen dot product expression is in the plan") {
+  test("q_simsearch_topk: fused codegen cosine expression is in the plan") {
     val p = plan("q_simsearch_topk")
-    assert(p.contains("graft_dot_f32"), p)
+    assert(p.contains("graft_cosine_f32"), p)
   }
 
   test("whole-stage codegen covers the scan+filter+project pipeline of q_scan_project") {
