@@ -29,7 +29,7 @@ object DevProbe {
     // v1: current — HOF shingles; split(text) re-evaluated inside the lambda
     def v1 = {
       val sh = docs.select(col("doc_id"),
-          array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("shs"))
+          array_distinct(TextFns.shinglesHof(TextFns.tokens(col("text")), 3)).as("shs"))
         .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
       pairAgg(sh)
     }
@@ -39,7 +39,7 @@ object DevProbe {
       val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         .repartition(32, col("doc_id"))
       val sh = base.select(col("doc_id"),
-          array_distinct(TextFns.shingles(col("toks"), 3)).as("shs"))
+          array_distinct(TextFns.shinglesHof(col("toks"), 3)).as("shs"))
         .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
       pairAgg(sh)
     }
@@ -59,7 +59,16 @@ object DevProbe {
       pairAgg(sh)
     }
 
-    for ((name, q) <- Seq("v1-hof" -> (() => v1), "v2-barrier" -> (() => v2), "v3-window" -> (() => v3))) {
+    // v4: opaque TokenShingles expression — no barrier, recompute-safe
+    def v4 = {
+      val sh = docs.select(col("doc_id"),
+          array_distinct(TextFns.shinglesFromText(col("text"), 3)).as("shs"))
+        .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+      pairAgg(sh)
+    }
+
+    for ((name, q) <- Seq("v1-hof" -> (() => v1), "v2-barrier" -> (() => v2),
+        "v3-window" -> (() => v3), "v4-expr" -> (() => v4))) {
       val t0 = System.nanoTime()
       val n = q().count()
       println(f"[probe] $name rows=$n ${(System.nanoTime() - t0) / 1e9}%.1f s")

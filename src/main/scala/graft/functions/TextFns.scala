@@ -15,10 +15,19 @@ object TextFns {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (w consecutive tokens joined by a space), with
-    * duplicates — callers dedupe when set semantics are needed.
+  /** Word n-gram shingles from raw text (w consecutive tokens joined by a
+    * space), with duplicates — callers dedupe when set semantics are needed.
+    * One expression evaluation per row ([[graft.functions.expr.TokenShingles]]);
+    * see its scaladoc for why the HOF composition is a recompute trap.
     */
-  def shingles(toks: Column, w: Int): Column =
+  def shinglesFromText(text: Column, w: Int): Column =
+    org.apache.spark.sql.graftshim.GraftColumn
+      .lift1(graft.functions.expr.TokenShingles(_, w))(text)
+
+  /** HOF reference formulation over a pre-split token array — mirrors the
+    * DuckDB oracle fragment; property-tested equal to [[shinglesFromText]].
+    */
+  def shinglesHof(toks: Column, w: Int): Column =
     // guard: sequence(1, 0) DESCENDS in Spark, so a doc shorter than w must
     // short-circuit to an empty array rather than slice(toks, 0, w).
     when(size(toks) < lit(w), array().cast("array<string>"))

@@ -30,19 +30,16 @@ object TextQueries extends QueryPack {
     * space (961) is dense enough that every doc pair shares shingles and the
     * candidate join goes quadratic (332 s → 44 s with trigrams).
     *
-    * The repartition barrier: Catalyst collapses projections, so without it
-    * `split(text)` is re-evaluated INSIDE the per-element shingle lambda
-    * (no common-subexpression elimination in interpreted higher-order
-    * functions) — ~52 re-splits per doc. Materializing the token array
-    * through one exchange computes it once and lets the self-join's two
-    * sides reuse the same shuffle output (13.7 s → 3.8 s).
+    * Shingling is the opaque [[graft.functions.expr.TokenShingles]]
+    * expression — one O(|text|) evaluation per call, so the plan stays cheap
+    * no matter how the optimizer collapses projections or drops exchanges
+    * (the HOF formulation re-split the text per element and stalled a
+    * broadcast build side for 30 minutes when its barrier was optimized out).
     */
   private def docShingles(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .repartition(col("doc_id"))
       .select(col("doc_id"),
-        array_distinct(TextFns.shingles(col("toks"), 3)).as("shs"))
+        array_distinct(TextFns.shinglesFromText(col("text"), 3)).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
 
   val queries: Map[String, Q] = Map(

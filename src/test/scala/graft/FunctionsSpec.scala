@@ -39,9 +39,22 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
 
   test("shingles produce n-w+1 space-joined grams; short docs yield none beyond the text") {
     val got = Seq("a b c d", "a b", "a").toDF("t")
-      .select(TextFns.shingles(TextFns.tokens(col("t")), 2))
+      .select(TextFns.shinglesHof(TextFns.tokens(col("t")), 2))
       .as[Seq[String]].collect().toSeq
     assert(got == Seq(Seq("a b", "b c", "c d"), Seq("a b"), Seq()))
+  }
+
+  test("property: TokenShingles expression equals the HOF form (incl. empty-token edges)") {
+    val rnd = new scala.util.Random(41)
+    val words = Seq("a", "bb", "ccc", "dd", "e")
+    val inputs = Seq.fill(60)(Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" ")) ++
+      Seq("", "a", "a ", " a", "a  b") // empty/trailing/leading/double-space edges
+    for (w <- Seq(2, 3)) {
+      val got = inputs.toDF("t").select(
+        TextFns.shinglesFromText(col("t"), w).as("fast"),
+        TextFns.shinglesHof(TextFns.tokens(col("t")), w).as("ref")).collect()
+      got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    }
   }
 
   test("stopwordCount counts only list members") {
