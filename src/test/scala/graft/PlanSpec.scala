@@ -52,6 +52,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_embed: LSH candidate join — no cartesian product, no nested-loop join") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dedup_near: candidates join on (band, bkey), never the raw shingle") {
+    val df = SparkEntry.queries("q_dedup_near")(spark, d)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // Every join condition keys on band/bkey or doc ids; the exploded
+    // shingle column must not appear as a join key anywhere.
+    val joinConds = "Join .*".r.findAllIn(p).toList
+    assert(joinConds.nonEmpty, p)
+    assert(!joinConds.exists(_.matches(".*\\bsh#\\d+ = sh#\\d+.*")), joinConds.mkString("\n"))
+  }
+
+  test("q_simsearch_ivf: centroid assignment is a partial aggregate, no Window anywhere") {
+    val p = plan("q_simsearch_ivf")
+    assert(!p.contains("Window"), p)
+    // max_by partial+final pair proves the map-side combine survived.
+    assert(p.contains("max_by") || p.contains("SortAggregate") || p.contains("HashAggregate"), p)
+  }
+
   test("q_simsearch_topk: fused codegen cosine expression is in the plan") {
     val p = plan("q_simsearch_topk")
     assert(p.contains("graft_cosine_f32"), p)
