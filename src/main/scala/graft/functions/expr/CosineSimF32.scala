@@ -13,6 +13,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * final combine uses the identical expression shape
   * (dot / (sqrt(na) * sqrt(nb))) — so results are bit-equal to the composed
   * form with no intermediate allocation.
+  *
+  * Zero-norm behavior (deliberate, matches the composed form and the DuckDB
+  * oracle): if either vector is all-zero the dot is 0 and the denominator is
+  * 0, so the result is 0/0 = NaN. Spark orders NaN as the GREATEST double,
+  * so a `orderBy(cos.desc)` top-k would rank zero-embedding pairs first
+  * (other engines differ — DuckDB sorts NaN last by default). Corpora that
+  * can contain zero embeddings should pre-filter on a positive norm or wrap
+  * the call in `nanvl(cos, lit(0.0))`. Kept un-guarded here so the
+  * expression stays bit-equal to the portable composed/oracle form.
   */
 case class CosineSimF32(left: Expression, right: Expression)
     extends BinaryExpression {

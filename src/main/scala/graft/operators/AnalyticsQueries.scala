@@ -42,6 +42,26 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // W4: range frame — rolling 2-day sum/count per user. rangeBetween is
+    // value-based (all ts peers inside the bound join the frame, regardless
+    // of row position), the "last-N-days rolling" idiom. The frame is a SET,
+    // so no tiebreak is needed for determinism — but the sum accumulates in
+    // engine-chosen order, so it runs in DECIMAL (associative-exact) and
+    // rounds after, keeping the oracle bit-equal.
+    "q_window_range" -> ((s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-2L * 86400000000L, 0L) // 2 days in µs
+      Tables.events(s, d)
+        .withColumn("r2d_n", count(lit(1)).over(w))
+        .withColumn("r2d_sum",
+          round(sum(col("value").cast("decimal(18,6)")).over(w), 2).cast("double"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("r2d_n"), col("r2d_sum"))
+        .orderBy(col("event_id"))
+    }),
+
     // W3: lag — inter-event deltas per user; the reference's before/after
     // snapshot compare (C1) in one relation.
     "q_window_lag" -> ((s, d) => {
@@ -178,9 +198,32 @@ object AnalyticsQueries extends QueryPack {
           hour(col("ts")).cast("long").as("hr"),
           round(col("value"), 1).as("v1"),
           round(abs(col("value") - 50), 2).as("av"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          to_date(col("ts")).cast("string").as("dt"),
+          unix_micros(date_trunc("week", col("ts"))).as("week_us"))
         .withColumn("part0", element_at(split(col("tag"), "#"), 1))
         .orderBy(col("event_id"))
+    }),
+
+    // §2.9 array + map scalars over the embedding column: slice / zip_with /
+    // aggregate higher-order functions (all codegen-planned builtins) and
+    // map_keys on a constructed map. Folds run left-to-right in DOUBLE, the
+    // same order DuckDB's list_sum(list_transform(...)) evaluates.
+    "q_scalar_arrays" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (a, x) => a + x.cast("double")), 6).as("head8_sum"),
+          round(aggregate(
+            zip_with(col("embedding"), reverse(col("embedding")),
+              (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (a, x) => a + x), 6).as("rev_dot"),
+          array_join(
+            map_keys(map(lit("label"), col("label"),
+                         lit("id"), col("vec_id").cast("string"))), ",").as("mkeys"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -197,6 +240,14 @@ object AnalyticsQueries extends QueryPack {
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |       CAST(count(*) OVER w AS BIGINT) AS r2d_n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS r2d_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_window_lag" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |       lag(event_id, 1) OVER w AS prev_id,
@@ -273,7 +324,16 @@ object AnalyticsQueries extends QueryPack {
         |       round(value, 1) AS v1,
         |       round(abs(value - 50), 2) AS av,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        |       epoch_us(date_trunc('week', ts)) AS week_us,
         |       split_part(event_type || '#' || CAST(user_id AS VARCHAR), '#', 1) AS part0
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_scalar_arrays" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |       round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
+        |       round(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS rev_dot,
+        |       'label,id' AS mkeys
+        |FROM embeddings ORDER BY vec_id""".stripMargin
   )
 }

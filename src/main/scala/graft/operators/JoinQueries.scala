@@ -89,6 +89,28 @@ object JoinQueries extends QueryPack {
         .orderBy(col("s_suppkey"))
     }),
 
+    // J6b: price-band theta join against the part dim (SURVEY.md §2.3 J6's
+    // original spec — "priced within a part's price band"): lineitems whose
+    // unit price lands within ±5% of their part's retail price. The band
+    // predicate rides the l_partkey = p_partkey equi key, so this is a
+    // broadcast hash join with a residual filter — never a BNLJ — and the
+    // part dim stays broadcastable at any fact-table scale. Sum runs in
+    // DECIMAL so the group totals are accumulation-order-exact.
+    "q_join_priceband" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey") &&
+            (col("l_extendedprice") / col("l_quantity"))
+              .between(col("p_retailprice") * 0.95, col("p_retailprice") * 1.05))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_in_band"),
+          round(sum(col("p_retailprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"),
+          round(min(col("l_extendedprice") / col("l_quantity")), 2).as("min_unit"))
+        .orderBy(col("p_brand"))
+    }),
+
     // J7: as-of join — for each purchase, the latest view at-or-before it per
     // user. Single shuffle on user_id via last(_, ignoreNulls) over the
     // type-tagged union, instead of a per-user quadratic self-join; at 100 TB
@@ -154,6 +176,14 @@ object JoinQueries extends QueryPack {
         |  ON s_nationkey = c_nationkey
         | AND c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q_join_priceband" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_in_band,
+        |       CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        |       round(min(l_extendedprice / l_quantity), 2) AS min_unit
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey
+        | AND l_extendedprice / l_quantity BETWEEN p_retailprice * 0.95 AND p_retailprice * 1.05
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_join_asof" ->
       """WITH vp AS (
         |  SELECT event_id, user_id, ts, event_type,

@@ -41,6 +41,23 @@ object MetaQueries extends QueryPack {
         .orderBy(col("shard"))
     }),
 
+    // S2b: partition-pruned scan — reads the day-partitioned events layout
+    // (Hive-style day=YYYY-MM-DD dirs, built once per sf by
+    // [[graft.sources.PartitionedLayout]]) with a 3-day filter that prunes
+    // 27 of 30 partitions at the scan (PartitionFilters, pinned in
+    // PartitionPruningSpec). Sums run in DECIMAL for order-exactness.
+    "q_scan_pruned" -> ((s, d) => {
+      val dir = graft.sources.PartitionedLayout.eventsByDay(s, d)
+      s.read.parquet(dir)
+        .filter(col("day").between(lit("2024-01-05"), lit("2024-01-07")))
+        .groupBy(col("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total"))
+        .select(col("day").cast("string").as("day"), col("event_type"), col("n"), col("total"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // F1+A1: stores with >1 file → (count, Σsize) per store
     // (QHBaseCompact.java:151-156); customer=region, orders=files analog.
     "q_filter_compactable" -> ((s, d) => {
@@ -194,6 +211,13 @@ object MetaQueries extends QueryPack {
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scan_pruned" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN '2024-01-05' AND '2024-01-07'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_filter_compactable" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_files,
         |       round(sum(o_totalprice), 2) AS total_size

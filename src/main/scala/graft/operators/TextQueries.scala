@@ -128,6 +128,25 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // X2b': MinHash signatures via the typed Aggregator rung of the
+    // extension ladder (SURVEY.md §2.12): same hash family and output as the
+    // DataFrame min-over-affine formulation in bandBuckets (property-tested
+    // equal in FunctionsSpec), but the per-doc state is one fixed-size
+    // Array[Long](8) merged map-side — the shuffle carries 8 longs per doc
+    // regardless of shingle count, the sketch posture a 100 TB corpus needs.
+    "q_dedup_minhash_agg" -> ((s, d) => {
+      import s.implicits._
+      val hs = docShingles(s, d)
+        .withColumn("h", TextFns.rollingHash(col("sh")))
+        .select(col("doc_id").cast("long"), col("h")).as[(Long, Long)]
+      hs.groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.MinHashAggregator(8).toColumn.name("sig"))
+        .toDF("doc_id", "sig")
+        .select(col("doc_id"),
+          array_join(transform(col("sig"), x => x.cast("string")), ",").as("sig"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X2c: SimHash — 16-bit signature from token-hash bit votes; one linear
     // pass + two small shuffles, the cheapest near-dup signal at scale.
     "q_dedup_simhash" -> ((s, d) => {
@@ -307,6 +326,14 @@ object TextQueries extends QueryPack {
          |FROM sized x JOIN sized y
          |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_minhash_agg" ->
+      s"""WITH $shCte,
+         |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
+         |mh AS (SELECT doc_id, r.i AS i,
+         |              min(((3 + 2*r.i) * h + (7 + 11*r.i)) % 1000000007) AS minh
+         |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2)
+         |SELECT doc_id, string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS sig
+         |FROM mh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |h AS (SELECT doc_id, ${rhSql("w")} AS h FROM tok),

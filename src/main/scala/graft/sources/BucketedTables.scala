@@ -20,10 +20,17 @@ object BucketedTables {
     * registration and any orphaned location first.
     */
   def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit = {
+    // The name is interpolated into SQL and joined onto the warehouse path
+    // below — restrict it to identifier characters so a crafted name can
+    // neither escape the DROP statement nor point the recursive delete
+    // outside the warehouse. Lowercased because the catalog lowercases
+    // managed-table locations; a mixed-case name would miss the orphan dir.
+    require(name.matches("[a-zA-Z0-9_]+"), s"invalid table name: $name")
+    val table = name.toLowerCase(java.util.Locale.ROOT)
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new java.io.File(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, name)
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -36,7 +43,7 @@ object BucketedTables {
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(name)
+      .saveAsTable(table)
   }
 
   /** Bucket-local join of two tables persisted with [[writeBucketed]] on the

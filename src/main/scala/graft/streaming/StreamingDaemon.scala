@@ -54,6 +54,12 @@ object StreamingDaemon {
     * the reference's majorCompact call as a foreachBatch job. Checkpointed,
     * so a restart resumes from the last completed batch (the reference's
     * `storeNewConfig` cursor, minus the crash window between act and persist).
+    *
+    * foreachBatch is at-least-once: a crash after the write but before the
+    * checkpoint commit replays the same batchId on restart. The sink is
+    * idempotent per batch — each batch OVERWRITES its own `batch=$batchId`
+    * directory (the standard batchId-keyed idempotence pattern), so a replay
+    * rewrites identical rows instead of appending duplicates.
     */
   def compactionLoop(
       spark: SparkSession,
@@ -71,7 +77,7 @@ object StreamingDaemon {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Compaction
           .lastWriteWins(batch, keys, orderCols)
-          .write.mode("append")
+          .write.mode("overwrite")
           .parquet(s"$outDir/batch=$batchId")
         ()
       }

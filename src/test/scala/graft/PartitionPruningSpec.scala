@@ -26,4 +26,12 @@ class PartitionPruningSpec extends AnyFunSuite with SparkSpec {
     val allDays = spark.read.parquet(dir).select("day").distinct().count()
     assert(allDays > 1) // layout really is multi-partition
   }
+
+  test("q_scan_pruned reads the materialized layout with PartitionFilters at the scan") {
+    val df = SparkEntry.queries("q_scan_pruned")(spark, "/root/testdata/sf0.001")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("2024-01-05"), scan)
+    assert(df.count() > 0)
+  }
 }
