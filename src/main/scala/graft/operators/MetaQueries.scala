@@ -170,6 +170,15 @@ object MetaQueries extends QueryPack {
 
     // T2: rolling cursor with wrap-around (QHBaseCompact.java:133,140-143,193):
     // tick = in how many rounds this shard gets compacted, cursor at 7.
+    //
+    // SCALE CONSTRAINT: the no-partition Window.orderBy below funnels every
+    // row through ONE task — acceptable ONLY because the input is the shard
+    // *metadata* relation (one row per region, mirroring the reference's
+    // in-memory region list), which is small by definition at any data
+    // scale. Never reuse this pattern on a fact table: assign global
+    // ordinals there with zipWithIndex-style partition offsets or a
+    // range-partitioned sort. PlanSpec pins the global-window plan shape so
+    // this constraint stays visible.
     "q_round_robin_cursor" -> ((s, d) => {
       val n  = Tables.nation(s, d)
       val cn = n.agg(count(lit(1)).as("n_total"))

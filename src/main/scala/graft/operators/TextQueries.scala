@@ -265,6 +265,89 @@ object TextQueries extends QueryPack {
       Tables.documents(s, d)
         .select(col("doc_id"), TextFns.rollingHash(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X4b: winnowing fingerprints (the MOSS algorithm): hash every 3-gram
+    // shingle IN ORDER, slide a w=4 window over the hash sequence, keep each
+    // window's minimum — the selected set is a position-robust document
+    // fingerprint guaranteed to share values with any overlap ≥ w+2 grams.
+    // Shaped as posexplode → window-min → collect_set: the per-row work is
+    // one hash per shingle (never the nested-HOF form, whose projection
+    // collapse would recompute the whole hash array per window — the round-1
+    // recompute trap), and the only shuffle keys on doc_id.
+    "q_text_winnow" -> ((s, d) => {
+      val w = 4
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(TextFns.shinglesFromText(col("text"), 3)))
+        .withColumnRenamed("pos", "p")
+        .withColumn("h", TextFns.rollingHash(col("col")))
+      val winw = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(Window.currentRow, w - 1)
+      sh.withColumn("wmin", min(col("h")).over(winw))
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .filter(col("p") <= col("n_sh") - w) // full windows only (p is 0-based)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("wmin"))).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          array_join(transform(col("fps"), x => x.cast("string")), ",").as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4c: benchmark-contamination check — the training-data hygiene pass:
+    // fraction of each corpus doc's distinct shingles that also appear in a
+    // held-out benchmark set (here docs 0-19 stand in for the benchmark).
+    // The benchmark shingle table is broadcast BY CONSTRUCTION bounded (a
+    // benchmark corpus is fixed-size, it does not grow with the crawl), so
+    // the pass over 100 TB of documents is one map-side semi-join + one
+    // groupBy(doc_id) shuffle.
+    "q_text_contamination" -> ((s, d) => {
+      val sh = docShingles(s, d)
+      val bench = sh.filter(col("doc_id") < 20).select(col("sh")).distinct()
+      sh.filter(col("doc_id") >= 20)
+        .join(broadcast(bench), "sh")
+        .groupBy(col("doc_id"), col("n_sh"))
+        .agg(count(lit(1)).as("shared"))
+        .select(col("doc_id"), col("shared"),
+          round(col("shared") / col("n_sh"), 4).as("contam_ratio"))
+        .orderBy(col("contam_ratio").desc, col("doc_id"))
+        .limit(50)
+    }),
+
+    // X4d: deterministic train/val/test split — hash-of-id assignment (the
+    // standard reproducible-split idiom: stable under reruns, shuffles, and
+    // corpus growth, unlike rand()). 10% val, 10% test by hash bucket.
+    "q_sample_split" -> ((s, d) => {
+      val h = TextFns.rollingHash(concat(lit("split:"), col("doc_id").cast("string")))
+      Tables.documents(s, d)
+        .withColumn("bucket", pmod(h, lit(10)))
+        .withColumn("split",
+          when(col("bucket") === 0, "val")
+            .when(col("bucket") === 1, "test")
+            .otherwise("train"))
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    }),
+
+    // X4e: TF-IDF top-3 terms per doc — tf from one token groupBy, df from a
+    // distinct + groupBy, corpus size as a 1-row broadcast; score ranked
+    // AFTER 6-dp rounding so the top-3 cut is cross-engine deterministic.
+    "q_text_tfidf" -> ((s, d) => {
+      val tok = docTokens(s, d).select(col("doc_id"), col("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok.distinct().groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn").cast("long").as("rn"),
+          col("w").as("term"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
     })
   )
 
@@ -392,6 +475,55 @@ object TextQueries extends QueryPack {
         |FROM documents d LEFT JOIN pred p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "q_text_fingerprint" ->
-      s"""SELECT doc_id, ${rhSql("text")} AS fp FROM documents ORDER BY doc_id""".stripMargin
+      s"""SELECT doc_id, ${rhSql("text")} AS fp FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_winnow" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest(list_transform(range(1, len(ts) - 1),
+         |                    i -> {'p': i - 1,
+         |                          'g3': ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]}),
+         |                    recursive := true)
+         |      FROM t),
+         |h AS (SELECT doc_id, p, ${rhSql("g3")} AS h FROM g),
+         |w AS (SELECT doc_id, p,
+         |             min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |             count(*) OVER (PARTITION BY doc_id) AS n_sh
+         |      FROM h),
+         |fp AS (SELECT DISTINCT doc_id, wmin FROM w WHERE p <= n_sh - 4)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+         |       string_agg(CAST(wmin AS VARCHAR), ',' ORDER BY wmin) AS fp
+         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_contamination" ->
+      s"""WITH $shCte,
+         |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+         |c AS (SELECT s.doc_id, count(*) AS shared
+         |      FROM sh s JOIN bench b ON s.sh = b.sh
+         |      WHERE s.doc_id >= 20 GROUP BY 1)
+         |SELECT c.doc_id, CAST(c.shared AS BIGINT) AS shared,
+         |       round(c.shared / n.n_sh, 4) AS contam_ratio
+         |FROM c JOIN n ON c.doc_id = n.doc_id
+         |ORDER BY contam_ratio DESC, c.doc_id LIMIT 50""".stripMargin,
+    "q_sample_split" ->
+      s"""WITH k AS (SELECT n_chars, 'split:' || CAST(doc_id AS VARCHAR) AS sk FROM documents),
+         |m AS (SELECT n_chars, ${rhSql("sk")} % 10 AS b FROM k)
+         |SELECT CASE WHEN b = 0 THEN 'val' WHEN b = 1 THEN 'test' ELSE 'train' END AS split,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, w, round(tf * ln((n_docs + 1) / (df + 1)), 6) AS score
+        |           FROM tf JOIN dfreq USING (w), nd),
+        |ranked AS (SELECT doc_id, w, score,
+        |                  row_number() OVER (PARTITION BY doc_id
+        |                                     ORDER BY score DESC, w) AS rn
+        |           FROM scored)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, w AS term, score
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
   )
 }

@@ -15,6 +15,26 @@ import graft.functions.VectorFns
   */
 object VectorQueries extends QueryPack {
 
+  /** IVF cell assignment: every vector → its nearest of 8 fixed seed
+    * centroids (vec_id 1..8; a real system k-means them — fixed seeds keep
+    * the oracle deterministic). One partial-aggregated max_by pass (the same
+    * trick q_compact_lww uses) — no window, no sort: max_by's (sim, -cid)
+    * struct ordering reproduces (sim DESC, cid ASC). At 100 TB the cell id
+    * is the partition key: one cell scanned per probe, centroids broadcast.
+    */
+  private def ivfAssigned(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = Tables.embeddings(s, d)
+    val centroids = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("sim", VectorFns.cosine(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid"), col("embedding")),
+        struct(col("sim"), (lit(0) - col("cid")).as("negcid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"), col("m.embedding").as("embedding"))
+  }
+
   val queries: Map[String, Q] = Map(
     // X3 baseline: brute-force cosine top-10 vs probe vec_id=0. O(n·d) scan —
     // correct at any scale, and the yardstick the ANN path is judged against.
@@ -55,25 +75,35 @@ object VectorQueries extends QueryPack {
     // id is the partition key: one cell scanned per probe, centroids
     // broadcast.
     "q_simsearch_ivf" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val centroids = e.filter(col("vec_id").between(1, 8))
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      // Nearest-centroid assignment as a partial-aggregated max_by (the same
-      // trick q_compact_lww uses) — one map-side-combined pass over the n×8
-      // candidate rows. The previous row_number()-over-Window form forced a
-      // full shuffle + sort of every candidate row; max_by's (sim, -cid)
-      // struct ordering reproduces the window's (sim DESC, cid ASC) tiebreak.
-      val assigned = e.crossJoin(broadcast(centroids))
-        .withColumn("sim", VectorFns.cosine(col("embedding"), col("ce")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(
-          struct(col("cid"), col("embedding")),
-          struct(col("sim"), (lit(0) - col("cid")).as("negcid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cell"), col("m.embedding").as("embedding"))
+      val assigned = ivfAssigned(s, d)
       val probe = assigned.filter(col("vec_id") === 0)
         .select(col("cell").as("pcell"), col("embedding").as("pe"))
       assigned.crossJoin(broadcast(probe))
         .filter(col("cell") === col("pcell") && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cell"),
+          round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(5)
+    }),
+
+    // X3 IVF with nprobe=2: the standard recall knob — the probe searches
+    // its TWO nearest centroids' cells instead of one. The probed-cell list
+    // is a 2-row broadcast; scan cost is 2 cells of ~n/8 vectors each, still
+    // cell-partition-pruned at scale.
+    "q_simsearch_ivf2" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val assigned = ivfAssigned(s, d)
+      val probeVec = e.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
+      val top2 = centroids.crossJoin(broadcast(probeVec))
+        .select(col("cid"), round(VectorFns.cosine(col("ce"), col("pe")), 6).as("psim"))
+        .orderBy(col("psim").desc, col("cid"))
+        .limit(2)
+        .select(col("cid").as("pcell"))
+      assigned.join(broadcast(top2), col("cell") === col("pcell"))
+        .crossJoin(broadcast(probeVec))
+        .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("cell"),
           round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r"))
         .orderBy(col("cos_r").desc, col("vec_id"))
@@ -177,6 +207,21 @@ object VectorQueries extends QueryPack {
          |p AS (SELECT cell AS pcell, embedding AS pe FROM a WHERE vec_id = 0)
          |SELECT vec_id, cell, round(${cosSql("embedding", "pe")}, 6) AS cos_r
          |FROM a, p WHERE cell = pcell AND vec_id <> 0
+         |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
+    "q_simsearch_ivf2" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a AS (SELECT vec_id, cid AS cell, embedding
+         |      FROM (SELECT e.vec_id, c.cid, e.embedding,
+         |                   row_number() OVER (PARTITION BY e.vec_id
+         |                     ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |            FROM embeddings e CROSS JOIN c)
+         |      WHERE rn = 1),
+         |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+         |t2 AS (SELECT cid AS pcell
+         |       FROM (SELECT cid, round(${cosSql("ce", "pe")}, 6) AS psim FROM c, p
+         |             ORDER BY psim DESC, cid LIMIT 2))
+         |SELECT vec_id, cell, round(${cosSql("embedding", "pe")}, 6) AS cos_r
+         |FROM a, p, t2 WHERE a.cell = t2.pcell AND vec_id <> 0
          |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
     "q_dedup_embed" ->
       s"""WITH banded AS (

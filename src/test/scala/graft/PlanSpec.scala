@@ -75,6 +75,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("max_by") || p.contains("SortAggregate") || p.contains("HashAggregate"), p)
   }
 
+  test("q_round_robin_cursor: global window is a deliberate metadata-only single task") {
+    // A no-partition Window.orderBy funnels all rows through one task. That
+    // is the DESIGNED shape here — the input is the per-shard metadata
+    // relation (the reference's in-memory region list), never a fact table.
+    // This pin exists so the pattern can't silently migrate to a big input:
+    // if the query stops using a global window, update the scale comment in
+    // MetaQueries too.
+    val p = plan("q_round_robin_cursor")
+    assert(p.contains("Window"), p)
+    assert("SinglePartition".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("q_simsearch_topk: fused codegen cosine expression is in the plan") {
     val p = plan("q_simsearch_topk")
     assert(p.contains("graft_cosine_f32"), p)
