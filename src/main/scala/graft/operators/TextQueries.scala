@@ -10,12 +10,12 @@ import graft.functions.TextFns
   * text analysis (token stats, quality scoring, trained language-ID,
   * rolling-hash fingerprinting) over the `documents` table.
   *
-  * Scale posture: the Jaccard self-join is the exact small-sf oracle
-  * formulation; its 100 TB path is q_dedup_minhash — LSH banding confines the
-  * quadratic candidate join to per-bucket groups, so candidates scale with
-  * collision count, not n². SimHash is one linear pass. All hashes are the
-  * portable polynomial fold from [[TextFns]] so DuckDB reproduces them bit-
-  * for-bit.
+  * Scale posture: all near-dup passes are LSH-candidate two-phase shapes —
+  * MinHash banding confines pair generation to capped per-bucket groups
+  * (expanded in-bucket, no self-join), so candidates scale with collision
+  * count, not n²; exact Jaccard runs only on candidates. SimHash is one
+  * linear pass. All hashes are the portable polynomial fold from [[TextFns]]
+  * so DuckDB reproduces them bit-for-bit.
   */
 object TextQueries extends QueryPack {
 
@@ -43,10 +43,10 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
 
   /** MinHash band buckets: 8 affine hashes over the portable shingle hash,
-    * 4 bands of 2 rows → (doc_id, band, bkey) with the 2–100 bucket-size
-    * guard applied. Shared by q_dedup_minhash (bucket-collision counting)
-    * and q_dedup_near (candidate generation for exact Jaccard) — the join
-    * key downstream is always (band, bkey), never the raw shingle.
+    * 4 bands of 2 rows → (doc_id, band, bkey). Shared by q_dedup_minhash
+    * (bucket-collision counting) and q_dedup_near (candidate generation for
+    * exact Jaccard) — downstream always keys on (band, bkey), never the raw
+    * shingle.
     */
   private def bandBuckets(s: org.apache.spark.sql.SparkSession, d: String) = {
     val hs = docShingles(s, d).drop("n_sh").withColumn("h", TextFns.rollingHash(col("sh")))
@@ -54,7 +54,7 @@ object TextQueries extends QueryPack {
       .withColumn("i", explode(sequence(lit(0), lit(7))))
       .groupBy(col("doc_id"), col("i"))
       .agg(min(TextFns.affineHash(col("h"), col("i"))).as("minh"))
-    val bands = mh
+    mh
       .withColumn("band", (col("i") / 2).cast("int"))
       .groupBy(col("doc_id"), col("band"))
       .agg(
@@ -63,12 +63,31 @@ object TextQueries extends QueryPack {
             sort_array(collect_list(struct(col("i"), col("minh")))),
             p => p.getField("minh").cast("string")),
           ",").as("bkey"))
-    // Oversized-bucket guard (standard LSH practice): a bucket shared by
-    // >100 docs is boilerplate, and joining it would reintroduce the n²
-    // blowup LSH exists to avoid; singleton buckets can't produce pairs.
-    bands
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bkey"))))
-      .filter(col("bsz").between(2, 100))
+  }
+
+  /** Candidate pairs from the band buckets, WITHOUT a self-join: collect the
+    * sorted doc list per (band, bkey) and expand in-bucket pairs with a
+    * nested HOF. A self-join on (band, bkey) would force Spark to build the
+    * whole minhash pipeline twice (no common-subplan reuse across a join's
+    * two sides — measured as two full Exchange/Window chains in the round-2
+    * plan audit); the collect form runs the pipeline once and one groupBy.
+    *
+    * Oversized-bucket guard (standard LSH practice, now a plain size filter
+    * instead of a window): a bucket shared by >100 docs is boilerplate, and
+    * expanding it would reintroduce the n² blowup LSH exists to avoid;
+    * singleton buckets can't produce pairs. The cap also bounds the HOF
+    * expansion at C(100,2) pairs per bucket.
+    */
+  private def bandPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    bandBuckets(s, d)
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 100))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(
+          slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -83,7 +102,7 @@ object TextQueries extends QueryPack {
 
     // X2a: near-dup via exact 3-gram Jaccard on MinHash-LSH candidates —
     // the scale-safe two-phase shape: candidate pairs come from the shared
-    // band-bucket pipeline (join key (band, bkey), bucket sizes capped, so
+    // band-bucket pipeline (in-bucket pair expansion, bucket sizes capped, so
     // candidates scale with true similarity, not n²), then exact Jaccard is
     // computed ONLY on candidates via array_intersect of the per-doc
     // distinct-shingle sets. No data-proportional broadcast pin: every join
@@ -93,12 +112,7 @@ object TextQueries extends QueryPack {
     // oracle sf, dead at 100 TB. Both engines now rank the same LSH
     // candidate set, so the recall trade is mirrored by the oracle.)
     "q_dedup_near" -> ((s, d) => {
-      val sized = bandBuckets(s, d)
-      val cands = sized.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-        .join(sized.select(col("band"), col("bkey"), col("doc_id").as("doc_b")), Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-        .distinct()
+      val cands = bandPairs(s, d).distinct()
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           array_distinct(TextFns.shinglesFromText(col("text"), 3)).as("shs"))
@@ -116,13 +130,11 @@ object TextQueries extends QueryPack {
 
     // X2b: MinHash + LSH banding (the dedup scale path): 8 affine hashes over
     // the portable shingle hash, 4 bands of 2 rows; docs sharing any band
-    // bucket become candidate pairs. Join key is (band, bucket), never the
-    // raw shingle — candidate count scales with true similarity.
+    // bucket become candidate pairs (expanded in-bucket via bandPairs — one
+    // pipeline pass, no self-join); candidates scale with true similarity,
+    // never the raw shingle space.
     "q_dedup_minhash" -> ((s, d) => {
-      val sized = bandBuckets(s, d)
-      sized.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-        .join(sized.select(col("band"), col("bkey"), col("doc_id").as("doc_b")), Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
+      bandPairs(s, d)
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_bands"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -244,11 +256,13 @@ object TextQueries extends QueryPack {
         .join(broadcast(top5), "w")
         .groupBy(col("doc_id"), col("plang"))
         .agg(count(lit(1)).as("v"))
+      // Deterministic argmax (v DESC, plang ASC) as a partial-aggregated
+      // min_by over (-v, plang) — no per-doc window sort on the hottest
+      // classifier path (same max_by trick as q_compact_lww / IVF assignment).
       val pred = votes
-        .withColumn("rn",
-          row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("v").desc, col("plang"))))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("plang"))
+        .groupBy(col("doc_id"))
+        .agg(min_by(col("plang"),
+          struct((lit(0) - col("v")).as("nv"), col("plang"))).as("plang"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"))
         .join(pred, Seq("doc_id"), "left_outer")

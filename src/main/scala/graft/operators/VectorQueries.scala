@@ -171,6 +171,24 @@ object VectorQueries extends QueryPack {
           substring(hex(col("bin")), 1, 8).as("header8"),
           concat(lit("text/plain;lang="), col("lang")).as("mime"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X5b: frame sampling through the MediaPipeline Dataset path — every 2nd
+    // 32-byte frame of each opaque payload (the keyframe-extraction shape:
+    // one output row per sampled frame, frame index carried). Exercises the
+    // typed MediaRecord encoder + flatMap explosion end-to-end; the frame
+    // bytes themselves are compared via length + hex header, the same
+    // opaque-binary discipline as q_multimodal_features.
+    "q_multimodal_frames" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val ds = graft.multimodal.MediaPipeline.fromDocuments(Tables.documents(s, d))
+      graft.multimodal.MediaPipeline.sampleFrames(ds, frameBytes = 32, everyK = 2)
+        .select(
+          col("id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_bytes"),
+          substring(hex(col("frame")), 1, 8).as("header8"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
 
@@ -246,6 +264,21 @@ object VectorQueries extends QueryPack {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         |       substr(hex(CAST(text AS BLOB)), 1, 8) AS header8,
         |       'text/plain;lang=' || lang AS mime
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH t AS (SELECT doc_id, text,
+        |                  octet_length(CAST(text AS BLOB)) AS nb
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |             unnest(list_transform(
+        |                      list_filter(range(0, nb // 32), i -> i % 2 = 0),
+        |                      i -> {'frame_idx': i,
+        |                            'frame': substr(text, CAST(i*32 + 1 AS BIGINT), 32)}),
+        |                    recursive := true)
+        |      FROM t)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(octet_length(CAST(frame AS BLOB)) AS BIGINT) AS frame_bytes,
+        |       substr(hex(CAST(frame AS BLOB)), 1, 8) AS header8
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -57,15 +57,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_dedup_near: candidates join on (band, bkey), never the raw shingle") {
+  test("q_dedup_near: candidates from in-bucket expansion, never a raw-shingle join") {
     val df = SparkEntry.queries("q_dedup_near")(spark, d)
     val p = df.queryExecution.optimizedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
-    // Every join condition keys on band/bkey or doc ids; the exploded
-    // shingle column must not appear as a join key anywhere.
+    // Joins key on doc ids only; the exploded shingle column must not appear
+    // as a join key anywhere (the round-1 quadratic form).
     val joinConds = "Join .*".r.findAllIn(p).toList
     assert(joinConds.nonEmpty, p)
     assert(!joinConds.exists(_.matches(".*\\bsh#\\d+ = sh#\\d+.*")), joinConds.mkString("\n"))
+  }
+
+  test("q_dedup_minhash: one pipeline pass — single scan, no join, no window") {
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, d)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectLeaves().size == 1, plan.toString) // documents read ONCE
+    val p = plan.toString
+    assert(!p.contains("Join") && !p.contains("Window"), p)
   }
 
   test("q_simsearch_ivf: centroid assignment is a partial aggregate, no Window anywhere") {
