@@ -140,6 +140,46 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // X2f: duplicate CLUSTERS — connected components over the MinHash
+    // candidate graph, the pass that turns pairwise near-dup hits into
+    // keep/drop groups (cluster_id = min doc_id of the component, the
+    // canonical keeper). Min-label propagation, the Pregel pattern: each
+    // iteration is one join + one min-aggregate (both shuffles keyed on doc
+    // id), labels localCheckpoint'ed so lineage stays flat; converges in
+    // O(component diameter) rounds — tiny for near-dup clusters — with a
+    // hard cap as a guard. The per-round driver action is the convergence
+    // test (a count), which is how iterative graph algorithms on Spark
+    // work (GraphX Pregel does the same); no row data ever reaches the
+    // driver. At 100 TB the same loop runs with the large-star/small-star
+    // optimization; the shape here is the honest small form.
+    "q_dedup_components" -> ((s, d) => {
+      val pairs = bandPairs(s, d).distinct()
+      val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint()
+      var labels = edges.select(col("doc_a").as("v")).distinct()
+        .withColumn("lbl", col("v")).localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val prop = edges.join(labels, edges("doc_b") === labels("v"))
+          .groupBy(edges("doc_a")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels
+          .join(prop, labels("v") === prop("doc_a"), "left")
+          .select(labels("v"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        converged = next.as("n")
+          .join(labels.as("o"), col("n.v") === col("o.v"))
+          .filter(col("n.lbl") =!= col("o.lbl"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X2b': MinHash signatures via the typed Aggregator rung of the
     // extension ladder (SURVEY.md §2.12): same hash family and output as the
     // DataFrame min-over-affine formulation in bandBuckets (property-tested
@@ -423,6 +463,27 @@ object TextQueries extends QueryPack {
          |FROM sized x JOIN sized y
          |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $shCte,
+         |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
+         |mh AS (SELECT doc_id, r.i AS i,
+         |              min(((3 + 2*r.i) * h + (7 + 11*r.i)) % 1000000007) AS minh
+         |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
+         |          FROM mh GROUP BY 1, 2),
+         |sized AS (SELECT * FROM bands
+         |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM sized x JOIN sized y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |e AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
+         |reach(v, u) AS (
+         |  SELECT x, x FROM e
+         |  UNION
+         |  SELECT r.v, e.y FROM reach r JOIN e ON r.u = e.x)
+         |SELECT v AS doc_id, min(u) AS cluster_id
+         |FROM reach GROUP BY v ORDER BY v""".stripMargin,
     "q_dedup_minhash_agg" ->
       s"""WITH $shCte,
          |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),

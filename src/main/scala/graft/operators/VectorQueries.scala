@@ -35,6 +35,36 @@ object VectorQueries extends QueryPack {
       .select(col("vec_id"), col("m.cid").as("cell"), col("m.embedding").as("embedding"))
   }
 
+  /** Multi-band sign-LSH candidate pairs with exact cosine: 8 bands of 8
+    * sign bits each (64 dims); a pair is a candidate iff ANY band's bucket
+    * matches (measured 128× pair pruning at sf0.1 with perfectly balanced
+    * 256-way buckets); exact cosine on candidates only, deduped across
+    * bands. Same 2–100 bucket-size cap as the minhash pipeline so hot
+    * buckets can't reintroduce the quadratic join at 100 TB. Returns
+    * (vec_a < vec_b, cos_r rounded to 6 dp).
+    */
+  private def embedCandidates(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val banded = e.select(
+        col("vec_id"), col("embedding"),
+        posexplode(array((0 until 8).map(b =>
+          VectorFns.signBucketAt(col("embedding"), b * 8, 8)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkt")
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bkt"))))
+      .filter(col("bsz").between(2, 100))
+    sized.select(col("band"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .join(
+        sized.select(col("band"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("band", "bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"), col("vec_b"),
+        round(VectorFns.cosine(col("ea"), col("eb")), 6).as("cos_r"))
+      .distinct() // a pair colliding in k bands appears k times, same cos_r
+  }
+
   val queries: Map[String, Q] = Map(
     // X3 baseline: brute-force cosine top-10 vs probe vec_id=0. O(n·d) scan —
     // correct at any scale, and the yardstick the ANN path is judged against.
@@ -121,28 +151,28 @@ object VectorQueries extends QueryPack {
     // no single bucket can reintroduce the quadratic join at 100 TB.
     // Recall trade-off is inherent to LSH and mirrored exactly by the
     // oracle: both engines rank the same LSH candidate set.
-    "q_dedup_embed" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, d)
-      val banded = e.select(
-          col("vec_id"), col("embedding"),
-          posexplode(array((0 until 8).map(b =>
-            VectorFns.signBucketAt(col("embedding"), b * 8, 8)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkt")
-      val sized = banded
-        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bkt"))))
-        .filter(col("bsz").between(2, 100))
-      sized.select(col("band"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        .join(
-          sized.select(col("band"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
-          Seq("band", "bkt"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select(
-          col("vec_a"), col("vec_b"),
-          round(VectorFns.cosine(col("ea"), col("eb")), 6).as("cos_r"))
-        .distinct() // a pair colliding in k bands appears k times, same cos_r
+    "q_dedup_embed" -> ((s, d) =>
+      embedCandidates(s, d)
         .orderBy(col("cos_r").desc, col("vec_a"), col("vec_b"))
-        .limit(10)
+        .limit(10)),
+
+    // X3b: all-kNN join (k=1) — every vector's nearest neighbor among its
+    // LSH candidates, the batch neighbor-graph pass dedup clustering and
+    // semantic grouping build on. Candidates come from the same multi-band
+    // sign-LSH as q_dedup_embed (linear in collisions, never n²); the
+    // per-vector argmax is a partial-aggregated max_by over (cos, -nn), no
+    // window. Vectors whose buckets hold no other vector have no neighbor
+    // and are absent by construction.
+    "q_simsearch_knn" -> ((s, d) => {
+      val pairs = embedCandidates(s, d)
+      val both = pairs.union(
+        pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("cos_r")))
+      both.groupBy(col("vec_a").as("vec_id"))
+        .agg(
+          max_by(col("vec_b"),
+            struct(col("cos_r"), (lit(0) - col("vec_b")).as("nv"))).as("nn_id"),
+          max(col("cos_r")).as("nn_cos"))
+        .orderBy(col("vec_id"))
     }),
 
     // X5: multimodal join — text metadata + vector payload in one schema.
@@ -241,6 +271,26 @@ object VectorQueries extends QueryPack {
          |SELECT vec_id, cell, round(${cosSql("embedding", "pe")}, 6) AS cos_r
          |FROM a, p, t2 WHERE a.cell = t2.pcell AND vec_id <> 0
          |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
+    "q_simsearch_knn" ->
+      s"""WITH banded AS (
+         |  SELECT vec_id, embedding, CAST(r.b AS INT) AS band,
+         |         CAST(list_sum(list_transform(range(0, 8),
+         |              j -> CASE WHEN embedding[8*r.b + j + 1] > 0
+         |                   THEN CAST(pow(2, j) AS INT) ELSE 0 END)) AS INT) AS bkt
+         |  FROM embeddings CROSS JOIN range(8) r(b)),
+         |sized AS (SELECT * FROM banded
+         |          QUALIFY count(*) OVER (PARTITION BY band, bkt) BETWEEN 2 AND 100),
+         |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb,
+         |                round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos_r
+         |         FROM sized x JOIN sized y
+         |           ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |bi AS (SELECT va, vb, cos_r FROM cand
+         |       UNION ALL SELECT vb, va, cos_r FROM cand)
+         |SELECT va AS vec_id, vb AS nn_id, cos_r AS nn_cos
+         |FROM (SELECT va, vb, cos_r,
+         |             row_number() OVER (PARTITION BY va ORDER BY cos_r DESC, vb) AS rn
+         |      FROM bi)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_dedup_embed" ->
       s"""WITH banded AS (
          |  SELECT vec_id, embedding, CAST(r.b AS INT) AS band,
