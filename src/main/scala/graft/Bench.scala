@@ -39,17 +39,27 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Only successful queries are summed: a permanently-failing query's -1.0
+    // sentinel must not SHRINK the total (the bench gate is total-based);
+    // failures are reported separately as a count.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the line goes to stdout (which
     // build.sbt's `run / outputStrategy := StdoutOutput` leaves undecorated —
     // sbt's default LoggedOutput prefixes every line with "[info] ", which
     // broke BENCH_r01 parsing) AND to target/bench.json.
-    println(json)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), json + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+    // Emitted LAST, after Spark shutdown noise, so a tail-limited capture of
+    // stdout always contains the totals: first the full per-query line, then
+    // a compact summary line — BENCH_r01/r02 both lost the head of the long
+    // line to tail truncation ("parsed": null); the compact line is what the
+    // driver's parser falls back to.
+    println(json)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}""")
   }
 }

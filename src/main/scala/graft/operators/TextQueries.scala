@@ -385,13 +385,16 @@ object TextQueries extends QueryPack {
         .orderBy(col("split"))
     }),
 
-    // X4e: TF-IDF top-3 terms per doc — tf from one token groupBy, df from a
-    // distinct + groupBy, corpus size as a 1-row broadcast; score ranked
-    // AFTER 6-dp rounding so the top-3 cut is cross-engine deterministic.
+    // X4e: TF-IDF top-3 terms per doc — tf from one token groupBy; df derived
+    // FROM tf (tf already holds one row per distinct (doc, term), so
+    // df = count per term over tf) — the corpus is read and tokenized exactly
+    // once, where the naive distinct-over-tokens form scanned it twice;
+    // corpus size is a 1-row broadcast; score ranked AFTER 6-dp rounding so
+    // the top-3 cut is cross-engine deterministic.
     "q_text_tfidf" -> ((s, d) => {
       val tok = docTokens(s, d).select(col("doc_id"), col("w"))
       val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val dfreq = tok.distinct().groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
         .withColumn("score",

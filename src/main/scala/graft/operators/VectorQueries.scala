@@ -40,28 +40,37 @@ object VectorQueries extends QueryPack {
     * matches (measured 128× pair pruning at sf0.1 with perfectly balanced
     * 256-way buckets); exact cosine on candidates only, deduped across
     * bands. Same 2–100 bucket-size cap as the minhash pipeline so hot
-    * buckets can't reintroduce the quadratic join at 100 TB. Returns
-    * (vec_a < vec_b, cos_r rounded to 6 dp).
+    * buckets can't reintroduce the quadratic join at 100 TB — and the cap
+    * also bounds the in-bucket expansion below at C(100,2) pairs.
+    *
+    * Pairs are expanded IN-BUCKET (collect the sorted (vec_id, embedding)
+    * list per (band, bkt), nested-HOF the i<j pairs) rather than via a
+    * (band, bkt) self-join: Spark has no common-subplan reuse across a
+    * join's two sides, so the self-join form built the whole
+    * band/explode/bucket pipeline twice — the same fix bandPairs applied to
+    * the minhash pipeline in round 2. One pipeline pass, one groupBy
+    * shuffle, no window. Returns (vec_a < vec_b, cos_r rounded to 6 dp).
     */
   private def embedCandidates(s: org.apache.spark.sql.SparkSession, d: String) = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
     val banded = e.select(
         col("vec_id"), col("embedding"),
         posexplode(array((0 until 8).map(b =>
           VectorFns.signBucketAt(col("embedding"), b * 8, 8)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkt")
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bkt"))))
-      .filter(col("bsz").between(2, 100))
-    sized.select(col("band"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      .join(
-        sized.select(col("band"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
-        Seq("band", "bkt"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(
-        col("vec_a"), col("vec_b"),
-        round(VectorFns.cosine(col("ea"), col("eb")), 6).as("cos_r"))
+    banded
+      .groupBy(col("band"), col("bkt"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .filter(size(col("vs")).between(2, 100))
+      .select(explode(flatten(transform(col("vs"), (a, i) =>
+        transform(
+          slice(col("vs"), i + lit(2), size(col("vs")) - i - 1),
+          b => struct(
+            a.getField("vec_id").as("vec_a"),
+            b.getField("vec_id").as("vec_b"),
+            round(VectorFns.cosine(a.getField("embedding"), b.getField("embedding")), 6)
+              .as("cos_r")))))).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"), col("p.cos_r"))
       .distinct() // a pair colliding in k bands appears k times, same cos_r
   }
 
@@ -161,16 +170,23 @@ object VectorQueries extends QueryPack {
     // semantic grouping build on. Candidates come from the same multi-band
     // sign-LSH as q_dedup_embed (linear in collisions, never n²); the
     // per-vector argmax is a partial-aggregated max_by over (cos, -nn), no
-    // window. Vectors whose buckets hold no other vector have no neighbor
-    // and are absent by construction.
+    // window. Symmetrization is an explode of the two directions of each
+    // pair — NOT a self-union, which would reference the candidate pipeline
+    // from two plan branches and (no cross-branch common-subplan reuse in
+    // Spark) execute the whole band/bucket/cosine chain twice (the round-2
+    // plan audit measured exactly that: 3.7 s vs the 1.4 s single-pass
+    // q_dedup_embed). Vectors whose buckets hold no other vector have no
+    // neighbor and are absent by construction.
     "q_simsearch_knn" -> ((s, d) => {
-      val pairs = embedCandidates(s, d)
-      val both = pairs.union(
-        pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("cos_r")))
-      both.groupBy(col("vec_a").as("vec_id"))
+      embedCandidates(s, d)
+        .select(explode(array(
+          struct(col("vec_a"), col("vec_b"), col("cos_r")),
+          struct(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("cos_r")))).as("p"))
+        .select(col("p.vec_a").as("vec_id"), col("p.vec_b").as("nn"), col("p.cos_r"))
+        .groupBy(col("vec_id"))
         .agg(
-          max_by(col("vec_b"),
-            struct(col("cos_r"), (lit(0) - col("vec_b")).as("nv"))).as("nn_id"),
+          max_by(col("nn"),
+            struct(col("cos_r"), (lit(0) - col("nn")).as("nv"))).as("nn_id"),
           max(col("cos_r")).as("nn_cos"))
         .orderBy(col("vec_id"))
     }),
@@ -315,6 +331,12 @@ object VectorQueries extends QueryPack {
         |       substr(hex(CAST(text AS BLOB)), 1, 8) AS header8,
         |       'text/plain;lang=' || lang AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ASCII-fixture assumption (load-bearing): Spark slices the payload in
+    // UTF-8 BYTES (MediaPipeline.sampleFrames over encode(text,'utf-8'))
+    // while this oracle's substr(text, i*32+1, 32) slices CHARACTERS; the
+    // two agree only because the generated fixture text is pure ASCII
+    // (verified: single-byte chars only). A multi-byte corpus would need the
+    // oracle to slice over CAST(text AS BLOB) instead.
     "q_multimodal_frames" ->
       """WITH t AS (SELECT doc_id, text,
         |                  octet_length(CAST(text AS BLOB)) AS nb

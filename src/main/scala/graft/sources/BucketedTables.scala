@@ -23,9 +23,12 @@ object BucketedTables {
     // The name is interpolated into SQL and joined onto the warehouse path
     // below — restrict it to identifier characters so a crafted name can
     // neither escape the DROP statement nor point the recursive delete
-    // outside the warehouse. Lowercased because the catalog lowercases
-    // managed-table locations; a mixed-case name would miss the orphan dir.
-    require(name.matches("[a-zA-Z0-9_]+"), s"invalid table name: $name")
+    // outside the warehouse; the leading character must be non-numeric
+    // because a digit-led identifier ("1tbl") fails the unquoted DROP/CREATE
+    // parse instead of this require. Lowercased because the catalog
+    // lowercases managed-table locations; a mixed-case name would miss the
+    // orphan dir.
+    require(name.matches("[a-zA-Z_][a-zA-Z0-9_]*"), s"invalid table name: $name")
     val table = name.toLowerCase(java.util.Locale.ROOT)
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
