@@ -37,7 +37,13 @@ object TextQueries extends QueryPack {
     * broadcast build side for 30 minutes when its barrier was optimized out).
     */
   private def docShingles(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.documents(s, d)
+    shinglesOf(Tables.documents(s, d))
+
+  /** [[docShingles]] over an arbitrary document subset — the incremental
+    * path shingles ONLY the new snapshot, never the whole corpus.
+    */
+  private def shinglesOf(docs: org.apache.spark.sql.DataFrame) =
+    docs
       .select(col("doc_id"),
         array_distinct(TextFns.shinglesFromText(col("text"), 3)).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
@@ -48,8 +54,12 @@ object TextQueries extends QueryPack {
     * exact Jaccard) — downstream always keys on (band, bkey), never the raw
     * shingle.
     */
-  private def bandBuckets(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val hs = docShingles(s, d).drop("n_sh").withColumn("h", TextFns.rollingHash(col("sh")))
+  private def bandBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
+    bandBucketsOf(shinglesOf(Tables.documents(s, d)))
+
+  /** [[bandBuckets]] over a pre-shingled subset (see [[shinglesOf]]). */
+  private def bandBucketsOf(shingles: org.apache.spark.sql.DataFrame) = {
+    val hs = shingles.drop("n_sh").withColumn("h", TextFns.rollingHash(col("sh")))
     val mh = hs
       .withColumn("i", explode(sequence(lit(0), lit(7))))
       .groupBy(col("doc_id"), col("i"))
@@ -89,6 +99,17 @@ object TextQueries extends QueryPack {
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
   }
+
+  /** Converged near-dup cluster labels (doc_id, cluster_id = component min)
+    * over the LSH candidate graph — star contraction via [[Components]].
+    * Shared by q_dedup_components (emits the labels) and q_dedup_keep
+    * (materializes the surviving corpus). Docs with no candidate pair are
+    * absent (they are their own trivial cluster; callers coalesce).
+    */
+  private def dedupClusters(s: org.apache.spark.sql.SparkSession, d: String) =
+    Components.labels(
+      bandPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
 
   val queries: Map[String, Q] = Map(
     // X1: exact dedup — content-hash groupBy, deterministic keeper = min id.
@@ -143,40 +164,33 @@ object TextQueries extends QueryPack {
     // X2f: duplicate CLUSTERS — connected components over the MinHash
     // candidate graph, the pass that turns pairwise near-dup hits into
     // keep/drop groups (cluster_id = min doc_id of the component, the
-    // canonical keeper). Min-label propagation, the Pregel pattern: each
-    // iteration is one join + one min-aggregate (both shuffles keyed on doc
-    // id), labels localCheckpoint'ed so lineage stays flat; converges in
-    // O(component diameter) rounds — tiny for near-dup clusters — with a
-    // hard cap as a guard. The per-round driver action is the convergence
-    // test (a count), which is how iterative graph algorithms on Spark
-    // work (GraphX Pregel does the same); no row data ever reaches the
-    // driver. At 100 TB the same loop runs with the large-star/small-star
-    // optimization; the shape here is the honest small form.
-    "q_dedup_components" -> ((s, d) => {
-      val pairs = bandPairs(s, d).distinct()
-      val edges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint()
-      var labels = edges.select(col("doc_a").as("v")).distinct()
-        .withColumn("lbl", col("v")).localCheckpoint()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val prop = edges.join(labels, edges("doc_b") === labels("v"))
-          .groupBy(edges("doc_a")).agg(min(col("lbl")).as("nlbl"))
-        val next = labels
-          .join(prop, labels("v") === prop("doc_a"), "left")
-          .select(labels("v"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        converged = next.as("n")
-          .join(labels.as("o"), col("n.v") === col("o.v"))
-          .filter(col("n.lbl") =!= col("o.lbl"))
-          .isEmpty
-        labels = next
-        iter += 1
-      }
-      labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    // canonical keeper). Alternating large-star/small-star contraction
+    // ([[Components]]): O(log n) rounds vs O(diameter) for the round-2
+    // min-label propagation, convergence folded into a per-round checksum
+    // aggregate (no diff join), and a THROW — not silent partial labels —
+    // if the iteration cap is ever hit.
+    "q_dedup_components" -> ((s, d) =>
+      dedupClusters(s, d).orderBy(col("doc_id"))),
+
+    // X2g: corpus MATERIALIZATION — the actual output of a dedup pipeline:
+    // the surviving documents (cluster keepers + docs with no near-dup),
+    // each with its duplicate-group size as provenance. One aggregation
+    // over the label-joined corpus: cluster_id IS the keeper's doc_id
+    // (component min), so the keeper's attributes ride along in a min_by —
+    // documents is scanned exactly once and no second join is needed to
+    // recover the keeper row.
+    "q_dedup_keep" -> ((s, d) => {
+      val labels = dedupClusters(s, d)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          min_by(struct(col("lang"), col("n_chars")), col("doc_id")).as("k"))
+        .select(col("cluster_id").as("doc_id"), col("k.lang").as("lang"),
+          col("k.n_chars").as("n_chars"), col("n_members"))
         .orderBy(col("doc_id"))
     }),
 
@@ -212,6 +226,61 @@ object TextQueries extends QueryPack {
         .groupBy(col("doc_id"))
         .agg(sum(when(col("s") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L)))
           .as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X2h: PARAGRAPH-level dedup — boilerplate passages that doc-level sha2
+    // misses: split each doc into non-overlapping 10-token chunks (the
+    // fixture has no punctuation, so a fixed token window stands in for the
+    // paragraph separator) and surface every chunk appearing in ≥2 distinct
+    // docs. One explode + one groupBy on the chunk text; at 100 TB the
+    // groupBy key would be the chunk hash, everything else identical.
+    "q_dedup_paragraph" -> ((s, d) => {
+      val k = 10
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= k) // sequence(1,0) would run descending
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), (size(col("ts")) / k).cast("int")),
+            i => array_join(slice(col("ts"), (i - lit(1)) * lit(k) + lit(1), lit(k)), " ")))
+            .as("para"))
+        .groupBy(col("para"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("para"))
+    }),
+
+    // X2i: INCREMENTAL dedup — the production pattern at 100 TB: the corpus'
+    // MinHash band keys are PERSISTED (bucketed+sorted by the band key via
+    // [[graft.sources.BucketedTables]], so the daily join reads co-located
+    // buckets and shuffles only the new side), and a new snapshot (fixture:
+    // doc_id % 10 = 7, the "daily crawl") shingles ONLY its own docs and
+    // joins its band keys against the store — nothing corpus-sized is ever
+    // recomputed per snapshot. Output: every new doc with the number of
+    // distinct corpus near-dups and the smallest matching corpus doc.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val skey = concat_ws(":", col("band"), col("bkey"))
+      // One-time corpus-side layout (in production: yesterday's state).
+      graft.sources.BucketedTables.writeBucketed(
+        bandBucketsOf(shinglesOf(docs.filter(col("doc_id") % 10 =!= 7)))
+          .select(col("doc_id").as("corpus_doc"), skey.as("skey")),
+        "graft_dedup_sigs", "skey", 8)
+      val fresh = bandBucketsOf(shinglesOf(docs.filter(col("doc_id") % 10 === 7)))
+        .select(col("doc_id"), skey.as("skey"))
+      val hits = fresh.join(s.table("graft_dedup_sigs"), "skey")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("corpus_doc")).as("n_dups"),
+          min(col("corpus_doc")).as("dup_of"))
+      docs.filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
         .orderBy(col("doc_id"))
     }),
 
@@ -388,12 +457,18 @@ object TextQueries extends QueryPack {
     // X4e: TF-IDF top-3 terms per doc — tf from one token groupBy; df derived
     // FROM tf (tf already holds one row per distinct (doc, term), so
     // df = count per term over tf) — the corpus is read and tokenized exactly
-    // once, where the naive distinct-over-tokens form scanned it twice;
-    // corpus size is a 1-row broadcast; score ranked AFTER 6-dp rounding so
-    // the top-3 cut is cross-engine deterministic.
+    // once. The tf table is MATERIALIZED (localCheckpoint — it is the TF
+    // table a real pipeline persists anyway): merely deriving dfreq from the
+    // tf DataFrame is not enough, because Catalyst prunes the unused count
+    // column out of dfreq's branch, the two aggregation exchanges stop being
+    // identical, exchange reuse can't fire, and the corpus is silently
+    // tokenized twice again (observed in the AQE final plan). Corpus size is
+    // a 1-row broadcast; score ranked AFTER 6-dp rounding so the top-3 cut
+    // is cross-engine deterministic.
     "q_text_tfidf" -> ((s, d) => {
       val tok = docTokens(s, d).select(col("doc_id"), col("w"))
       val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
@@ -420,6 +495,30 @@ object TextQueries extends QueryPack {
       |              unnest(list_transform(range(1, len(ts) - 1),
       |                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
       |       FROM t)""".stripMargin
+
+  /** Shared CTE chain: LSH candidate edges → exact transitive closure
+    * (`reach`), the ground truth q_dedup_components / q_dedup_keep verify
+    * the star-contraction labels against.
+    */
+  private lazy val reachCtes: String =
+    s"""$shCte,
+       |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
+       |mh AS (SELECT doc_id, r.i AS i,
+       |              min(((3 + 2*r.i) * h + (7 + 11*r.i)) % 1000000007) AS minh
+       |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+       |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
+       |          FROM mh GROUP BY 1, 2),
+       |sized AS (SELECT * FROM bands
+       |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM sized x JOIN sized y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |e AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
+       |reach(v, u) AS (
+       |  SELECT x, x FROM e
+       |  UNION
+       |  SELECT r.v, e.y FROM reach r JOIN e ON r.u = e.x)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -467,7 +566,31 @@ object TextQueries extends QueryPack {
          |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_dedup_components" ->
-      s"""WITH RECURSIVE $shCte,
+      s"""WITH RECURSIVE $reachCtes
+         |SELECT v AS doc_id, min(u) AS cluster_id
+         |FROM reach GROUP BY v ORDER BY v""".stripMargin,
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $reachCtes,
+         |lab AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+         |m AS (SELECT d.doc_id, d.lang, d.n_chars,
+         |             coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |      FROM documents d LEFT JOIN lab l USING (doc_id))
+         |SELECT cluster_id AS doc_id, min_by(lang, m.doc_id) AS lang,
+         |       min_by(n_chars, m.doc_id) AS n_chars,
+         |       CAST(count(*) AS BIGINT) AS n_members
+         |FROM m GROUP BY cluster_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_paragraph" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT doc_id,
+        |             unnest(list_transform(range(0, len(ts) // 10),
+        |                    i -> array_to_string(ts[i*10+1 : i*10+10], ' '))) AS para
+        |      FROM t)
+        |SELECT para, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS keep_doc
+        |FROM p GROUP BY para HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, para""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $shCte,
          |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
          |mh AS (SELECT doc_id, r.i AS i,
          |              min(((3 + 2*r.i) * h + (7 + 11*r.i)) % 1000000007) AS minh
@@ -475,18 +598,16 @@ object TextQueries extends QueryPack {
          |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
          |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
          |          FROM mh GROUP BY 1, 2),
-         |sized AS (SELECT * FROM bands
-         |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM sized x JOIN sized y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |e AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
-         |reach(v, u) AS (
-         |  SELECT x, x FROM e
-         |  UNION
-         |  SELECT r.v, e.y FROM reach r JOIN e ON r.u = e.x)
-         |SELECT v AS doc_id, min(u) AS cluster_id
-         |FROM reach GROUP BY v ORDER BY v""".stripMargin,
+         |hits AS (SELECT n.doc_id, c.doc_id AS corpus_doc
+         |         FROM bands n JOIN bands c ON n.band = c.band AND n.bkey = c.bkey
+         |         WHERE n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+         |agg AS (SELECT doc_id, CAST(count(DISTINCT corpus_doc) AS BIGINT) AS n_dups,
+         |               min(corpus_doc) AS dup_of
+         |        FROM hits GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_dups, 0) AS n_dups,
+         |       coalesce(a.dup_of, -1) AS dup_of
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id""".stripMargin,
     "q_dedup_minhash_agg" ->
       s"""WITH $shCte,
          |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),

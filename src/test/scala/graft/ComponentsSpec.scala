@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Components
+
+class ComponentsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Reference labels by plain union-find. */
+  private def ufLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  private def sparkLabels(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
+    Components.labels(edges.toDF("u", "v"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("property: star contraction equals union-find on random graphs") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 8) {
+      val n = 10 + rnd.nextInt(40)
+      val m = 5 + rnd.nextInt(60)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = sparkLabels(edges)
+        val want = ufLabels(edges)
+        assert(got == want, s"trial $trial: $edges")
+      }
+    }
+  }
+
+  test("long path converges to the min root in O(log n) rounds") {
+    // A 200-node path has diameter 199 — min-label propagation at the old
+    // 20-round cap would return silently-partial labels; star contraction
+    // must finish (and label everything 0) well inside 25 rounds.
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val got = sparkLabels(edges)
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("exhausting the iteration cap throws instead of returning partial labels") {
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException](sparkLabels(edges, maxIter = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("self-loops and duplicate/reversed edges are normalized away") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L), (1L, 2L), (4L, 3L))
+    assert(sparkLabels(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+}

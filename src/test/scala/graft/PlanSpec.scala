@@ -100,6 +100,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("graft_cosine_f32"), p)
   }
 
+  test("q_simsearch_knn: one candidate-pipeline pass — single scan, no join") {
+    // The round-2 self-union form referenced the LSH candidate pipeline from
+    // two plan branches and executed the whole band/bucket/cosine chain
+    // twice; the symmetric-explode form is a single linear pipeline.
+    val df = SparkEntry.queries("q_simsearch_knn")(spark, d)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectLeaves().size == 1, plan.toString) // embeddings read ONCE
+    assert(!plan.toString.contains("Join"), plan.toString)
+  }
+
+  test("q_dedup_paragraph: one corpus pass — single scan, no join, no window") {
+    val df = SparkEntry.queries("q_dedup_paragraph")(spark, d)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectLeaves().size == 1, plan.toString)
+    assert(!plan.toString.contains("Join") && !plan.toString.contains("Window"), plan.toString)
+  }
+
+  test("q_text_tfidf: tf materialized once — exactly one scan of documents") {
+    // tf is localCheckpoint'ed, so both its consumers (doc-term join and
+    // per-term df) read the same computed table; the only parquet scan of
+    // documents left in the plan is the 1-row corpus count.
+    val df = SparkEntry.queries("q_text_tfidf")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert("FileScan parquet [^\\n]*documents".r.findAllIn(p).size == 1, p)
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline of q_scan_project") {
     val s = formatted("q_scan_project")
     assert(s.contains("WholeStageCodegen"), s.take(500))
