@@ -41,11 +41,12 @@ object Components {
     val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
     // least(u, mn) = min of the closed neighborhood; emitted pair has
     // v > u >= least(u, mn), so the canonical orientation is preserved and
-    // no self-loop can appear.
+    // no self-loop can appear. NO dedup here: duplicate edges cannot change
+    // smallStar's per-u min, and smallStar dedups its own output — paying
+    // one distinct per round instead of two.
     sym.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
-      .distinct()
   }
 
   /** One small-star round: every vertex connects its smaller neighbors (and
@@ -66,6 +67,21 @@ object Components {
     * id. Throws if `maxIter` alternating rounds do not reach the fixpoint.
     */
   def labels(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // AQE is a net loss inside the loop: every per-round exchange becomes a
+    // separately-materialized query stage (~100 ms of planning latency each)
+    // on an edge set that LSH bucketing already made tiny, and the loop's
+    // actions (checkpoint + checksum) are what dominates wall time. Turn it
+    // off for the in-loop jobs, restore after — the RETURNED labels plan is
+    // lazy and executes under the caller's (restored) setting.
+    val spark = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try labelsLoop(edges, maxIter)
+    finally spark.conf.set(aqeKey, aqePrev)
+  }
+
+  private def labelsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
     var e = edges
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -92,6 +108,9 @@ object Components {
         s"star contraction did not converge in $maxIter rounds " +
           s"(checksum $chk) — raise maxIter; returning partial labels " +
           "would silently diverge from the exact transitive closure")
+    // Visible convergence telemetry (one line per contraction, stderr): the
+    // round count is the quantity the O(log n) claim is about.
+    System.err.println(s"[components] converged in $iter rounds, ${chk._1} star edges")
     // Fixpoint is a star forest rooted at each component's min: children
     // label themselves with their root, roots label themselves.
     e.select(col("u").as("v"), col("v").as("lbl"))
