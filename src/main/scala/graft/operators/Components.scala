@@ -67,21 +67,11 @@ object Components {
     * id. Throws if `maxIter` alternating rounds do not reach the fixpoint.
     */
   def labels(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // AQE is a net loss inside the loop: every per-round exchange becomes a
-    // separately-materialized query stage (~100 ms of planning latency each)
-    // on an edge set that LSH bucketing already made tiny, and the loop's
-    // actions (checkpoint + checksum) are what dominates wall time. Turn it
-    // off for the in-loop jobs, restore after — the RETURNED labels plan is
-    // lazy and executes under the caller's (restored) setting.
-    val spark = edges.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
-    try labelsLoop(edges, maxIter)
-    finally spark.conf.set(aqeKey, aqePrev)
-  }
-
-  private def labelsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
+    // AQE stays ON for the in-loop jobs — measured both ways at sf0.1:
+    // AQE's partition coalescing collapses each tiny-graph exchange to a
+    // handful of tasks, which beats its per-stage planning latency by a
+    // wide margin (disabling it regressed 4 s → 17 s at local[32], where
+    // every non-coalesced stage ran 32 near-empty tasks).
     var e = edges
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))

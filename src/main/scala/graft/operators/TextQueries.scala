@@ -120,6 +120,22 @@ object TextQueries extends QueryPack {
     edgeCache.getOrElseUpdate(new java.io.File(d).getAbsolutePath,
       bandPairs(s, d).distinct().localCheckpoint())
 
+  /** 16-bit SimHash signature per doc (token-hash bit votes), shared by the
+    * signature dump (q_dedup_simhash) and the pairing pass
+    * (q_dedup_simhash_pairs).
+    */
+  private def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    docTokens(s, d).withColumn("h", TextFns.rollingHash(col("w")))
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("contrib",
+        when(expr("(h div CAST(pow(2, j) AS BIGINT)) % 2") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L)))
+        .as("simhash"))
+  }
+
   /** Converged near-dup cluster labels (doc_id, cluster_id = component min)
     * over the LSH candidate graph — star contraction via [[Components]].
     * Shared by q_dedup_components (emits the labels) and q_dedup_keep
@@ -247,18 +263,41 @@ object TextQueries extends QueryPack {
 
     // X2c: SimHash — 16-bit signature from token-hash bit votes; one linear
     // pass + two small shuffles, the cheapest near-dup signal at scale.
-    "q_dedup_simhash" -> ((s, d) => {
-      val tok = docTokens(s, d).withColumn("h", TextFns.rollingHash(col("w")))
-      tok
-        .withColumn("j", explode(sequence(lit(0), lit(15))))
-        .withColumn("contrib",
-          when(expr("(h div CAST(pow(2, j) AS BIGINT)) % 2") === 1, lit(1)).otherwise(lit(-1)))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(col("contrib")).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L)))
-          .as("simhash"))
-        .orderBy(col("doc_id"))
+    "q_dedup_simhash" -> ((s, d) =>
+      simhashSigs(s, d).orderBy(col("doc_id"))),
+
+    // X2c': SimHash PAIRING — the consumer of the signatures: candidate
+    // pairs from byte-banding the 16-bit signature (2 bands of 8 bits — a
+    // pair collides iff either byte matches, the Charikar pigeonhole trick:
+    // hamming ≤ 1 guarantees a shared band, low hamming makes one likely),
+    // exact Hamming distance via bit_count(xor) on candidates only, top-100
+    // closest pairs reported. Same in-bucket expansion + 2–100 bucket cap as
+    // the MinHash/embedding pipelines (a skew-hot byte bucket is boilerplate
+    // and is dropped, never expanded quadratically).
+    "q_dedup_simhash_pairs" -> ((s, d) => {
+      val banded = simhashSigs(s, d).select(
+          col("doc_id"), col("simhash"),
+          posexplode(array(
+            pmod(col("simhash"), lit(256L)),
+            pmod(shiftright(col("simhash"), 8), lit(256L)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      banded
+        .groupBy(col("band"), col("bval"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("vs"))
+        .filter(size(col("vs")).between(2, 100))
+        .select(explode(flatten(transform(col("vs"), (a, i) =>
+          transform(
+            slice(col("vs"), i + lit(2), size(col("vs")) - i - 1),
+            b => struct(
+              a.getField("doc_id").as("doc_a"),
+              b.getField("doc_id").as("doc_b"),
+              bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash")))
+                .cast("long").as("hamming")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct() // both bands can surface the same pair, same hamming
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(100)
     }),
 
     // X2h: PARAGRAPH-level dedup — boilerplate passages that doc-level sha2
@@ -398,21 +437,23 @@ object TextQueries extends QueryPack {
 
     // X4i: sequence PACKING — group consecutive docs into ~4096-token
     // training sequences (contiguous greedy fill: a doc goes to the bin its
-    // running-sum start position falls in). Packed per lang partition so the
-    // window never funnels the corpus through one task — the same
-    // partition-local packing a 100 TB pipeline uses (global packing order
-    // is not a real requirement; intra-partition order is).
+    // running-sum start position falls in). The packing unit is
+    // (lang, shard-of-1000-contiguous-doc-ids), NOT lang alone: lang
+    // cardinality is tiny, so a per-lang window would funnel a 100 TB corpus
+    // through a handful of tasks, while bounded shards keep every window
+    // partition ≤1000 rows at any corpus size — and packing only ever needs
+    // intra-shard contiguity, never a global order.
     "q_pack_sequences" -> ((s, d) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"), col("lang"), (col("doc_id") / 1000).cast("long").as("shard"),
           size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
         .withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(4096)).cast("long"))
-        .groupBy(col("lang"), col("seq_id"))
+        .groupBy(col("lang"), col("shard"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"),
           min(col("doc_id")).as("first_doc"))
-        .orderBy(col("lang"), col("seq_id"))
+        .orderBy(col("lang"), col("shard"), col("seq_id"))
     }),
 
     // X4: per-language token statistics.
@@ -738,6 +779,26 @@ object TextQueries extends QueryPack {
          |      FROM h CROSS JOIN range(16) r(j) GROUP BY 1, 2)
          |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, ${rhSql("w")} AS h FROM tok),
+         |b AS (SELECT doc_id, r.j AS j,
+         |             sum(CASE WHEN (h // (1 << r.j)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |      FROM h CROSS JOIN range(16) r(j) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |               CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS sh
+         |        FROM b GROUP BY 1),
+         |banded AS (SELECT doc_id, sh, r.k AS band,
+         |                  CAST((sh // (1 << (8*r.k))) % 256 AS BIGINT) AS bval
+         |           FROM sig CROSS JOIN range(2) r(k)),
+         |sized AS (SELECT * FROM banded
+         |          QUALIFY count(*) OVER (PARTITION BY band, bval) BETWEEN 2 AND 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+         |         FROM sized x JOIN sized y
+         |           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+         |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
     "q_text_editdist" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
@@ -769,14 +830,16 @@ object TextQueries extends QueryPack {
         |SELECT doc_id, round(avg(lp), 6) AS mean_lp, CAST(count(*) AS BIGINT) AS n_tok
         |FROM tok JOIN lm USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
-      """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents),
-        |c AS (SELECT doc_id, lang, n_tok,
-        |             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      """WITH t AS (SELECT doc_id, lang, doc_id // 1000 AS shard,
+        |                  len(string_split(text, ' ')) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, shard, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
         |      FROM t)
-        |SELECT lang, CAST((cum - n_tok) // 4096 AS BIGINT) AS seq_id,
+        |SELECT lang, shard, CAST((cum - n_tok) // 4096 AS BIGINT) AS seq_id,
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
-        |FROM c GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,
+        |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, seq_id""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

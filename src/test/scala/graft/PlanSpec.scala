@@ -100,13 +100,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("graft_cosine_f32"), p)
   }
 
-  test("q_simsearch_knn: one candidate-pipeline pass — single scan, no join") {
-    // The round-2 self-union form referenced the LSH candidate pipeline from
-    // two plan branches and executed the whole band/bucket/cosine chain
-    // twice; the symmetric-explode form is a single linear pipeline.
+  test("q_simsearch_knn: reads materialized candidate pairs — single leaf, no join") {
+    // The round-2 self-union form referenced the LIVE candidate pipeline
+    // from two plan branches and executed the whole band/bucket/cosine
+    // chain twice; kNN now consumes the per-snapshot pair materialization,
+    // so its own plan is one leaf (the checkpointed pairs) + argmax.
     val df = SparkEntry.queries("q_simsearch_knn")(spark, d)
     val plan = df.queryExecution.executedPlan
-    assert(plan.collectLeaves().size == 1, plan.toString) // embeddings read ONCE
+    assert(plan.collectLeaves().size == 1, plan.toString)
     assert(!plan.toString.contains("Join"), plan.toString)
   }
 
