@@ -57,6 +57,15 @@ object TextQueries extends QueryPack {
   private def bandBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
     bandBucketsOf(shinglesOf(Tables.documents(s, d)))
 
+  /** MinHash band keys (doc_id, skey) for an arbitrary documents batch —
+    * the signature the incremental/streaming ingest paths join against the
+    * persisted corpus store. Shared by q_dedup_incremental and
+    * [[graft.streaming.StreamingDaemon.ingestDedupLoop]].
+    */
+  private[graft] def bandKeysOf(docs: org.apache.spark.sql.DataFrame) =
+    bandBucketsOf(shinglesOf(docs))
+      .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("skey"))
+
   /** [[bandBuckets]] over a pre-shingled subset (see [[shinglesOf]]). */
   private def bandBucketsOf(shingles: org.apache.spark.sql.DataFrame) = {
     val hs = shingles.drop("n_sh").withColumn("h", TextFns.rollingHash(col("sh")))
@@ -335,7 +344,6 @@ object TextQueries extends QueryPack {
     // distinct corpus near-dups and the smallest matching corpus doc.
     "q_dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val skey = concat_ws(":", col("band"), col("bkey"))
       // One-time corpus-side layout (in production: yesterday's persisted
       // state) — written once per (JVM, sfDir); the timed query is ONLY what
       // a daily run pays: shingle the new snapshot, join the bucketed store.
@@ -344,13 +352,12 @@ object TextQueries extends QueryPack {
           val name = "graft_dedup_sigs_" +
             f"${scala.util.hashing.MurmurHash3.stringHash(new java.io.File(d).getAbsolutePath)}%08x"
           graft.sources.BucketedTables.writeBucketed(
-            bandBucketsOf(shinglesOf(docs.filter(col("doc_id") % 10 =!= 7)))
-              .select(col("doc_id").as("corpus_doc"), skey.as("skey")),
+            bandKeysOf(docs.filter(col("doc_id") % 10 =!= 7))
+              .withColumnRenamed("doc_id", "corpus_doc"),
             name, "skey", 8)
           name
         })
-      val fresh = bandBucketsOf(shinglesOf(docs.filter(col("doc_id") % 10 === 7)))
-        .select(col("doc_id"), skey.as("skey"))
+      val fresh = bandKeysOf(docs.filter(col("doc_id") % 10 === 7))
       val hits = fresh.join(s.table(table), "skey")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("corpus_doc")).as("n_dups"),

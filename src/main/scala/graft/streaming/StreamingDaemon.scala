@@ -93,6 +93,47 @@ object StreamingDaemon {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keys :+ "ts")
 
+  /** Streaming INGEST dedup — the LLM-crawl ingestion gate, the streaming
+    * form of q_dedup_incremental: documents arrive as a file stream; each
+    * micro-batch is (a) exact-deduped batch-locally on content hash
+    * (deterministic keeper = min doc_id) and (b) anti-joined against the
+    * PERSISTED corpus MinHash signature store, so near-dups of the existing
+    * corpus never land in the lake. The signature join runs the batch
+    * band-key pipeline on the micro-batch only (corpus side is the static
+    * bucketed store — the per-batch cost is proportional to the batch,
+    * never the corpus), which is exactly the production per-trigger merge
+    * pattern. batchId-keyed overwrite makes replays idempotent
+    * (at-least-once foreachBatch → exactly-once directory contents).
+    */
+  def ingestDedupLoop(
+      spark: SparkSession,
+      inDir: String,
+      corpusSigs: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val static = spark.read.parquet(inDir)
+    source(spark, inDir, static)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val exact = batch
+          .withColumn("content_hash", sha2(col("text"), 256))
+          .groupBy(col("content_hash"))
+          .agg(min_by(struct(batch.columns.map(col): _*), col("doc_id")).as("k"))
+          .select(col("k.*"))
+        val nearDup = graft.operators.TextQueries.bandKeysOf(exact)
+          .join(corpusSigs, "skey")
+          .select(col("doc_id")).distinct()
+        exact.join(nearDup, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   // ---- custom state: streaming LWW via mapGroupsWithState ----
 
   case class EventIn(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)

@@ -38,6 +38,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       batch.orderBy("user_id", "event_type").collect().toSeq)
   }
 
+  test("ingestDedupLoop drops in-batch exact dups and corpus near-dups, keeps the rest") {
+    val sf = "/root/testdata/sf0.001"
+    val in  = tmp("ingest-in")
+    val out = tmp("ingest-out")
+    val ckp = tmp("ingest-ckp")
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val fresh  = docs.filter(col("doc_id") % 10 === 7)
+    // arriving snapshot: the fresh docs PLUS an exact copy of one of them
+    // under a new id (must be exact-deduped inside the batch)
+    val cloned = fresh.limit(1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    fresh.union(cloned).coalesce(1).write.mode("append").parquet(in)
+
+    val corpusSigs = graft.operators.TextQueries.bandKeysOf(corpus)
+      .withColumnRenamed("doc_id", "corpus_doc").localCheckpoint()
+    val q = StreamingDaemon.ingestDedupLoop(spark, in, corpusSigs, out, ckp)
+    q.awaitTermination()
+
+    val kept = spark.read.parquet(s"$out/batch=*").select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    // batch-mode expectation: fresh docs whose band keys miss the corpus store
+    val expected = fresh
+      .join(graft.operators.TextQueries.bandKeysOf(fresh)
+          .join(corpusSigs, "skey").select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(kept == expected)
+    // the exact clone lost to its lower-id original
+    assert(!kept.exists(_ >= 1000000L))
+    // and the gate kept a non-trivial survivor set
+    assert(kept.nonEmpty)
+  }
+
   test("statefulLww folds new versions into O(keys) state across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingDaemon.{EventIn, LwwUpdate}
