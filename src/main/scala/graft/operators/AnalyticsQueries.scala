@@ -28,6 +28,40 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("o_orderpriority"), col("rnk"))
     }),
 
+    // W1b: distribution window functions — ntile quartiles, percent_rank,
+    // cume_dist over a unique total order (deterministic tiles). The filter
+    // samples every 100th key AFTER the windows so output stays small while
+    // the window semantics cover the full partition.
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .filter(col("o_orderkey") % 100 === 0)
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // A3b: GROUPING SETS — the report shape rollup/cube can't express:
+    // independent per-status and per-priority totals plus the grand total in
+    // ONE pass over the fact table (Spark expands to a single Expand +
+    // aggregate — one scan, one shuffle, vs three separate groupBys).
+    // Null group keys coalesced to 'ALL' (same discipline as rollup/cube:
+    // no cross-engine null-ordering dependence).
+    "q_groupingsets_report" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |       coalesce(o_orderpriority, 'ALL') AS priority,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       round(sum(o_totalprice), 2) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
     // W2: running sum per user (rowsBetween frame). Sequential accumulation
     // order is fixed by the (ts, event_id) total order, so both engines add
     // in the same order.
@@ -235,6 +269,23 @@ object AnalyticsQueries extends QueryPack {
         |                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |      FROM orders)
         |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS tile,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |QUALIFY o_orderkey % 100 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_groupingsets_report" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
     "q_window_running" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
