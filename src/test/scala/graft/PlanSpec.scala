@@ -127,6 +127,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("FileScan parquet [^\\n]*documents".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_groupingsets_report: one scan, one Expand — never three separate aggregations") {
+    val df = SparkEntry.queries("q_groupingsets_report")(spark, d)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectLeaves().size == 1, plan.toString) // orders read ONCE
+    assert("Expand".r.findAllIn(plan.toString).nonEmpty, plan.toString)
+  }
+
   test("whole-stage codegen covers the scan+filter+project pipeline of q_scan_project") {
     val s = formatted("q_scan_project")
     assert(s.contains("WholeStageCodegen"), s.take(500))
