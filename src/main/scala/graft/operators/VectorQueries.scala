@@ -275,6 +275,22 @@ object VectorQueries extends QueryPack {
         .orderBy(col("label"))
     }),
 
+    // X2j: SEMANTIC dedup (the SemDeDup shape): connected components over
+    // the thresholded embedding-similarity graph — documents whose
+    // embeddings are mutually similar collapse into one cluster regardless
+    // of surface text. Edges are the memoized LSH candidate pairs filtered
+    // on rounded cosine ≥ 0.4 (the synthetic fixture's similarity ceiling
+    // is ~0.47; a real embedding corpus uses ~0.95), clustered by the same
+    // large-star/small-star contraction as the text-side dedup. Oracle is
+    // the exact recursive transitive closure.
+    "q_dedup_semantic" -> ((s, d) => {
+      Components.labels(
+        embedPairs(s, d).filter(col("cos_r") >= 0.4)
+          .select(col("vec_a").as("u"), col("vec_b").as("v")))
+        .select(col("v").as("vec_id"), col("lbl").as("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // X5: multimodal join — text metadata + vector payload in one schema.
     "q_multimodal_join" -> ((s, d) => {
       Tables.documents(s, d)
@@ -433,6 +449,26 @@ object VectorQueries extends QueryPack {
          |FROM sized x JOIN sized y
          |  ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id
          |ORDER BY cos_r DESC, vec_a, vec_b LIMIT 10""".stripMargin,
+    "q_dedup_semantic" ->
+      s"""WITH RECURSIVE banded AS (
+         |  SELECT vec_id, embedding, CAST(r.b AS INT) AS band,
+         |         CAST(list_sum(list_transform(range(0, 8),
+         |              j -> CASE WHEN embedding[8*r.b + j + 1] > 0
+         |                   THEN CAST(pow(2, j) AS INT) ELSE 0 END)) AS INT) AS bkt
+         |  FROM embeddings CROSS JOIN range(8) r(b)),
+         |sized AS (SELECT * FROM banded
+         |          QUALIFY count(*) OVER (PARTITION BY band, bkt) BETWEEN 2 AND 100),
+         |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+         |         FROM sized x JOIN sized y
+         |           ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+         |         WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= 0.4),
+         |e AS (SELECT va AS x, vb AS y FROM cand UNION SELECT vb, va FROM cand),
+         |reach(v, u) AS (
+         |  SELECT x, x FROM e
+         |  UNION
+         |  SELECT r.v, e.y FROM reach r JOIN e ON r.u = e.x)
+         |SELECT v AS vec_id, min(u) AS cluster_id
+         |FROM reach GROUP BY v ORDER BY v""".stripMargin,
     "q_vector_stats" ->
       s"""SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
          |       round(avg(${normSql("embedding")}), 6) AS avg_norm,
