@@ -19,12 +19,15 @@ import org.apache.spark.sql.functions._
   * distributed — the collect_list formulation would OOM on the star-shaped
   * intermediates this algorithm deliberately produces).
   *
-  * Convergence is detected by an order-insensitive checksum
-  * (count, sum(u), sum(v)) of the canonical edge set, one cheap aggregate
-  * job per round over the localCheckpoint'ed edges — no extra join (the
-  * previous isEmpty-diff formulation paid a full self-join per round).
-  * Both star ops only ever re-point a vertex to a SMALLER target, so the
-  * checksum is monotone non-increasing and a repeat means a fixpoint.
+  * Convergence is detected by an order-insensitive set digest of the
+  * canonical edge set — (count, bit_xor(xxhash64(u,v)), bit_xor(murmur3
+  * (u,v))) — one cheap aggregate job per round over the localCheckpoint'ed
+  * edges, no extra join (the previous isEmpty-diff formulation paid a full
+  * self-join per round). XORing per-edge hashes from two independent
+  * families makes the digest effectively set-unique: a repeat across rounds
+  * means the edge SET is unchanged (collision odds ~2^-64 per comparison),
+  * unlike the earlier (count, sum(u), sum(v)) triple, which distinct edge
+  * sets such as {(3,1),(4,2)} vs {(4,1),(3,2)} share.
   * A run that exhausts `maxIter` without converging THROWS rather than
   * returning silently-partial labels (labels that diverge from the exact
   * transitive closure the oracle computes).
@@ -62,6 +65,24 @@ object Components {
       .distinct()
   }
 
+  /** Order-insensitive set digest of a canonical (u, v) edge set: count +
+    * bit_xor of two independent per-edge hashes. XOR is overflow-free
+    * (ANSI-safe, unlike sum of full-range longs); the contraction loop's
+    * edge sets are distinct() so no duplicate can self-cancel, and two hash
+    * families make a cross-set collision astronomically unlikely — a
+    * repeated digest across rounds means the edge SET reached its fixpoint.
+    * Package-visible so the spec can pin that it separates sets the old
+    * (count, sum(u), sum(v)) triple confused.
+    */
+  private[graft] def edgeDigest(d: DataFrame): (Long, Long, Long) = {
+    val r = d.agg(
+      count(lit(1)),
+      bit_xor(xxhash64(col("u"), col("v"))),
+      bit_xor(hash(col("u"), col("v")).cast("long"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
+
   /** Contract `edges` (any orientation; self-loops ignored) to per-vertex
     * component labels (v, lbl) where lbl = the component's minimum vertex
     * id. Throws if `maxIter` alternating rounds do not reach the fixpoint.
@@ -77,17 +98,12 @@ object Components {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    def checksum(d: DataFrame): (Long, Long, Long) = {
-      val r = d.agg(count(lit(1)), sum(col("u")), sum(col("v"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
-    }
-    var chk = checksum(e)
+    var chk = edgeDigest(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      val nchk = checksum(next)
+      val nchk = edgeDigest(next)
       converged = nchk == chk
       chk = nchk
       e = next

@@ -56,6 +56,17 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("edge digest separates sets the old (count, sum, sum) triple confused") {
+    // {(3,1),(4,2)} and {(4,1),(3,2)} share count=2, sum(u)=7, sum(v)=3 —
+    // the collision ADVICE flagged. The hash-XOR digest must tell them
+    // apart, and must be order-insensitive for a permuted equal set.
+    val a = Seq((3L, 1L), (4L, 2L)).toDF("u", "v")
+    val b = Seq((4L, 1L), (3L, 2L)).toDF("u", "v")
+    val aPermuted = Seq((4L, 2L), (3L, 1L)).toDF("u", "v")
+    assert(Components.edgeDigest(a) != Components.edgeDigest(b))
+    assert(Components.edgeDigest(a) == Components.edgeDigest(aPermuted))
+  }
+
   test("self-loops and duplicate/reversed edges are normalized away") {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L), (1L, 2L), (4L, 3L))
     assert(sparkLabels(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
