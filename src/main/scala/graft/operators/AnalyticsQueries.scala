@@ -15,14 +15,31 @@ import graft.Tables
 object AnalyticsQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
-    // W1: rank with a unique ordering (deterministic) — top-3 orders per
-    // priority; runs as one shuffle on the partition key.
+    // W1: top-3 orders per priority as a salted TWO-PHASE top-k — the
+    // scale-safe grouped-rank shape. o_orderpriority has 5 distinct values,
+    // so a plain Window.partitionBy(priority) funnels the whole fact table
+    // through 5 sort tasks at any scale. Instead: phase 1 takes the local
+    // top-3 per (priority, salt-of-64) — 320-way parallel sort, each task
+    // handling ~1/320th of the table — then phase 2 ranks the ≤ 5·64·3 = 960
+    // surviving rows per priority. Exact because the ordering is total
+    // (o_orderkey is a unique tiebreak): every global top-3 row is
+    // necessarily in its salt bucket's top-3, and rank over the survivors
+    // equals rank over the full partition for rnk ≤ 3. Same decomposition
+    // discipline as q_agg_salted_twophase. PlanSpec pins that no Window
+    // partitioned on the bare priority sees the full scan.
     "q_window_rank" -> ((s, d) => {
-      val w = Window
+      val local = Window
+        .partitionBy(col("o_orderpriority"), col("salt"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val global = Window
         .partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rnk", rank().over(w).cast("long"))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("salt", pmod(hash(col("o_orderkey")), lit(64)))
+        .withColumn("lrn", row_number().over(local))
+        .filter(col("lrn") <= 3)
+        .withColumn("rnk", rank().over(global).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderpriority"), col("rnk"))
@@ -32,6 +49,17 @@ object AnalyticsQueries extends QueryPack {
     // cume_dist over a unique total order (deterministic tiles). The filter
     // samples every 100th key AFTER the windows so output stays small while
     // the window semantics cover the full partition.
+    //
+    // SCALE CONSTRAINT: ntile/percent_rank/cume_dist need each row's GLOBAL
+    // position within its group — unlike rank≤k (see q_window_rank's salted
+    // two-phase), no bounded local phase can decide a row's quartile, so the
+    // partitionBy(o_orderpriority) below genuinely funnels each priority
+    // through one sort task. Acceptable here as the distribution-function
+    // coverage query at test scale; at 100 TB compute tiles via a two-pass
+    // rank: per-group counts (broadcastable, 5 rows) + a salted global
+    // ordinal (range-partitioned sort or partition-offset zipWithIndex),
+    // then tile = ceil(ordinal * 4 / n). Same precedent as
+    // q_round_robin_cursor's documented metadata-only global window.
     "q_window_ntile" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))

@@ -95,6 +95,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("SinglePartition".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("q_window_rank: full scan feeds the SALTED window, never the bare-priority one") {
+    // The scale fix for the 5-value partition key: phase 1's window is
+    // keyed (priority, salt) so the fact-table sort fans out 320 ways; the
+    // bare-priority window only ever sees phase 1's ≤960 survivors. The
+    // tree dump prints parents above children, so the pin is the order:
+    // global (bare-priority) window ABOVE salted window ABOVE the scan.
+    val p = plan("q_window_rank")
+    val salted = "windowspecdefinition\\(o_orderpriority#\\d+, salt#".r
+      .findFirstMatchIn(p).map(_.start)
+    val bare = "windowspecdefinition\\(o_orderpriority#\\d+, o_totalprice".r
+      .findFirstMatchIn(p).map(_.start)
+    val scan = "FileScan parquet [^\\n]*orders".r.findFirstMatchIn(p).map(_.start)
+    assert(salted.isDefined && bare.isDefined && scan.isDefined, p)
+    assert(bare.get < salted.get && salted.get < scan.get, p)
+  }
+
   test("q_simsearch_topk: fused codegen cosine expression is in the plan") {
     val p = plan("q_simsearch_topk")
     assert(p.contains("graft_cosine_f32"), p)
