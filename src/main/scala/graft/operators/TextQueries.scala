@@ -109,7 +109,7 @@ object TextQueries extends QueryPack {
       .select(col("p.doc_a"), col("p.doc_b"))
   }
 
-  /** LSH candidate edge set, computed once per (JVM, sfDir) and
+  /** LSH candidate edge set, computed once per (context, source fingerprint) and
     * localCheckpoint'ed (tiny: one row per candidate pair). The clustering
     * family (q_dedup_components, q_dedup_keep) shares this input — the
     * production analog is the candidate-pair table materialized once per
@@ -117,16 +117,16 @@ object TextQueries extends QueryPack {
     * whole MinHash pipeline per consumer measured 2× the cost for zero
     * information.
     */
-  private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private val edgeCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
 
-  /** Persisted corpus signature tables (q_dedup_incremental), one per
-    * sfDir — name keyed on the absolute path hash so two fixtures can't
-    * collide in the shared warehouse.
+  /** Persisted corpus signature tables (q_dedup_incremental) — the NAME
+    * hashes the path + source fingerprint (stable across sessions, fresh on
+    * regeneration); the memo key additionally carries the context identity
+    * so a new session re-registers the table in its own catalog.
     */
-  private val sigTableCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val sigTableCache = new graft.sources.Memo.Cache[String]
   private def candidateEdges(s: org.apache.spark.sql.SparkSession, d: String) =
-    edgeCache.getOrElseUpdate(new java.io.File(d).getAbsolutePath,
+    edgeCache.get(graft.sources.Memo.key(s, d, "documents"))(
       bandPairs(s, d).distinct().localCheckpoint())
 
   /** 16-bit SimHash signature per doc (token-hash bit votes), shared by the
@@ -156,16 +156,15 @@ object TextQueries extends QueryPack {
       candidateEdges(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
 
-  /** [[dedupClusters]] memoized per (JVM, sfDir), for consumers that build
+  /** [[dedupClusters]] memoized per (context, source fingerprint), for consumers that build
     * ON the clustering output rather than re-deriving it: production
     * clusters once per snapshot and every downstream output (kept corpus,
     * stats, audits) reads that table. q_dedup_components itself does NOT go
     * through this memo — it times the contraction honestly on every run.
     */
-  private val labelCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private val labelCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String) =
-    labelCache.getOrElseUpdate(new java.io.File(d).getAbsolutePath,
+    labelCache.get(graft.sources.Memo.key(s, d, "documents"))(
       dedupClusters(s, d).localCheckpoint())
 
   val queries: Map[String, Q] = Map(
@@ -345,18 +344,19 @@ object TextQueries extends QueryPack {
     "q_dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // One-time corpus-side layout (in production: yesterday's persisted
-      // state) — written once per (JVM, sfDir); the timed query is ONLY what
+      // state) — written once per (context, source fingerprint); the timed query is ONLY what
       // a daily run pays: shingle the new snapshot, join the bucketed store.
-      val table = sigTableCache.getOrElseUpdate(
-        new java.io.File(d).getAbsolutePath, {
+      val table = sigTableCache.get(graft.sources.Memo.key(s, d, "documents")) {
           val name = "graft_dedup_sigs_" +
-            f"${scala.util.hashing.MurmurHash3.stringHash(new java.io.File(d).getAbsolutePath)}%08x"
+            f"${scala.util.hashing.MurmurHash3.stringHash(
+              new java.io.File(d).getAbsolutePath +
+                graft.sources.Memo.fingerprint(d, "documents"))}%08x"
           graft.sources.BucketedTables.writeBucketed(
             bandKeysOf(docs.filter(col("doc_id") % 10 =!= 7))
               .withColumnRenamed("doc_id", "corpus_doc"),
             name, "skey", 8)
           name
-        })
+        }
       val fresh = bandKeysOf(docs.filter(col("doc_id") % 10 === 7))
       val hits = fresh.join(s.table(table), "skey")
         .groupBy(col("doc_id"))
