@@ -258,6 +258,87 @@ object VectorQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // X3d: recall@10 of each ANN method against the brute-force yardstick —
+    // THE tuning number for an index user (how much does the 16× / 8× scan
+    // pruning cost in answer quality?). Panel = probes vec_id < 20; truth =
+    // exact top-10 per probe over the full corpus; per method, recall =
+    // mean over probes of |method∩truth| / |truth|. Probes with zero
+    // surviving candidates contribute 0, not a dropped row. Every top-k cut
+    // orders by (rounded cosine DESC, vec_id) so both engines select
+    // identical sets. Scale shape: a recall harness is panel-bounded by
+    // design — truth costs n·|panel| cosines (here n·20), the candidate
+    // sides reuse the index pruning they measure, and every per-probe top-k
+    // is the salted two-phase cut (local top-10 per (probe, salt-of-16),
+    // global top-10 over survivors) so no 20-value window key ever sorts
+    // the corpus in one task.
+    "q_simsearch_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.DataFrame
+      def top10PerProbe(scored: DataFrame): DataFrame = {
+        val local = Window.partitionBy(col("pid"), col("salt"))
+          .orderBy(col("cos_r").desc, col("vec_id"))
+        val global = Window.partitionBy(col("pid"))
+          .orderBy(col("cos_r").desc, col("vec_id"))
+        scored
+          .withColumn("salt", pmod(hash(col("vec_id")), lit(16)))
+          .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= 10)
+          .withColumn("rn", row_number().over(global)).filter(col("rn") <= 10)
+          .select(col("pid"), col("vec_id"))
+      }
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      val truth = top10PerProbe(
+        e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("pid"))
+          .select(col("pid"), col("vec_id"),
+            round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r")))
+        .localCheckpoint() // three method scoreboards read it; tiny (200 rows)
+      val eb = e.withColumn("bkt", VectorFns.signBucket(col("embedding"), 4))
+      val probeB = eb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("bkt").as("pbkt"))
+      val lsh = top10PerProbe(
+        eb.crossJoin(broadcast(probeB))
+          .filter(col("bkt") === col("pbkt") && col("vec_id") =!= col("pid"))
+          .select(col("pid"), col("vec_id"),
+            round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r")))
+      val assigned = ivfAssigned(s, d).localCheckpoint() // probe + candidate sides
+      val probeA = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell").as("pcell"))
+      val ivf = top10PerProbe(
+        assigned.crossJoin(broadcast(probeA))
+          .filter(col("cell") === col("pcell") && col("vec_id") =!= col("pid"))
+          .select(col("pid"), col("vec_id"),
+            round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r")))
+      // nprobe=2: each probe's two nearest centroids (8×20 rows — tiny).
+      val top2 = ivfCentroids(s, d).crossJoin(broadcast(probeA.drop("pcell")))
+        .select(col("pid"), col("cid"),
+          round(VectorFns.cosine(col("ce"), col("pe")), 6).as("psim"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("psim").desc, col("cid"))))
+        .filter(col("crn") <= 2)
+        .select(col("pid"), col("cid").as("pcell"))
+      val ivf2 = top10PerProbe(
+        assigned.join(broadcast(top2.join(probeA.drop("pcell"), "pid")),
+            col("cell") === col("pcell"))
+          .filter(col("vec_id") =!= col("pid"))
+          .select(col("pid"), col("vec_id"),
+            round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r")))
+      val tcnt = truth.groupBy(col("pid")).agg(count(lit(1)).as("tn"))
+      def recallRow(m: DataFrame, name: String): DataFrame = {
+        val hits = truth.join(m, Seq("pid", "vec_id"))
+          .groupBy(col("pid")).agg(count(lit(1)).as("hn"))
+        tcnt.join(hits, Seq("pid"), "left")
+          .select((coalesce(col("hn"), lit(0L)) / col("tn")).as("r"))
+          .agg(count(lit(1)).as("n_probes"), round(avg(col("r")), 6).as("recall"))
+          .select(lit(name).as("method"), col("n_probes"), col("recall"))
+      }
+      recallRow(lsh, "lsh")
+        .unionAll(recallRow(ivf, "ivf"))
+        .unionAll(recallRow(ivf2, "ivf2"))
+        .orderBy(col("method"))
+    }),
+
     // X3c: embedding-table hygiene stats — per-label vector counts and norm
     // distribution, the sanity pass run before any ANN index build (zero
     // norms break cosine, norm drift flags a bad encoder batch). One map
@@ -467,6 +548,71 @@ object VectorQueries extends QueryPack {
          |  SELECT r.v, e.y FROM reach r JOIN e ON r.u = e.x)
          |SELECT v AS vec_id, min(u) AS cluster_id
          |FROM reach GROUP BY v ORDER BY v""".stripMargin,
+    // Mirrors q_simsearch_recall selection-for-selection: same trained
+    // centroids (ivfTrainCtes), same (rounded cosine DESC, vec_id) top-k
+    // cuts, same zero-candidate-probe = 0 convention via the method×probe
+    // grid. The salt in Spark's two-phase top-k needs no mirror: phase 2
+    // re-ranks globally, so the selected SET is salt-independent.
+    "q_simsearch_recall" ->
+      s"""WITH $ivfTrainCtes,
+         |probes AS (SELECT vec_id AS pid, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 20),
+         |truth AS (SELECT pid, vec_id FROM (
+         |  SELECT p.pid, e.vec_id,
+         |         row_number() OVER (PARTITION BY p.pid
+         |           ORDER BY round(${cosSql("e.embedding", "p.pe")}, 6) DESC, e.vec_id) AS rn
+         |  FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.pid)
+         |  WHERE rn <= 10),
+         |eb AS (SELECT vec_id, embedding, $bktSql AS bkt FROM embeddings),
+         |lsh AS (SELECT pid, vec_id FROM (
+         |  SELECT p.pid, e.vec_id,
+         |         row_number() OVER (PARTITION BY p.pid
+         |           ORDER BY round(${cosSql("e.embedding", "p.pe")}, 6) DESC, e.vec_id) AS rn
+         |  FROM eb e JOIN (SELECT vec_id AS pid, embedding AS pe, bkt AS pbkt
+         |                  FROM eb WHERE vec_id < 20) p
+         |    ON e.bkt = p.pbkt WHERE e.vec_id <> p.pid)
+         |  WHERE rn <= 10),
+         |a AS (SELECT vec_id, cid AS cell, embedding
+         |      FROM (SELECT e.vec_id, c.cid, e.embedding,
+         |                   row_number() OVER (PARTITION BY e.vec_id
+         |                     ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |            FROM embeddings e CROSS JOIN c2 c)
+         |      WHERE rn = 1),
+         |pa AS (SELECT vec_id AS pid, embedding AS pe, cell AS pcell
+         |       FROM a WHERE vec_id < 20),
+         |ivf AS (SELECT pid, vec_id FROM (
+         |  SELECT p.pid, e.vec_id,
+         |         row_number() OVER (PARTITION BY p.pid
+         |           ORDER BY round(${cosSql("e.embedding", "p.pe")}, 6) DESC, e.vec_id) AS rn
+         |  FROM a e JOIN pa p ON e.cell = p.pcell WHERE e.vec_id <> p.pid)
+         |  WHERE rn <= 10),
+         |top2 AS (SELECT pid, cid AS pcell FROM (
+         |  SELECT p.pid, c.cid,
+         |         row_number() OVER (PARTITION BY p.pid
+         |           ORDER BY round(${cosSql("c.ce", "p.pe")}, 6) DESC, c.cid) AS crn
+         |  FROM c2 c CROSS JOIN pa p)
+         |  WHERE crn <= 2),
+         |ivf2 AS (SELECT pid, vec_id FROM (
+         |  SELECT t.pid, e.vec_id,
+         |         row_number() OVER (PARTITION BY t.pid
+         |           ORDER BY round(${cosSql("e.embedding", "p.pe")}, 6) DESC, e.vec_id) AS rn
+         |  FROM a e JOIN top2 t ON e.cell = t.pcell
+         |  JOIN pa p ON p.pid = t.pid
+         |  WHERE e.vec_id <> t.pid)
+         |  WHERE rn <= 10),
+         |m AS (SELECT 'lsh' AS method, pid, vec_id FROM lsh
+         |      UNION ALL SELECT 'ivf', pid, vec_id FROM ivf
+         |      UNION ALL SELECT 'ivf2', pid, vec_id FROM ivf2),
+         |tc AS (SELECT pid, count(*) AS tn FROM truth GROUP BY pid),
+         |h AS (SELECT m.method, m.pid, count(*) AS hn
+         |      FROM m JOIN truth t ON m.pid = t.pid AND m.vec_id = t.vec_id
+         |      GROUP BY 1, 2),
+         |grid AS (SELECT method, pid, tn
+         |         FROM (VALUES ('ivf'), ('ivf2'), ('lsh')) ms(method) CROSS JOIN tc)
+         |SELECT method, CAST(count(*) AS BIGINT) AS n_probes,
+         |       round(avg(coalesce(hn, 0) / tn), 6) AS recall
+         |FROM grid LEFT JOIN h USING (method, pid)
+         |GROUP BY method ORDER BY method""".stripMargin,
     "q_vector_stats" ->
       s"""SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
          |       round(avg(${normSql("embedding")}), 6) AS avg_norm,
