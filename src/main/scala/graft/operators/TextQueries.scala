@@ -97,8 +97,14 @@ object TextQueries extends QueryPack {
     * singleton buckets can't produce pairs. The cap also bounds the HOF
     * expansion at C(100,2) pairs per bucket.
     */
-  private def bandPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    bandBuckets(s, d)
+  private def bandPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    bandPairsOf(bandBuckets(s, d))
+
+  /** [[bandPairs]] over an arbitrary bucket set — the incremental
+    * clustering path pairs the corpus and the new snapshot separately.
+    */
+  private def bandPairsOf(buckets: org.apache.spark.sql.DataFrame) = {
+    buckets
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, 100))
@@ -166,6 +172,74 @@ object TextQueries extends QueryPack {
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String) =
     labelCache.get(graft.sources.Memo.key(s, d, "documents"))(
       dedupClusters(s, d).localCheckpoint())
+
+  /** Persisted corpus band-key store — (corpus_doc, skey) for the corpus
+    * split (doc_id % 10 != 7), bucketed+sorted by skey ("yesterday's
+    * state"). Shared by q_dedup_incremental (scoring) and
+    * q_dedup_cluster_incremental (label folding); written once per
+    * (context, source fingerprint).
+    */
+  private def corpusSigTable(s: org.apache.spark.sql.SparkSession, d: String): String =
+    sigTableCache.get(graft.sources.Memo.key(s, d, "documents")) {
+      val name = "graft_dedup_sigs_" +
+        f"${scala.util.hashing.MurmurHash3.stringHash(
+          new java.io.File(d).getAbsolutePath +
+            graft.sources.Memo.fingerprint(d, "documents"))}%08x"
+      graft.sources.BucketedTables.writeBucketed(
+        bandKeysOf(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7))
+          .withColumnRenamed("doc_id", "corpus_doc"),
+        name, "skey", 8)
+      name
+    }
+
+  /** Corpus-only cluster labels (doc_id, cluster_id) — "yesterday's" label
+    * store the incremental fold starts from: star contraction over the
+    * corpus split's own candidate edges. Memoized: in production this is
+    * the persisted output of the previous nightly clustering.
+    */
+  private val corpusLabelCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private def corpusClusterLabels(s: org.apache.spark.sql.SparkSession, d: String) =
+    corpusLabelCache.get(graft.sources.Memo.key(s, d, "documents") + "#corpus") {
+      Components.labels(
+        bandPairsOf(bandBucketsOf(shinglesOf(
+            Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7))))
+          .distinct()
+          .select(col("doc_a").as("u"), col("doc_b").as("v")))
+        .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+        .localCheckpoint()
+    }
+
+  /** The new snapshot's candidate edges (u, v), u = any endpoint: corpus↔new
+    * via the persisted skey store (hot corpus buckets > 100 excluded — the
+    * standard LSH guard, mirrored by the oracle) plus new↔new from the
+    * snapshot's own capped buckets. Package-visible so the spec can assert
+    * fold-equals-full-recontraction over exactly this edge set.
+    */
+  private[graft] def incNewEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val fresh = Tables.documents(s, d).filter(col("doc_id") % 10 === 7)
+    val store = s.table(corpusSigTable(s, d))
+    val hot = store.groupBy(col("skey")).agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > 100).select(col("skey"))
+    val freshKeys = bandKeysOf(fresh)
+    val newCorpus = freshKeys
+      .join(hot, Seq("skey"), "left_anti")
+      .join(store, "skey")
+      .select(col("doc_id").as("u"), col("corpus_doc").as("v"))
+      .distinct()
+    val newNew = bandPairsOf(bandBucketsOf(shinglesOf(fresh)))
+      .distinct()
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    newCorpus.unionAll(newNew)
+  }
+
+  /** Corpus-only candidate edges, for the spec's full-recontraction
+    * yardstick (the fold itself never touches them — that is the point).
+    */
+  private[graft] def incCorpusEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    bandPairsOf(bandBucketsOf(shinglesOf(
+        Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7))))
+      .distinct()
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
 
   val queries: Map[String, Q] = Map(
     // X1: exact dedup — content-hash groupBy, deterministic keeper = min id.
@@ -346,17 +420,7 @@ object TextQueries extends QueryPack {
       // One-time corpus-side layout (in production: yesterday's persisted
       // state) — written once per (context, source fingerprint); the timed query is ONLY what
       // a daily run pays: shingle the new snapshot, join the bucketed store.
-      val table = sigTableCache.get(graft.sources.Memo.key(s, d, "documents")) {
-          val name = "graft_dedup_sigs_" +
-            f"${scala.util.hashing.MurmurHash3.stringHash(
-              new java.io.File(d).getAbsolutePath +
-                graft.sources.Memo.fingerprint(d, "documents"))}%08x"
-          graft.sources.BucketedTables.writeBucketed(
-            bandKeysOf(docs.filter(col("doc_id") % 10 =!= 7))
-              .withColumnRenamed("doc_id", "corpus_doc"),
-            name, "skey", 8)
-          name
-        }
+      val table = corpusSigTable(s, d)
       val fresh = bandKeysOf(docs.filter(col("doc_id") % 10 === 7))
       val hits = fresh.join(s.table(table), "skey")
         .groupBy(col("doc_id"))
@@ -368,6 +432,42 @@ object TextQueries extends QueryPack {
           coalesce(col("n_dups"), lit(0L)).as("n_dups"),
           coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X2k: INCREMENTAL CLUSTERING — fold the new snapshot's candidate edges
+    // into the EXISTING component labels without re-contracting the corpus
+    // (re-clustering 100 TB nightly is not viable; this is the daily-crawl
+    // production path). The fold contracts only the QUOTIENT graph: corpus
+    // endpoints of new edges collapse to their stored label, so the graph
+    // star-contraction sees is sized by the day's edges, never the corpus.
+    // Exact, not approximate: corpus labels are component minima, so
+    // collapsing a component to its label preserves both connectivity and
+    // the min — the fold provably equals full recontraction over the same
+    // edge set (ComponentsSpec pins it; the oracle's recursive closure IS
+    // the full recontraction). Output: every labeled doc (corpus docs with
+    // updated labels, newly connected corpus singletons, new docs with
+    // edges); isolated docs stay absent, same convention as
+    // q_dedup_components.
+    "q_dedup_cluster_incremental" -> ((s, d) => {
+      val cLabels = corpusClusterLabels(s, d) // yesterday's label store
+      val newEdges = incNewEdges(s, d)
+      // Quotient: corpus endpoints → stored label (singletons keep their id;
+      // new-doc endpoints are never in the store — ids are disjoint splits).
+      val quotient = newEdges
+        .join(cLabels, newEdges("v") === cLabels("doc_id"), "left")
+        .select(newEdges("u"), coalesce(col("cluster_id"), newEdges("v")).as("v"))
+      val rl = Components.labels(quotient)
+        .withColumnRenamed("v", "qv").withColumnRenamed("lbl", "nl")
+      // Store docs: re-point if their component's label-vertex merged.
+      val storeOut = cLabels
+        .join(rl, cLabels("cluster_id") === rl("qv"), "left")
+        .select(col("doc_id"), coalesce(col("nl"), col("cluster_id")).as("cluster_id"))
+      // Quotient vertices that are NOT store labels: new docs and corpus
+      // singletons drawn in by a new edge — labeled directly.
+      val extra = rl
+        .join(cLabels.select(col("cluster_id").as("qv")).distinct(), Seq("qv"), "left_anti")
+        .select(col("qv").as("doc_id"), col("nl").as("cluster_id"))
+      storeOut.unionAll(extra).orderBy(col("doc_id"))
     }),
 
     // X2d: edit-distance near-dup on a bounded probe set (doc_id < 50):
@@ -770,6 +870,46 @@ object TextQueries extends QueryPack {
          |       coalesce(a.dup_of, -1) AS dup_of
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id""".stripMargin,
+    // Full recontraction over the incremental path's exact edge sets:
+    // corpus candidates (corpus-only buckets, 2–100), new↔corpus via the
+    // skey store (corpus buckets > 100 excluded), new↔new (fresh-only
+    // buckets, 2–100). The recursive closure IS the "labels equal full
+    // recontraction" criterion the fold is judged against.
+    "q_dedup_cluster_incremental" ->
+      s"""WITH RECURSIVE $shCte,
+         |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
+         |mh AS (SELECT doc_id, r.i AS i,
+         |              min(((3 + 2*r.i) * h + (7 + 11*r.i)) % 1000000007) AS minh
+         |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
+         |          FROM mh GROUP BY 1, 2),
+         |cb AS (SELECT * FROM bands WHERE doc_id % 10 <> 7),
+         |fb AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+         |csz AS (SELECT * FROM cb
+         |        QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
+         |ccand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |          FROM csz x JOIN csz y
+         |            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |cstore AS (SELECT * FROM cb
+         |           QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 100),
+         |nc AS (SELECT DISTINCT f.doc_id AS a, c.doc_id AS b
+         |       FROM fb f JOIN cstore c ON f.band = c.band AND f.bkey = c.bkey),
+         |fsz AS (SELECT * FROM fb
+         |        QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
+         |nn AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM fsz x JOIN fsz y
+         |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |alle AS (SELECT a, b FROM ccand UNION
+         |         SELECT a, b FROM nc UNION
+         |         SELECT a, b FROM nn),
+         |e AS (SELECT a AS x, b AS y FROM alle UNION SELECT b, a FROM alle),
+         |reach(v, u) AS (
+         |  SELECT x, x FROM e
+         |  UNION
+         |  SELECT r.v, e.y FROM reach r JOIN e ON r.u = e.x)
+         |SELECT v AS doc_id, min(u) AS cluster_id
+         |FROM reach GROUP BY v ORDER BY v""".stripMargin,
     "q_dedup_minhash_agg" ->
       s"""WITH $shCte,
          |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),

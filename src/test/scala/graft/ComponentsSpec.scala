@@ -71,4 +71,23 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L), (1L, 2L), (4L, 3L))
     assert(sparkLabels(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("incremental fold equals full recontraction over the same edge set") {
+    // The q_dedup_cluster_incremental claim, stated directly: folding the
+    // new snapshot's edges into the corpus label store (contracting only
+    // the quotient graph) must produce EXACTLY the labels a from-scratch
+    // contraction of corpus ∪ new edges produces.
+    val d = "/root/testdata/sf0.001"
+    val fold = SparkEntry.queries("q_dedup_cluster_incremental")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    // Branches share base-plan lineage, which trips Union constraint
+    // rewriting in a direct unionAll here — materialize the (tiny,
+    // spec-only) edge lists and re-parallelize instead.
+    val edges =
+      (graft.operators.TextQueries.incCorpusEdges(spark, d).as[(Long, Long)].collect() ++
+        graft.operators.TextQueries.incNewEdges(spark, d).as[(Long, Long)].collect())
+        .toSeq.toDF("u", "v")
+    val full = Components.labels(edges).as[(Long, Long)].collect().toMap
+    assert(fold.nonEmpty && fold == full)
+  }
 }
