@@ -93,17 +93,45 @@ object StreamingDaemon {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keys :+ "ts")
 
+  /** One side of the dynamic signature store: `dir/batch=N` parquet written
+    * per micro-batch. Reading the root infers the `batch` partition column;
+    * `excludeBatch` drops the CURRENT batch's own directory so an
+    * at-least-once replay of batch N is gated exactly as its first attempt
+    * was — never against its own earlier partial write. Partition pruning
+    * keeps the exclusion a metadata operation, not a scan.
+    */
+  private def readSigStore(
+      spark: SparkSession, dir: String, colName: String, excludeBatch: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch="))
+    if (!hasBatches) spark.range(0).select(col("id").cast("string").as(colName))
+    else spark.read.parquet(dir)
+      .filter(col("batch") =!= excludeBatch)
+      .select(col(colName))
+  }
+
   /** Streaming INGEST dedup — the LLM-crawl ingestion gate, the streaming
     * form of q_dedup_incremental: documents arrive as a file stream; each
     * micro-batch is (a) exact-deduped batch-locally on content hash
     * (deterministic keeper = min doc_id) and (b) anti-joined against the
-    * PERSISTED corpus MinHash signature store, so near-dups of the existing
-    * corpus never land in the lake. The signature join runs the batch
-    * band-key pipeline on the micro-batch only (corpus side is the static
-    * bucketed store — the per-batch cost is proportional to the batch,
-    * never the corpus), which is exactly the production per-trigger merge
-    * pattern. batchId-keyed overwrite makes replays idempotent
-    * (at-least-once foreachBatch → exactly-once directory contents).
+    * PERSISTED corpus MinHash signature store PLUS the band keys and exact
+    * hashes of every document ACCEPTED by prior batches — so a near-dup
+    * arriving one batch after its original is rejected, not just near-dups
+    * of the pre-existing corpus. After the write, the batch folds its own
+    * accepted signatures back into the store (the exact-hash side also
+    * covers docs too short to shingle, which produce no band keys at all).
+    *
+    * Per-batch cost: the band-key pipeline runs on the micro-batch only;
+    * the store side is a skey/hash-keyed join whose prior-batch read prunes
+    * on the `batch` partition column. In production the store is compacted
+    * periodically into the bucketed signature table q_dedup_incremental
+    * reads (TextQueries.sigTable), so the join stays Exchange-free on the
+    * corpus side; the per-batch `batch=N` directories here are the
+    * between-compactions delta. batchId-keyed overwrite of BOTH the data
+    * and the signature directories makes replays idempotent (at-least-once
+    * foreachBatch → exactly-once directory contents).
     */
   def ingestDedupLoop(
       spark: SparkSession,
@@ -111,6 +139,7 @@ object StreamingDaemon {
       corpusSigs: DataFrame,
       outDir: String,
       checkpointDir: String,
+      sigStoreDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val static = spark.read.parquet(inDir)
     source(spark, inDir, static)
@@ -121,14 +150,39 @@ object StreamingDaemon {
         val exact = batch
           .withColumn("content_hash", sha2(col("text"), 256))
           .groupBy(col("content_hash"))
-          .agg(min_by(struct(batch.columns.map(col): _*), col("doc_id")).as("k"))
+          .agg(min_by(
+            struct(batch.columns.map(col) :+ col("content_hash"): _*),
+            col("doc_id")).as("k"))
           .select(col("k.*"))
-        val nearDup = graft.operators.TextQueries.bandKeysOf(exact)
-          .join(corpusSigs, "skey")
-          .select(col("doc_id")).distinct()
-        exact.join(nearDup, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite")
-          .parquet(s"$outDir/batch=$batchId")
+          .persist()
+        val sigs = graft.operators.TextQueries.bandKeysOf(exact).persist()
+        try {
+          val priorSkeys  = readSigStore(spark, s"$sigStoreDir/skeys",  "skey", batchId)
+          val priorHashes = readSigStore(spark, s"$sigStoreDir/hashes", "content_hash", batchId)
+          val nearDup = sigs
+            .join(corpusSigs.select(col("skey")).union(priorSkeys), "skey")
+            .select(col("doc_id"))
+          val exactDup = exact
+            .join(priorHashes, Seq("content_hash"), "left_semi")
+            .select(col("doc_id"))
+          val accepted = exact
+            .join(nearDup.union(exactDup).distinct(), Seq("doc_id"), "left_anti")
+            .persist()
+          accepted.drop("content_hash")
+            .write.mode("overwrite")
+            .parquet(s"$outDir/batch=$batchId")
+          sigs.join(accepted.select(col("doc_id")), "doc_id")
+            .select(col("skey"))
+            .write.mode("overwrite")
+            .parquet(s"$sigStoreDir/skeys/batch=$batchId")
+          accepted.select(col("content_hash"))
+            .write.mode("overwrite")
+            .parquet(s"$sigStoreDir/hashes/batch=$batchId")
+          accepted.unpersist()
+        } finally {
+          sigs.unpersist()
+          exact.unpersist()
+        }
         ()
       }
       .start()

@@ -54,7 +54,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
     val corpusSigs = graft.operators.TextQueries.bandKeysOf(corpus)
       .withColumnRenamed("doc_id", "corpus_doc").localCheckpoint()
-    val q = StreamingDaemon.ingestDedupLoop(spark, in, corpusSigs, out, ckp)
+    val q = StreamingDaemon.ingestDedupLoop(spark, in, corpusSigs, out, ckp, tmp("ingest-sig"))
     q.awaitTermination()
 
     val kept = spark.read.parquet(s"$out/batch=*").select("doc_id")
@@ -70,6 +70,60 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!kept.exists(_ >= 1000000L))
     // and the gate kept a non-trivial survivor set
     assert(kept.nonEmpty)
+  }
+
+  test("ingestDedupLoop gates batch N+1 against batch N's accepted docs") {
+    val sf = "/root/testdata/sf0.001"
+    val in  = tmp("xingest-in")
+    val out = tmp("xingest-out")
+    val ckp = tmp("xingest-ckp")
+    val sig = tmp("xingest-sig")
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val fresh  = docs.filter(col("doc_id") % 10 === 7)
+
+    val corpusSigs = graft.operators.TextQueries.bandKeysOf(corpus)
+      .withColumnRenamed("doc_id", "corpus_doc").localCheckpoint()
+    // batch-mode expectation for batch 1 (the single-batch gate), computed
+    // up front so batch 2's clone provably duplicates an ADMITTED doc —
+    // the round-3 gap was exactly near-dups of prior-batch admissions.
+    val expected1 = fresh
+      .join(graft.operators.TextQueries.bandKeysOf(fresh)
+          .join(corpusSigs, "skey").select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val keeper = docs.filter(col("doc_id") === expected1.min)
+
+    // batch 1: the fresh split. batch 2: an exact copy of that admitted doc
+    // under a new id, plus a genuinely novel document.
+    val novelText = (1 to 60).map(i => s"zqx${i}glorp").mkString(" ")
+    val b2 = keeper.withColumn("doc_id", col("doc_id") + 2000000L)
+      .union(keeper
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("text", lit(novelText)))
+    def partFiles() = new java.io.File(in).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).toSet
+    fresh.coalesce(1).write.mode("append").parquet(in)
+    val files1 = partFiles()
+    b2.coalesce(1).write.mode("append").parquet(in)
+    val files2 = partFiles() -- files1
+    // file source orders by mtime — force batch 1 strictly before batch 2
+    val t0 = System.currentTimeMillis() - 60000
+    files1.foreach(_.setLastModified(t0))
+    files2.foreach(_.setLastModified(t0 + 30000))
+
+    val q = StreamingDaemon.ingestDedupLoop(spark, in, corpusSigs, out, ckp, sig)
+    q.awaitTermination()
+
+    val kept = spark.read.parquet(s"$out/batch=*").select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    // the cross-batch clone lost to its batch-1 original...
+    assert(!kept.exists(id => id >= 2000000L && id < 3000000L),
+      s"cross-batch near-dup admitted: ${kept.filter(id => id >= 2000000L && id < 3000000L)}")
+    // ...while the novel doc of the SAME later batch was admitted
+    assert(kept.exists(_ >= 3000000L), "novel batch-2 doc was wrongly rejected")
+    // and batch 1 behaves exactly like the single-batch gate
+    assert(kept.filter(_ < 2000000L) == expected1)
   }
 
   test("statefulLww folds new versions into O(keys) state across micro-batches") {
