@@ -324,6 +324,39 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // X2g': dedup OPS REPORT — the dashboard of a production dedup run over
+    // the same provenance q_dedup_keep materializes: cluster-size histogram
+    // (one row per size) plus an overall total row (cluster_size = -1), with
+    // docs removed, dup rate, and chars removed per bucket. Two aggregations
+    // over data already shrunk to one row per cluster — the expensive part
+    // (labels) is the shared memoized artifact, so at 100 TB this report
+    // costs one pass over the cluster table, not the corpus.
+    "q_dedup_stats" -> ((s, d) => {
+      val labels = clusterLabels(s, d)
+      val clusters = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).as("sz"),
+          sum(col("n_chars")).as("chars_all"),
+          min_by(col("n_chars"), col("doc_id")).as("chars_keeper"))
+      clusters
+        .rollup(col("sz"))
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1).as("n_removed"),
+          sum(col("chars_all") - col("chars_keeper")).as("chars_removed"))
+        .select(
+          coalesce(col("sz"), lit(-1L)).as("cluster_size"),
+          col("n_clusters"), col("n_docs"), col("n_removed"),
+          round(col("n_removed").cast("double") / col("n_docs"), 6).as("dup_rate"),
+          col("chars_removed"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // X2b': MinHash signatures via the typed Aggregator rung of the
     // extension ladder (SURVEY.md §2.12): same hash family and output as the
     // DataFrame min-over-affine formulation in bandBuckets (property-tested
@@ -841,6 +874,24 @@ object TextQueries extends QueryPack {
          |       min_by(n_chars, m.doc_id) AS n_chars,
          |       CAST(count(*) AS BIGINT) AS n_members
          |FROM m GROUP BY cluster_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_stats" ->
+      s"""WITH RECURSIVE $reachCtes,
+         |lab AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+         |m AS (SELECT d.doc_id, d.n_chars,
+         |             coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |      FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |c AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz,
+         |             CAST(sum(n_chars) AS BIGINT) AS chars_all,
+         |             min_by(n_chars, doc_id) AS chars_keeper
+         |      FROM m GROUP BY cluster_id),
+         |g AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+         |             CAST(sum(sz) AS BIGINT) AS n_docs,
+         |             CAST(sum(sz - 1) AS BIGINT) AS n_removed,
+         |             CAST(sum(chars_all - chars_keeper) AS BIGINT) AS chars_removed
+         |      FROM c GROUP BY ROLLUP (sz))
+         |SELECT coalesce(sz, -1) AS cluster_size, n_clusters, n_docs, n_removed,
+         |       round(n_removed / n_docs, 6) AS dup_rate, chars_removed
+         |FROM g ORDER BY cluster_size""".stripMargin,
     "q_dedup_paragraph" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |p AS (SELECT doc_id,
