@@ -635,20 +635,27 @@ object VectorQueries extends QueryPack {
     // two agree only because the generated fixture text is pure ASCII
     // (verified: single-byte chars only). A multi-byte corpus would need the
     // oracle to slice over CAST(text AS BLOB) instead.
+    // Byte-sliced end to end: the payload is hex(encode(text)) — 2 hex chars
+    // per UTF-8 BYTE — so slicing 64 hex chars is exactly the Spark side's
+    // 32-byte Array[Byte].slice, with no dependence on the fixture being
+    // single-byte ASCII (a frame may split a multi-byte codepoint; that IS
+    // the opaque-bytes semantics, pinned by MediaPipelineSpec's multi-byte
+    // case). This DuckDB build has no substr/slice over BLOB, so the hex
+    // string is the byte-addressable form.
     "q_multimodal_frames" ->
-      """WITH t AS (SELECT doc_id, text,
-        |                  octet_length(CAST(text AS BLOB)) AS nb
+      """WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  length(hex(encode(text))) // 2 AS nb
         |           FROM documents),
         |f AS (SELECT doc_id,
         |             unnest(list_transform(
         |                      list_filter(range(0, nb // 32), i -> i % 2 = 0),
         |                      i -> {'frame_idx': i,
-        |                            'frame': substr(text, CAST(i*32 + 1 AS BIGINT), 32)}),
+        |                            'frame_hex': substr(hx, CAST(i*64 + 1 AS BIGINT), 64)}),
         |                    recursive := true)
         |      FROM t)
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |       CAST(octet_length(CAST(frame AS BLOB)) AS BIGINT) AS frame_bytes,
-        |       substr(hex(CAST(frame AS BLOB)), 1, 8) AS header8
+        |       CAST(length(frame_hex) // 2 AS BIGINT) AS frame_bytes,
+        |       substr(frame_hex, 1, 8) AS header8
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

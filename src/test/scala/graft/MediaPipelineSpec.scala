@@ -37,6 +37,26 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ds.rdd.getNumPartitions == 10)
   }
 
+  test("frames pipeline is byte-addressed on multi-byte text (may split codepoints)") {
+    import spark.implicits._
+    // 'é'/'ö' are 2 UTF-8 bytes each: 26 chars → 32 bytes → 3 full 10-byte
+    // frames, and frame boundaries fall INSIDE codepoints — opaque-bytes
+    // semantics.
+    val text = "héllö wörld héllö wörld éö!"
+    val bytes = text.getBytes("UTF-8")
+    assert(bytes.length > 30 && bytes.length > text.length)
+    val docs = Seq((1L, text, "fr", "test", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = MediaPipeline
+      .sampleFrames(MediaPipeline.fromDocuments(docs), frameBytes = 10, everyK = 1)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    frames.foreach { r =>
+      val idx = r.getInt(1)
+      assert(r.getAs[Array[Byte]]("frame").toSeq == bytes.slice(idx * 10, idx * 10 + 10).toSeq)
+    }
+  }
+
   test("sampleFrames slices every k-th fixed-size frame") {
     val payload = Array.tabulate(100)(_.toByte)
     import spark.implicits._
