@@ -39,11 +39,16 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // Only successful queries are summed: a permanently-failing query's -1.0
-    // sentinel must not SHRINK the total (the bench gate is total-based);
-    // failures are reported separately as a count.
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // A failing query must make the gated total WORSE, never better: simply
+    // omitting it would shrink a total-based comparison by the query's whole
+    // runtime. Each failure therefore adds a conservative stand-in — twice
+    // the slowest successful query this run, floored at 30 s — on top of the
+    // successful-query sum. The `failed` count still travels separately for
+    // drivers that gate on it directly.
+    val okTotal = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
+    val slowest = results.map(_._2).foldLeft(0.0)(math.max)
+    val total = okTotal + failed * math.max(2.0 * slowest, 30.0)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the line goes to stdout (which
