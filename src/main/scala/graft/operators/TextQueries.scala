@@ -749,6 +749,87 @@ object TextQueries extends QueryPack {
         .orderBy(col("split"))
     }),
 
+    // X4k: stratified sampling — per-language admission rates from a tiny
+    // rate table (a real pipeline's sampling config), joined BROADCAST onto
+    // the corpus, admission decided by the portable hash of the doc id (not
+    // rand(): stable under reruns, shuffles, and corpus growth). One
+    // broadcast join + one groupBy — no shuffle of the corpus beyond the
+    // final per-language rollup, so the shape is flat at 100 TB.
+    "q_sample_stratified" -> ((s, d) => {
+      val rates = s.createDataFrame(Seq(
+        ("de", 10), ("en", 50), ("es", 30), ("fr", 5), ("zh", 20)
+      )).toDF("lang", "rate_pct")
+      val h = TextFns.rollingHash(concat(lit("strat:"), col("doc_id").cast("string")))
+      Tables.documents(s, d)
+        .join(broadcast(rates), "lang")
+        .withColumn("admit", when(pmod(h, lit(100)) < col("rate_pct"), 1L).otherwise(0L))
+        .groupBy(col("lang"), col("rate_pct"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(col("admit")).as("n_sampled"))
+        .withColumn("achieved_pct", round(col("n_sampled") * lit(100.0) / col("n_total"), 4))
+        .orderBy(col("lang"))
+    }),
+
+    // X6: duplicated-passage mining (the exact-substring-dedup signal of
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better"): every rolling 10-token gram per doc (one O(|text|)
+    // TokenShingles evaluation — same expression the near-dup family uses),
+    // grouped corpus-wide; grams occurring in >1 document are duplicated
+    // passages. Top-100 by spread keeps the output a bounded report.
+    //
+    // Scale posture: generate → partial agg (map-side combine collapses a
+    // doc's internal repeats) → one shuffle on the gram → TakeOrdered. At
+    // 100 TB the group key would be xxhash64(gram) (8 bytes instead of the
+    // string); the string key here keeps the DuckDB oracle portable, and
+    // the plan shape is identical either way.
+    "q_dedup_substring" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.shinglesFromText(col("text"), 10)).as("gram"))
+        .groupBy(col("gram"))
+        .agg(
+          count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+        .limit(100)
+    }),
+
+    // X4l: Gopher quality-rule battery (Rae et al. 2021, table A1 shape):
+    // per-doc boolean rule flags + the composite keep decision, so the
+    // downstream filter is auditable per rule (the production form — you
+    // track WHICH rule rejected how many docs, not just a final score).
+    // Bounds are the fixture-calibrated stand-ins for Gopher's published
+    // ones (word count 50-100k, mean word length 3-10, ≥2 stopwords,
+    // top-word concentration) chosen so every rule fires both ways here.
+    //
+    // The repetition rule is a per-row HOF (count of the most frequent
+    // token), NOT a tokenize→groupBy→join-back: O(distinct·len) inside one
+    // codegen'd projection, zero shuffles — the shape that stays flat at
+    // 100 TB where the groupBy form pays two corpus-wide shuffles.
+    "q_text_gopher" -> ((s, d) => {
+      val toks = TextFns.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), toks.as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          round((col("n_chars") - (size(col("toks")) - 1)) / size(col("toks")), 4)
+            .as("mean_wlen"),
+          TextFns.stopwordCount(col("toks")).cast("long").as("n_stop"),
+          array_max(transform(array_distinct(col("toks")),
+            u => size(filter(col("toks"), x => x === u)))).cast("long").as("top_word_n"))
+        .withColumn("top_word_ratio", round(col("top_word_n") / col("n_tok"), 4))
+        .withColumn("r_ntok", (col("n_tok") >= 15 && col("n_tok") <= 90).cast("long"))
+        .withColumn("r_wlen", (col("mean_wlen") >= 4.0 && col("mean_wlen") <= 5.0).cast("long"))
+        .withColumn("r_stop", (col("n_stop") >= 2).cast("long"))
+        .withColumn("r_rep", (col("top_word_ratio") <= 0.2).cast("long"))
+        .withColumn("keep",
+          (col("r_ntok") + col("r_wlen") + col("r_stop") + col("r_rep") === 4).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X4e: TF-IDF top-3 terms per doc — tf from one token groupBy; df derived
     // FROM tf (tf already holds one row per distinct (doc, term), so
     // df = count per term over tf) — the corpus is read and tokenized exactly
@@ -1119,6 +1200,50 @@ object TextQueries extends QueryPack {
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sample_stratified" ->
+      s"""WITH r AS (SELECT * FROM (VALUES ('de', 10), ('en', 50), ('es', 30),
+         |                                 ('fr', 5), ('zh', 20)) v(lang, rate_pct)),
+         |k AS (SELECT d.lang, r.rate_pct,
+         |             'strat:' || CAST(d.doc_id AS VARCHAR) AS sk
+         |      FROM documents d JOIN r ON d.lang = r.lang),
+         |m AS (SELECT lang, rate_pct,
+         |             CASE WHEN ${rhSql("sk")} % 100 < rate_pct THEN 1 ELSE 0 END AS admit
+         |      FROM k)
+         |SELECT lang, CAST(rate_pct AS INT) AS rate_pct,
+         |       CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(sum(admit) AS BIGINT) AS n_sampled,
+         |       round(sum(admit) * 100.0 / count(*), 4) AS achieved_pct
+         |FROM m GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ts[i:i+9], ' ') AS gram
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 8)) AS i) r),
+        |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
+        |             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |             min(doc_id) AS first_doc
+        |      FROM g GROUP BY 1)
+        |SELECT gram, n_occ, n_docs, first_doc FROM d WHERE n_docs > 1
+        |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 100""".stripMargin,
+    "q_text_gopher" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ts FROM documents),
+        |m AS (SELECT doc_id,
+        |             CAST(len(ts) AS BIGINT) AS n_tok,
+        |             round((n_chars - (len(ts) - 1)) / len(ts), 4) AS mean_wlen,
+        |             CAST(len(list_filter(ts, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+        |             CAST(list_max(list_transform(list_distinct(ts),
+        |                    u -> len(list_filter(ts, x -> x = u)))) AS BIGINT) AS top_word_n
+        |      FROM t),
+        |f AS (SELECT *, round(top_word_n / n_tok, 4) AS top_word_ratio FROM m)
+        |SELECT doc_id, n_tok, mean_wlen, n_stop, top_word_n, top_word_ratio,
+        |       CAST(n_tok >= 15 AND n_tok <= 90 AS BIGINT) AS r_ntok,
+        |       CAST(mean_wlen >= 4.0 AND mean_wlen <= 5.0 AS BIGINT) AS r_wlen,
+        |       CAST(n_stop >= 2 AS BIGINT) AS r_stop,
+        |       CAST(top_word_ratio <= 0.2 AS BIGINT) AS r_rep,
+        |       CAST((CAST(n_tok >= 15 AND n_tok <= 90 AS BIGINT)
+        |           + CAST(mean_wlen >= 4.0 AND mean_wlen <= 5.0 AS BIGINT)
+        |           + CAST(n_stop >= 2 AS BIGINT)
+        |           + CAST(top_word_ratio <= 0.2 AS BIGINT)) = 4 AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -154,4 +154,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val s = formatted("q_scan_project")
     assert(s.contains("WholeStageCodegen"), s.take(500))
   }
+
+  test("q_dedup_substring: one corpus scan, map-side combine, top-k not a global sort") {
+    val df = SparkEntry.queries("q_dedup_substring")(spark, d)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collectLeaves().size == 1, plan.toString) // documents read ONCE
+    val p = plan.toString
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // bounded report, no Sort+Limit
+    // partial+final aggregation pair: a doc's internal repeats collapse
+    // map-side before the gram shuffle.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_text_gopher: zero shuffles — the rule battery is one codegen'd projection") {
+    val df = SparkEntry.queries("q_text_gopher")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"), p) // only the final presentation sort
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
 }
