@@ -135,6 +135,21 @@ object TextQueries extends QueryPack {
     edgeCache.get(graft.sources.Memo.key(s, d, "documents"))(
       bandPairs(s, d).distinct().localCheckpoint())
 
+  /** Rolling 10-gram occurrence table (doc_id, gram) — the shared input of
+    * the exact-substring family (q_dedup_substring, q_dedup_substring_frac).
+    * Materialized once per (snapshot, fingerprint): the frac query consumes
+    * it from THREE branches (per-doc totals, the dup-gram set, the join
+    * back), and without the checkpoint each branch re-tokenizes the corpus —
+    * the same no-CSE-across-join trap TF-IDF hit in round 2.
+    */
+  private val gramCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private def docGrams10(s: org.apache.spark.sql.SparkSession, d: String) =
+    gramCache.get(graft.sources.Memo.key(s, d, "documents") + "#grams10")(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFns.shinglesFromText(col("text"), 10)).as("gram"))
+        .localCheckpoint())
+
   /** 16-bit SimHash signature per doc (token-hash bit votes), shared by the
     * signature dump (q_dedup_simhash) and the pairing pass
     * (q_dedup_simhash_pairs).
@@ -784,8 +799,7 @@ object TextQueries extends QueryPack {
     // string); the string key here keeps the DuckDB oracle portable, and
     // the plan shape is identical either way.
     "q_dedup_substring" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFns.shinglesFromText(col("text"), 10)).as("gram"))
+      docGrams10(s, d)
         .groupBy(col("gram"))
         .agg(
           count(lit(1)).as("n_occ"),
@@ -793,6 +807,36 @@ object TextQueries extends QueryPack {
           min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
+        .limit(100)
+    }),
+
+    // X6b: the doc-level filter signal derived from passage mining — per
+    // document, the fraction of its rolling 10-grams that also occur in at
+    // least one OTHER document. This is the number the Lee et al. pipeline
+    // thresholds to drop boilerplate-heavy docs; q_dedup_substring is the
+    // corpus-wide report, this is the per-row decision input.
+    //
+    // Shape: the materialized gram table ([[docGrams10]]) feeds a tiny
+    // per-doc total AND the cross-doc duplicated-gram set (distinct-doc
+    // count > 1); the dup set joins back gram-keyed. Every shuffle keys on
+    // the gram or the doc id — nothing broadcast grows with the corpus, so
+    // the plan is flat at 100 TB.
+    "q_dedup_substring_frac" -> ((s, d) => {
+      val grams = docGrams10(s, d)
+      val perDoc = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_gram"))
+      val dupGrams = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("gram"))
+      val dupPerDoc = grams.join(dupGrams, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup"))
+      perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_gram"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+        .withColumn("dup_frac", round(col("n_dup") / col("n_gram"), 4))
+        .orderBy(col("dup_frac").desc, col("doc_id"))
         .limit(100)
     }),
 
@@ -1224,6 +1268,18 @@ object TextQueries extends QueryPack {
         |      FROM g GROUP BY 1)
         |SELECT gram, n_occ, n_docs, first_doc FROM d WHERE n_docs > 1
         |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 100""".stripMargin,
+    "q_dedup_substring_frac" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ts[i:i+9], ' ') AS gram
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 8)) AS i) r),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_gram FROM g GROUP BY 1),
+        |dg AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |dd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |       FROM g JOIN dg USING (gram) GROUP BY 1)
+        |SELECT pd.doc_id, pd.n_gram, coalesce(dd.n_dup, 0) AS n_dup,
+        |       round(coalesce(dd.n_dup, 0) / pd.n_gram, 4) AS dup_frac
+        |FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id
+        |ORDER BY dup_frac DESC, pd.doc_id LIMIT 100""".stripMargin,
     "q_text_gopher" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ts FROM documents),
         |m AS (SELECT doc_id,

@@ -167,6 +167,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q_dedup_substring_frac: all branches read the materialized gram table, not the corpus") {
+    // Three consumers (per-doc totals, dup-gram set, join back) of the
+    // 10-gram table: without the checkpoint each branch re-tokenizes the
+    // corpus (no CSE across a join's sides — the round-2 TF-IDF lesson).
+    val df = SparkEntry.queries("q_dedup_substring_frac")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!"FileScan parquet [^\\n]*documents".r.findAllIn(p).hasNext, p)
+  }
+
   test("q_text_gopher: zero shuffles — the rule battery is one codegen'd projection") {
     val df = SparkEntry.queries("q_text_gopher")(spark, d)
     val p = df.queryExecution.executedPlan.toString
