@@ -133,6 +133,47 @@ object JoinQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // J8: skew-mitigated fact⋈fact join — the two-path "skew hint" shape
+    // for power-law keys (one crawl domain owning 20% of rows melts one
+    // reducer in a plain shuffle join; AQE's skew split handles moderate
+    // cases, deliberate salting is the guaranteed form). Keys above a
+    // frequency threshold take the salted path: their fact rows get a
+    // deterministic salt in [0, S), the other side's hot rows replicate S×,
+    // and the join keys on (key, salt) — S-way parallelism per hot key.
+    // Cold keys take the plain sort-merge path; union, then aggregate.
+    // Result is row-identical to the plain join, so the oracle IS the plain
+    // join. The hot-key table is exact-counted here (deterministic, tiny,
+    // localCheckpoint'ed once and broadcast to all four consumers);
+    // production would sample or read AQE runtime stats.
+    "q_join_skew_salted" -> ((s, d) => {
+      val S = 8
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      val hotKeys = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("k_n"))
+        .filter(col("k_n") >= 8).select(col("l_orderkey").as("hk"))
+        .localCheckpoint()
+      val liHot = li.join(broadcast(hotKeys), col("l_orderkey") === col("hk"))
+        .drop("hk")
+        .withColumn("salt", pmod(hash(col("l_extendedprice"), col("l_discount")), lit(S)))
+      val ordHot = ord.join(broadcast(hotKeys), col("o_orderkey") === col("hk"))
+        .drop("hk")
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      val hot = liHot.join(ordHot,
+        liHot("l_orderkey") === ordHot("o_orderkey") && liHot("salt") === ordHot("salt"))
+      val cold = li.join(broadcast(hotKeys), col("l_orderkey") === col("hk"), "left_anti")
+        .join(ord.join(broadcast(hotKeys), col("o_orderkey") === col("hk"), "left_anti"),
+          col("l_orderkey") === col("o_orderkey"))
+      val cols = Seq(col("o_orderpriority"), col("l_extendedprice"), col("l_discount"))
+      hot.select(cols: _*).unionByName(cold.select(cols: _*))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Cross traversal: the reference's regions × families nested loop
     // (QHBaseCompact.java:144-146) — tiny dims only, broadcast NLJ.
     "q_join_cross" -> ((s, d) => {
@@ -198,6 +239,12 @@ object JoinQueries extends QueryPack {
         |  FROM vp)
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "q_join_skew_salted" ->
+      """SELECT o_orderpriority,
+        |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_cross" ->
       """SELECT r_name, event_type
         |FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events)

@@ -764,6 +764,27 @@ object TextQueries extends QueryPack {
         .orderBy(col("split"))
     }),
 
+    // X4m: corpus card — the (lang × source) rollup dashboard a dataset
+    // release ships: doc counts, char and token volumes at every grouping
+    // level (per cell, per language, grand total) in ONE pass via grouping
+    // sets (single Expand, no three-scan union — the q_groupingsets_report
+    // discipline applied to the corpus).
+    "q_corpus_report" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        .rollup(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tok")).as("total_tokens"))
+        .select(
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("total_chars"), col("total_tokens"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // X4k: stratified sampling — per-language admission rates from a tiny
     // rate table (a real pipeline's sampling config), joined BROADCAST onto
     // the corpus, admission decided by the portable hash of the doc id (not
@@ -1244,6 +1265,13 @@ object TextQueries extends QueryPack {
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_corpus_report" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang, source""".stripMargin,
     "q_sample_stratified" ->
       s"""WITH r AS (SELECT * FROM (VALUES ('de', 10), ('en', 50), ('es', 30),
          |                                 ('fr', 5), ('zh', 20)) v(lang, rate_pct)),

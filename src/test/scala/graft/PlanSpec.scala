@@ -176,6 +176,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!"FileScan parquet [^\\n]*documents".r.findAllIn(p).hasNext, p)
   }
 
+  test("q_join_skew_salted: salted hot path (replicating Generate) + cold path united, no cartesian") {
+    val df = SparkEntry.queries("q_join_skew_salted")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode"), p) // the S-way hot-side replication
+    assert(p.contains("Union"), p)            // hot and cold paths
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_text_gopher: zero shuffles — the rule battery is one codegen'd projection") {
     val df = SparkEntry.queries("q_text_gopher")(spark, d)
     val p = df.queryExecution.executedPlan.toString
