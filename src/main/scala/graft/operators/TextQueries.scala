@@ -785,6 +785,84 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // X4n: length-outlier flagging — per-language z-score of n_chars against
+    // the group moments. The moments table is lang-cardinality-tiny, so the
+    // apply pass is a BROADCAST join + codegen'd projection: the corpus is
+    // scanned once and never shuffled (the window-free two-pass z-score — a
+    // per-lang Window.partitionBy would funnel 100 TB through 5 sort tasks,
+    // the exact W1 trap q_window_rank's salted rewrite removed).
+    "q_text_outliers" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      val stats = docs.groupBy(col("lang")).agg(
+        avg(col("n_chars")).as("mu"), stddev_pop(col("n_chars")).as("sigma"))
+      docs.join(broadcast(stats), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round((col("n_chars") - col("mu")) / col("sigma"), 4).as("z"))
+        .withColumn("is_outlier", when(abs(col("z")) > 1.5, 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4o: quality-scorer calibration — per-language simple linear
+    // regression of the heuristic quality score on ln(doc length), closed
+    // form from the second-moment aggregates (slope = cov/var, intercept
+    // from the means, r = correlation). Training is ONE partial-aggregated
+    // pass over the corpus — the moments are merged map-side and the model
+    // is lang-cardinality rows — so "fit a scorer on 100 TB" is a single
+    // shuffle of 5 tiny states, not an iterative solver. Oracle uses
+    // DuckDB's regr_slope/regr_intercept over the same (x, y) pairs.
+    "q_text_quality_lr" -> ((s, d) => {
+      val xy = Tables.documents(s, d)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .select(col("lang"), log(col("n_chars")).as("x"),
+          ((lit(1.0) - TextFns.stopwordCount(col("toks")) / size(col("toks")))
+            * least(size(col("toks")) / lit(100.0), lit(1.0))).as("y"))
+      val slope = covar_pop(col("x"), col("y")) / var_pop(col("x"))
+      xy.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(slope, 6).as("slope"),
+          round(avg(col("y")) - slope * avg(col("x")), 6).as("intercept"),
+          round(corr(col("x"), col("y")), 6).as("r"))
+        .orderBy(col("lang"))
+    }),
+
+    // X4p: DSIR-style importance weighting (Xie et al. 2023, "Data
+    // Selection via Importance Resampling"): score every doc by the mean
+    // per-token log-likelihood ratio between a TARGET-domain unigram LM
+    // (here: the English slice) and the raw-corpus LM, add-1 smoothed over
+    // the shared vocabulary. Both LMs are vocab-bounded count tables
+    // (never corpus-sized), the scored LM broadcasts onto the token
+    // stream, and the per-doc score is one partial-aggregated avg — the
+    // same two-pass train+apply shape as q_text_unigram_lp, with the
+    // ratio replacing the raw log-prob. keep = (rounded) weight > 0,
+    // i.e. the doc looks more target-like than corpus-average.
+    "q_text_dsir" -> ((s, d) => {
+      val tok = docTokens(s, d)
+      val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("cc")).localCheckpoint()
+      val scalars = corpus.agg(sum(col("cc")).as("nc"), count(lit(1)).as("v"))
+        .crossJoin(tok.filter(col("lang") === "en")
+          .agg(count(lit(1)).as("nt")))
+      val target = tok.filter(col("lang") === "en")
+        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      // Per-word LLR is carried as an exact micro-unit LONG (round(llr*1e6))
+      // so the per-doc sum is order-independent integer arithmetic — a
+      // double avg() here differed from DuckDB in the 6th decimal on
+      // boundary values because FP summation order differs between engines.
+      val lm = corpus.join(target, Seq("w"), "left_outer")
+        .crossJoin(broadcast(scalars))
+        .select(col("w"),
+          round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + col("v")))
+            - log((col("cc") + lit(1.0)) / (col("nc") + col("v")))) * lit(1e6))
+            .cast("long").as("llr6"))
+      tok.join(broadcast(lm), "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("llr6")).as("s6"))
+        .select(col("doc_id"), col("n_tok"),
+          round((col("s6") / col("n_tok")) / lit(1e6), 6).as("dsir_w"),
+          when(col("s6") > 0, 1L).otherwise(0L).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X4k: stratified sampling — per-language admission rates from a tiny
     // rate table (a real pipeline's sampling config), joined BROADCAST onto
     // the corpus, admission decided by the portable hash of the doc id (not
@@ -1272,6 +1350,41 @@ object TextQueries extends QueryPack {
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY lang, source""".stripMargin,
+    "q_text_outliers" ->
+      """WITH s AS (SELECT lang, avg(n_chars) AS mu, stddev_pop(n_chars) AS sigma
+        |           FROM documents GROUP BY 1)
+        |SELECT doc_id, lang, n_chars,
+        |       round((n_chars - mu) / sigma, 4) AS z,
+        |       CAST(CASE WHEN abs(round((n_chars - mu) / sigma, 4)) > 1.5
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM documents JOIN s USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_quality_lr" ->
+      """WITH xy AS (SELECT lang, ln(n_chars) AS x,
+        |                   (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+        |                          / len(string_split(text, ' ')))
+        |                   * least(len(string_split(text, ' ')) / 100.0, 1.0) AS y
+        |            FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(regr_slope(y, x), 6) AS slope,
+        |       round(regr_intercept(y, x), 6) AS intercept,
+        |       round(corr(y, x), 6) AS r
+        |FROM xy GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS cc FROM tok GROUP BY 1),
+        |t AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |s AS (SELECT (SELECT sum(cc) FROM c) AS nc, (SELECT count(*) FROM c) AS v,
+        |             (SELECT count(*) FROM tok WHERE lang = 'en') AS nt),
+        |lm AS (SELECT c.w,
+        |              CAST(round((ln((coalesce(t.ct, 0) + 1.0) / (s.nt + s.v))
+        |                          - ln((c.cc + 1.0) / (s.nc + s.v))) * 1e6) AS BIGINT) AS llr6
+        |       FROM c LEFT JOIN t USING (w), s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |       round((sum(llr6) / count(*)) / 1e6, 6) AS dsir_w,
+        |       CAST(CASE WHEN sum(llr6) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM tok JOIN lm USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       s"""WITH r AS (SELECT * FROM (VALUES ('de', 10), ('en', 50), ('es', 30),
          |                                 ('fr', 5), ('zh', 20)) v(lang, rate_pct)),

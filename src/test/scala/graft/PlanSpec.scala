@@ -184,6 +184,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_text_outliers: moments applied via broadcast join, no window, no corpus shuffle join") {
+    val df = SparkEntry.queries("q_text_outliers")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p) // tiny moments table broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+  }
+
+  test("q_text_dsir: LMs broadcast onto the token stream — no shuffle join, no cartesian blowup") {
+    val df = SparkEntry.queries("q_text_dsir")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p) // vocab-bounded LM is the build side
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_gopher: zero shuffles — the rule battery is one codegen'd projection") {
     val df = SparkEntry.queries("q_text_gopher")(spark, d)
     val p = df.queryExecution.executedPlan.toString
