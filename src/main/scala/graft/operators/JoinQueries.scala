@@ -174,6 +174,31 @@ object JoinQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // J9: runtime bloom-filter pushdown — the selective-dimension shuffle
+    // join where Spark's InjectRuntimeFilter builds a bloom filter from the
+    // filtered orders side and pushes BloomFilterMightContain into the
+    // lineitem scan, so non-qualifying fact rows die at the scan instead of
+    // crossing the shuffle (at 100 TB the shuffle IS the cost — a 1/5
+    // selective dim filter cuts shuffled bytes ~5×). Runs in an isolated
+    // newSession(): broadcast disabled to force the shuffle-join shape this
+    // optimization exists for (at fixture scale the dim would broadcast and
+    // need no bloom), and the application-side size gate (default 10 GB)
+    // lowered to fixture scale. Production keeps the defaults — the gates
+    // exist precisely so the rewrite only fires where the scan is huge.
+    "q_join_bloom" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      val li = Tables.lineitem(s2, d).select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.orders(s2, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("total_qty"))
+    }),
+
     // Cross traversal: the reference's regions × families nested loop
     // (QHBaseCompact.java:144-146) — tiny dims only, broadcast NLJ.
     "q_join_cross" -> ((s, d) => {
@@ -245,6 +270,11 @@ object JoinQueries extends QueryPack {
         |       CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_bloom" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "q_join_cross" ->
       """SELECT r_name, event_type
         |FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events)

@@ -306,6 +306,37 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // X2k: PageRank centrality over the near-dup similarity graph — the
+    // graph-quality signal of a crawl pipeline (CommonCrawl ranks domains by
+    // harmonic/PageRank centrality; here the same shape ranks documents by
+    // how central they sit in the similarity graph). Fixed 3 power
+    // iterations at damping 0.85 over the memoized LSH candidate edges
+    // (undirected → both directions), restricted to nodes with at least one
+    // edge, no dangling mass by construction. Each iteration is ONE shuffle
+    // (join rank onto edges, re-aggregate by destination) — the standard
+    // distributed PageRank; iterations are a fixed constant, so the 100 TB
+    // cost is 3 bounded passes over the edge list, never a convergence loop.
+    // The oracle unrolls the same 3 iterations as CTEs.
+    "q_graph_pagerank" -> ((s, d) => {
+      val und = bandPairs(s, d).distinct()
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val edges = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val e2 = edges.join(deg, "u")
+        .select(col("u"), col("v"), col("deg")).localCheckpoint()
+      val nC = deg.agg(count(lit(1)).cast("double").as("nn"))
+      var r = deg.crossJoin(broadcast(nC))
+        .select(col("u").as("nd"), (lit(1.0) / col("nn")).as("pr"))
+      for (_ <- 1 to 3) {
+        r = e2.join(r, e2("u") === r("nd"))
+          .groupBy(col("v")).agg(sum(col("pr") / col("deg")).as("m"))
+          .crossJoin(broadcast(nC))
+          .select(col("v").as("nd"), (lit(0.15) / col("nn") + lit(0.85) * col("m")).as("pr"))
+      }
+      r.select(col("nd").as("doc_id"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X2f: duplicate CLUSTERS — connected components over the MinHash
     // candidate graph, the pass that turns pairwise near-dup hits into
     // keep/drop groups (cluster_id = min doc_id of the component, the
@@ -1088,6 +1119,34 @@ object TextQueries extends QueryPack {
       s"""WITH RECURSIVE $reachCtes
          |SELECT v AS doc_id, min(u) AS cluster_id
          |FROM reach GROUP BY v ORDER BY v""".stripMargin,
+    "q_graph_pagerank" ->
+      s"""WITH $shCte,
+         |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
+         |mh AS (SELECT doc_id, r.i AS i,
+         |              min(((3 + 2*r.i) * h + (7 + 11*r.i)) % 1000000007) AS minh
+         |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
+         |          FROM mh GROUP BY 1, 2),
+         |sized AS (SELECT * FROM bands
+         |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM sized x JOIN sized y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |e AS (SELECT a AS u, b AS v FROM cand UNION ALL SELECT b, a FROM cand),
+         |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+         |r0 AS (SELECT u AS nd, 1.0 / (SELECT nn FROM n) AS pr FROM deg),
+         |r1 AS (SELECT e.v AS nd,
+         |              0.15 / (SELECT nn FROM n) + 0.85 * sum(r0.pr / deg.deg) AS pr
+         |       FROM e JOIN r0 ON e.u = r0.nd JOIN deg ON e.u = deg.u GROUP BY e.v),
+         |r2 AS (SELECT e.v AS nd,
+         |              0.15 / (SELECT nn FROM n) + 0.85 * sum(r1.pr / deg.deg) AS pr
+         |       FROM e JOIN r1 ON e.u = r1.nd JOIN deg ON e.u = deg.u GROUP BY e.v),
+         |r3 AS (SELECT e.v AS nd,
+         |              0.15 / (SELECT nn FROM n) + 0.85 * sum(r2.pr / deg.deg) AS pr
+         |       FROM e JOIN r2 ON e.u = r2.nd JOIN deg ON e.u = deg.u GROUP BY e.v)
+         |SELECT nd AS doc_id, round(pr, 6) AS pr FROM r3 ORDER BY doc_id""".stripMargin,
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $reachCtes,
          |lab AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),

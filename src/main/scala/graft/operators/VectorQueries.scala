@@ -143,6 +143,56 @@ object VectorQueries extends QueryPack {
     embedPairsCache.get(graft.sources.Memo.key(s, d, "embeddings"))(
       embedCandidates(s, d).localCheckpoint())
 
+  /** Long-form subvector view for product quantization: (vec_id, m, sv)
+    * with M=4 subspaces of 16 dims each. One projection, no shuffle.
+    */
+  private def pqSubs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), explode(array((0 until 4).map(m =>
+        struct(lit(m).cast("long").as("m"),
+          slice(col("embedding"), m * 16 + 1, 16).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+
+  /** Squared L2 distance in exact MICRO-UNIT longs: round((|a|²+|b|²-2a·b)
+    * ·1e6). All argmin/top-k comparisons downstream are integer compares and
+    * the ADC sum is integer addition — cross-engine deterministic (the
+    * double-sum order hazard q_text_dsir hit, preempted).
+    */
+  private def d2u(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    round((VectorFns.dot(a, a) + VectorFns.dot(b, b)
+      - lit(2.0) * VectorFns.dot(a, b)) * lit(1e6)).cast("long")
+
+  /** PQ codebooks, TRAINED: K=4 codes per subspace, seeds = the subvectors
+    * of vec_id 1..4, ONE Lloyd iteration (µ-unit L2 assignment with (du,
+    * code) tie-break, element-wise mean rounded to 6 dp and cast back to
+    * float32 — the [[trainCentroids]] discipline per subspace). Emptied
+    * codes keep their seed (left join + coalesce). 16-row artifact,
+    * memoized: the codebook is a per-snapshot model, trained once.
+    */
+  private val pqCbCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private def pqCodebooks(s: org.apache.spark.sql.SparkSession, d: String) =
+    pqCbCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pq") {
+      val seeds = pqSubs(s, d).filter(col("vec_id").between(1, 4))
+        .select(col("m"), col("vec_id").as("code"), col("sv").as("ce"))
+        .localCheckpoint()
+      val assigned = pqSubs(s, d).join(broadcast(seeds), Seq("m"))
+        .withColumn("du", d2u(col("sv"), col("ce")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(struct(col("code"), col("sv")), struct(col("du"), col("code"))).as("a"))
+        .select(col("m"), col("a.code").as("code"), col("a.sv").as("sv"))
+      val means = assigned
+        .select(col("m"), col("code"), posexplode(col("sv")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mv"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("mv")))),
+          p => round(p.getField("mv"), 6).cast("float")).as("nce"))
+      seeds.join(means, Seq("m", "code"), "left")
+        .select(col("m"), col("code"), coalesce(col("nce"), col("ce")).as("ce"))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, Q] = Map(
     // X3 baseline: brute-force cosine top-10 vs probe vec_id=0. O(n·d) scan —
     // correct at any scale, and the yardstick the ANN path is judged against.
@@ -337,6 +387,41 @@ object VectorQueries extends QueryPack {
         .unionAll(recallRow(ivf, "ivf"))
         .unionAll(recallRow(ivf2, "ivf2"))
         .orderBy(col("method"))
+    }),
+
+    // X3d: product quantization (Jégou et al. 2011) — the third ANN index
+    // family (after sign-LSH and IVF): vectors compress to M=4 one-byte
+    // codes (16× over float32 here; the memory-bound regime where the
+    // corpus can't hold raw vectors), and probes score by Asymmetric
+    // Distance Computation — per-probe lookup table of 16 precomputed
+    // subspace distances, approx distance = 4 integer adds per candidate.
+    // Scale: codebooks (16 rows) and the per-probe ADC table (320 rows)
+    // BROADCAST; encoding is one broadcast-join pass; the scan is linear
+    // with integer adds — exactly PQ's production cost model. All distances
+    // are exact µ-unit longs ([[d2u]]) so selection is cross-engine
+    // deterministic. The probe partition (bounded, 20 probes) carries the
+    // same documented constraint as the recall harness.
+    "q_simsearch_pq" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cb = pqCodebooks(s, d)
+      val codes = pqSubs(s, d).join(broadcast(cb), Seq("m"))
+        .withColumn("du", d2u(col("sv"), col("ce")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("code"), struct(col("du"), col("code"))).as("code"))
+      val adt = pqSubs(s, d).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("pid"), col("m"), col("sv").as("qsv"))
+        .join(broadcast(cb), Seq("m"))
+        .select(col("pid"), col("m"), col("code"), d2u(col("qsv"), col("ce")).as("pdu"))
+      codes.join(broadcast(adt), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("pid"))
+        .groupBy(col("pid"), col("vec_id"))
+        .agg(sum(col("pdu")).as("adu"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("adu"), col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("pid"), col("vec_id"),
+          round(col("adu") / lit(1e6), 6).as("ad2_r"), col("rn").cast("long").as("rn"))
+        .orderBy(col("pid"), col("rn"))
     }),
 
     // X3c: embedding-table hygiene stats — per-label vector counts and norm
@@ -613,6 +698,38 @@ object VectorQueries extends QueryPack {
          |       round(avg(coalesce(hn, 0) / tn), 6) AS recall
          |FROM grid LEFT JOIN h USING (method, pid)
          |GROUP BY method ORDER BY method""".stripMargin,
+    "q_simsearch_pq" -> {
+      // µ-unit squared-L2 mirror of [[d2u]]: same (|a|²+|b|²-2a·b) form,
+      // same association, rounded to an exact BIGINT before any comparison.
+      def duSql(a: String, b: String): String =
+        s"CAST(round((${dotSql(a, a)} + ${dotSql(b, b)} - 2*${dotSql(a, b)}) * 1e6) AS BIGINT)"
+      s"""WITH sub AS (SELECT vec_id, r.m AS m,
+         |                    list_slice(embedding, r.m*16 + 1, r.m*16 + 16) AS sv
+         |             FROM embeddings CROSS JOIN range(4) r(m)),
+         |seeds AS (SELECT m, vec_id AS code, sv AS ce FROM sub WHERE vec_id BETWEEN 1 AND 4),
+         |du0 AS (SELECT s.vec_id, s.m, e.code, s.sv, ${duSql("s.sv", "e.ce")} AS du
+         |        FROM sub s JOIN seeds e USING (m)),
+         |asg AS (SELECT m, code, sv FROM du0
+         |        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) = 1),
+         |am AS (SELECT m, code, i, round(avg(CAST(sv[i] AS DOUBLE)), 6) AS mv
+         |       FROM asg CROSS JOIN range(1, 17) t(i) GROUP BY 1, 2, 3),
+         |cbm AS (SELECT m, code, list(CAST(mv AS FLOAT) ORDER BY i) AS nce FROM am GROUP BY 1, 2),
+         |cb AS (SELECT s.m, s.code, coalesce(c.nce, s.ce) AS ce
+         |       FROM seeds s LEFT JOIN cbm c USING (m, code)),
+         |du1 AS (SELECT s.vec_id, s.m, c.code, ${duSql("s.sv", "c.ce")} AS du
+         |        FROM sub s JOIN cb c USING (m)),
+         |codes AS (SELECT vec_id, m, code FROM du1
+         |          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) = 1),
+         |adt AS (SELECT p.vec_id AS pid, p.m, c.code, ${duSql("p.sv", "c.ce")} AS pdu
+         |        FROM sub p JOIN cb c USING (m) WHERE p.vec_id < 20),
+         |sc AS (SELECT a.pid, k.vec_id, sum(a.pdu) AS adu
+         |       FROM codes k JOIN adt a ON k.m = a.m AND k.code = a.code AND k.vec_id <> a.pid
+         |       GROUP BY 1, 2),
+         |r AS (SELECT pid, vec_id, adu,
+         |             row_number() OVER (PARTITION BY pid ORDER BY adu, vec_id) AS rn FROM sc)
+         |SELECT pid, vec_id, round(adu / 1e6, 6) AS ad2_r, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 10 ORDER BY pid, rn""".stripMargin
+    },
     "q_vector_stats" ->
       s"""SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
          |       round(avg(${normSql("embedding")}), 6) AS avg_norm,

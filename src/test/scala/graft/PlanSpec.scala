@@ -184,6 +184,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_join_bloom: bloom runtime filter gates the fact scan before the shuffle join") {
+    val df = SparkEntry.queries("q_join_bloom")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p) // InjectRuntimeFilter fired
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q_text_outliers: moments applied via broadcast join, no window, no corpus shuffle join") {
     val df = SparkEntry.queries("q_text_outliers")(spark, d)
     val p = df.queryExecution.executedPlan.toString
