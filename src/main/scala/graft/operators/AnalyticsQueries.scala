@@ -167,6 +167,78 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // §2.10+ behavioral analytics: ORDERED funnel (signup → view → click →
+    // purchase, each stage at-or-after the previous stage's first qualifying
+    // event). Three chained running-min windows over ONE (user_id, ts)
+    // sort — same partition+order spec, so Catalyst collapses them into a
+    // single Exchange+Sort (PlanSpec pins exactly one sort exchange). The
+    // window key is user_id — high-cardinality, so unlike the W1 trap this
+    // partitioning holds at 100 TB (every user's slice is tiny and
+    // independent). Output: one row, users surviving each stage.
+    "q_funnel_stages" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("s1r", min(when(col("event_type") === "signup", col("tus"))).over(w))
+        .withColumn("s2c", when(col("event_type") === "view" && col("tus") >= col("s1r"), col("tus")))
+        .withColumn("s2r", min(col("s2c")).over(w))
+        .withColumn("s3c", when(col("event_type") === "click" && col("tus") >= col("s2r"), col("tus")))
+        .withColumn("s3r", min(col("s3c")).over(w))
+        .withColumn("s4c", when(col("event_type") === "purchase" && col("tus") >= col("s3r"), col("tus")))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("r1"),
+          max(when(col("s2c").isNotNull, 1L).otherwise(0L)).as("r2"),
+          max(when(col("s3c").isNotNull, 1L).otherwise(0L)).as("r3"),
+          max(when(col("s4c").isNotNull, 1L).otherwise(0L)).as("r4"))
+        .agg(sum(col("r1")).as("n_signup"), sum(col("r2")).as("n_view"),
+          sum(col("r3")).as("n_click"), sum(col("r4")).as("n_purchase"))
+    }),
+
+    // §2.10+ cohort retention: users grouped by first-seen day, activity
+    // counted per (cohort day, day offset) — the retention triangle. Two
+    // aggregations: per-user first day (one shuffle on user_id), then the
+    // distinct-user count per cell. Both keys are high-cardinality or
+    // bounded — nothing funnels through a low-cardinality sort at scale.
+    "q_cohort_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+      e.join(cohort, "user_id")
+        .select(col("user_id"), col("c_day"),
+          datediff(col("day"), col("c_day")).cast("long").as("day_offset"))
+        .groupBy(col("c_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .select(unix_micros(col("c_day")).as("cohort_day_us"),
+          col("day_offset"), col("n_active"))
+        .orderBy(col("cohort_day_us"), col("day_offset"))
+    }),
+
+    // §2.10+ time-grid gap fill: densify the per-(day, event_type) daily
+    // rollup onto the full min..max day grid with zero-fill — the
+    // sparse→dense resample every time-series consumer needs. The grid is
+    // days × types (tiny at any corpus scale: it grows with TIME, not data)
+    // built from one scalar bounds row via sequence+explode, broadcast onto
+    // the daily aggregate.
+    "q_time_gapfill" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"), col("event_type"), col("value"))
+      val daily = e.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("tot"))
+      val grid = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+        .crossJoin(e.select(col("event_type")).distinct())
+      // both sides are time-bounded-tiny; the AGGREGATE broadcasts because a
+      // left join can only build its non-preserved (right) side
+      grid.join(broadcast(daily), Seq("day", "event_type"), "left")
+        .select(unix_micros(col("day")).as("day_us"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          round(coalesce(col("tot"), lit(0.0)), 2).as("total"))
+        .orderBy(col("day_us"), col("event_type"))
+    }),
+
     // Skew pattern: salted two-phase aggregation. A hot grouping key melts
     // one reducer at 100 TB; salting spreads the partial aggregation over
     // 16 sub-keys, then the (tiny) final pass merges partials. Result is
@@ -357,6 +429,51 @@ object AnalyticsQueries extends QueryPack {
         |  FROM e)
         |SELECT user_id, min(tus) AS session_start_us, CAST(count(*) AS BIGINT) AS n
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q_funnel_stages" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |a AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN tus END) OVER w AS s1r FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'view' AND tus >= s1r THEN tus END) OVER w AS s2r,
+        |             CASE WHEN event_type = 'view' AND tus >= s1r THEN tus END AS s2c FROM a
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'click' AND tus >= s2r THEN tus END) OVER w AS s3r,
+        |             CASE WHEN event_type = 'click' AND tus >= s2r THEN tus END AS s3c FROM b
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT *, CASE WHEN event_type = 'purchase' AND tus >= s3r THEN tus END AS s4c FROM c),
+        |u AS (SELECT user_id,
+        |             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+        |             max(CASE WHEN s2c IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+        |             max(CASE WHEN s3c IS NOT NULL THEN 1 ELSE 0 END) AS r3,
+        |             max(CASE WHEN s4c IS NOT NULL THEN 1 ELSE 0 END) AS r4
+        |      FROM f GROUP BY user_id)
+        |SELECT CAST(sum(r1) AS BIGINT) AS n_signup, CAST(sum(r2) AS BIGINT) AS n_view,
+        |       CAST(sum(r3) AS BIGINT) AS n_click, CAST(sum(r4) AS BIGINT) AS n_purchase
+        |FROM u""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS c_day FROM e GROUP BY 1)
+        |SELECT epoch_us(c.c_day) AS cohort_day_us,
+        |       CAST(date_diff('day', c.c_day, e.day) AS BIGINT) AS day_offset,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_time_gapfill" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS day, event_type, value FROM events),
+        |daily AS (SELECT day, event_type, count(*) AS n, sum(value) AS tot
+        |          FROM e GROUP BY 1, 2),
+        |grid AS (SELECT unnest(generate_series((SELECT min(day) FROM e),
+        |                                       (SELECT max(day) FROM e),
+        |                                       INTERVAL 1 DAY)) AS day),
+        |g AS (SELECT grid.day, t.event_type
+        |      FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM e) t)
+        |SELECT epoch_us(g.day) AS day_us, g.event_type,
+        |       CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+        |       round(coalesce(d.tot, 0.0), 2) AS total
+        |FROM g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
+        |ORDER BY day_us, g.event_type""".stripMargin,
     "q_pivot_wide" ->
       """SELECT user_id,
         |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

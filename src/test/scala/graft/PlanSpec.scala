@@ -205,6 +205,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_funnel_stages: three chained windows collapse onto ONE sort (same partition+order spec)") {
+    val df = SparkEntry.queries("q_funnel_stages")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert("\\bWindow\\b".r.findAllIn(p).size == 3, p) // the three running mins
+    assert("\\bSort\\b".r.findAllIn(p).size == 1, p)   // but only one user-keyed sort
+  }
+
   test("q_text_gopher: zero shuffles — the rule battery is one codegen'd projection") {
     val df = SparkEntry.queries("q_text_gopher")(spark, d)
     val p = df.queryExecution.executedPlan.toString
