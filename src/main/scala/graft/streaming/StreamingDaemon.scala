@@ -188,6 +188,33 @@ object StreamingDaemon {
       .start()
   }
 
+  /** Stream-stream INTERVAL join (attribution): each purchase joins every
+    * click by the SAME user in the 30 minutes before it — the click-to-
+    * conversion attribution query, and the §2.10 surface the daemon lacked
+    * (all prior joins were stream⋈static). Both sides carry a 1-hour
+    * watermark and the join predicate bounds event time on BOTH ends, so
+    * Spark can size the state store: click state is evicted once older than
+    * watermark + the 30-minute range — O(recent window), never O(stream).
+    * Without the time bound the state store grows forever; that shape is
+    * the streaming analog of an uncapped shuffle and is deliberately
+    * impossible here.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("interval 30 minutes"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("c_ts")).as("c_ts_us"),
+        col("value"))
+  }
+
   // ---- custom state: streaming LWW via mapGroupsWithState ----
 
   case class EventIn(event_id: Long, ts_us: Long, user_id: Long, event_type: String, value: Double)

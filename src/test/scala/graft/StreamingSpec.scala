@@ -38,6 +38,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       batch.orderBy("user_id", "event_type").collect().toSeq)
   }
 
+  test("attributionJoin (stream-stream interval join) matches the batch interval join") {
+    val in  = tmp("attr-in")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // two arrival files so the join spans micro-batches
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+
+    val stream = StreamingDaemon.source(spark, in, ev)
+    val joined = StreamingDaemon.attributionJoin(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"))
+    val q = joined.writeStream
+      .format("memory").queryName("attr_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("attr_out")
+      .select("purchase_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = StreamingDaemon.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .select("purchase_id", "click_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)         // the fixture actually exercises the window
+    assert(streamed == batch)      // stream-stream join = batch interval join
+  }
+
   test("ingestDedupLoop drops in-batch exact dups and corpus near-dups, keeps the rest") {
     val sf = "/root/testdata/sf0.001"
     val in  = tmp("ingest-in")
