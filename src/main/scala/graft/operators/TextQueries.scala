@@ -66,14 +66,19 @@ object TextQueries extends QueryPack {
     bandBucketsOf(shinglesOf(docs))
       .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("skey"))
 
-  /** [[bandBuckets]] over a pre-shingled subset (see [[shinglesOf]]). */
-  private def bandBucketsOf(shingles: org.apache.spark.sql.DataFrame) = {
-    val hs = shingles.drop("n_sh").withColumn("h", TextFns.rollingHash(col("sh")))
-    val mh = hs
+  /** The raw 8-row MinHash signature (doc_id, i, minh) — the sketch itself,
+    * shared by the band-key pipeline and the estimator-quality harness
+    * (q_dedup_minhash_est).
+    */
+  private def minhashSigsOf(shingles: org.apache.spark.sql.DataFrame) =
+    shingles.drop("n_sh").withColumn("h", TextFns.rollingHash(col("sh")))
       .withColumn("i", explode(sequence(lit(0), lit(7))))
       .groupBy(col("doc_id"), col("i"))
       .agg(min(TextFns.affineHash(col("h"), col("i"))).as("minh"))
-    mh
+
+  /** [[bandBuckets]] over a pre-shingled subset (see [[shinglesOf]]). */
+  private def bandBucketsOf(shingles: org.apache.spark.sql.DataFrame) = {
+    minhashSigsOf(shingles)
       .withColumn("band", (col("i") / 2).cast("int"))
       .groupBy(col("doc_id"), col("band"))
       .agg(
@@ -304,6 +309,70 @@ object TextQueries extends QueryPack {
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_bands"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // X2l: MinHash ESTIMATOR quality — for every LSH candidate pair, the
+    // sketch's Jaccard estimate (fraction of the 8 minhash rows that agree)
+    // against the exact 3-gram Jaccard, with the absolute error. The
+    // sketch-fidelity counterpart of q_simsearch_recall: the number a user
+    // tuning signature width actually needs before trusting the sketch at
+    // 100 TB (where exact Jaccard is computable only on candidates). The
+    // signature table is localCheckpoint'ed because BOTH pair endpoints
+    // read it — without the barrier the no-CSE-across-join rule builds the
+    // whole minhash pipeline twice.
+    "q_dedup_minhash_est" -> ((s, d) => {
+      val cands = bandPairs(s, d).distinct()
+      val mh = minhashSigsOf(shinglesOf(Tables.documents(s, d))).localCheckpoint()
+      val agree = cands
+        .join(mh.select(col("doc_id").as("doc_a"), col("i"), col("minh").as("ma")), "doc_a")
+        .join(mh.select(col("doc_id").as("doc_b"), col("i"), col("minh").as("mb")),
+          Seq("doc_b", "i"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("agree8"))
+      val sets = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(TextFns.shinglesFromText(col("text"), 3)).as("shs"))
+        .select(col("doc_id"), col("shs"), size(col("shs")).as("n_sh"))
+      agree
+        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("n_sh").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("n_sh").as("nb")), "doc_b")
+        .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("agree8") / 8.0, 4).as("est_jaccard"),
+          round(col("shared") / (col("na") + col("nb") - col("shared")), 4).as("jaccard"))
+        .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 4))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // X2m: MERGE / upsert — the CDC apply step of a versioned corpus: a
+    // delta of inserts (new ids), updates (changed rows), and delete
+    // tombstones folds into the base via ONE full-outer join on the key
+    // (the join-based MERGE INTO every lakehouse engine executes; at 100 TB
+    // this is one key-partitioned shuffle, and a real deployment would
+    // bucket both sides on doc_id to make it Exchange-free — the
+    // BucketedTables posture). Delta is derived deterministically from the
+    // fixture: %10==7 insert, %10==3 update (+3 chars), %10==5 tombstone.
+    "q_merge_upsert" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("n_chars").as("b_chars"))
+      val delta = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("n_chars").as("d_chars"), lit("I").as("op"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"), (col("n_chars") + 3).as("d_chars"), lit("U").as("op")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id"), lit(0L).as("d_chars"), lit("D").as("op")))
+      base.join(delta, Seq("doc_id"), "full_outer")
+        .withColumn("src",
+          when(col("op") === "D", "deleted")
+            .when(col("op") === "U", "updated")
+            .when(col("op") === "I", "inserted")
+            .otherwise("base"))
+        .filter(col("src") =!= "deleted")
+        .select(col("doc_id"),
+          coalesce(col("d_chars"), col("b_chars")).as("n_chars"),
+          col("src"))
+        .orderBy(col("doc_id"))
     }),
 
     // X2k: PageRank centrality over the near-dup similarity graph — the
@@ -1119,6 +1188,55 @@ object TextQueries extends QueryPack {
       s"""WITH RECURSIVE $reachCtes
          |SELECT v AS doc_id, min(u) AS cluster_id
          |FROM reach GROUP BY v ORDER BY v""".stripMargin,
+    "q_dedup_minhash_est" ->
+      s"""WITH $shCte,
+         |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
+         |mh AS (SELECT doc_id, r.i AS i,
+         |              min(((3 + 2*r.i) * h + (7 + 11*r.i)) % 1000000007) AS minh
+         |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
+         |          FROM mh GROUP BY 1, 2),
+         |sized AS (SELECT * FROM bands
+         |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM sized x JOIN sized y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ag AS (SELECT c.doc_a, c.doc_b,
+         |              sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS agree8
+         |       FROM cand c JOIN mh a ON a.doc_id = c.doc_a
+         |                   JOIN mh b ON b.doc_id = c.doc_b AND b.i = a.i
+         |       GROUP BY 1, 2),
+         |docs AS (SELECT doc_id,
+         |                list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+         |                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         |                       || ' ' || string_split(text, ' ')[i+2])) AS shs
+         |         FROM documents)
+         |SELECT ag.doc_a, ag.doc_b,
+         |       round(agree8 / 8.0, 4) AS est_jaccard,
+         |       round(len(list_intersect(a.shs, b.shs))
+         |             / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) AS jaccard,
+         |       round(abs(round(agree8 / 8.0, 4)
+         |             - round(len(list_intersect(a.shs, b.shs))
+         |                     / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4)), 4) AS abs_err
+         |FROM ag JOIN docs a ON ag.doc_a = a.doc_id
+         |        JOIN docs b ON ag.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, n_chars AS b_chars FROM documents WHERE doc_id % 10 <> 7),
+        |delta AS (SELECT doc_id, n_chars AS d_chars, 'I' AS op FROM documents WHERE doc_id % 10 = 7
+        |          UNION ALL
+        |          SELECT doc_id, n_chars + 3, 'U' FROM documents WHERE doc_id % 10 = 3
+        |          UNION ALL
+        |          SELECT doc_id, 0, 'D' FROM documents WHERE doc_id % 10 = 5)
+        |SELECT coalesce(base.doc_id, delta.doc_id) AS doc_id,
+        |       coalesce(d_chars, b_chars) AS n_chars,
+        |       CASE WHEN op = 'U' THEN 'updated'
+        |            WHEN op = 'I' THEN 'inserted'
+        |            ELSE 'base' END AS src
+        |FROM base FULL OUTER JOIN delta USING (doc_id)
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY doc_id""".stripMargin,
     "q_graph_pagerank" ->
       s"""WITH $shCte,
          |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
