@@ -32,6 +32,17 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Fused squared-L2 distance (|a|²+|b|²-2a·b in ONE array pass) — see
+    * [[graft.functions.expr.SqL2DistF32]]; bit-equal to [[sqL2Composed]],
+    * property-tested. The PQ distance kernel.
+    */
+  def sqL2(a: Column, b: Column): Column =
+    GraftColumn.lift2(graft.functions.expr.SqL2DistF32.apply)(a, b)
+
+  /** Composed three-dot form — the property-test reference for [[sqL2]]. */
+  def sqL2Composed(a: Column, b: Column): Column =
+    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+
   /** Fused single-expression cosine (see [[graft.functions.expr.CosineSimF32]]);
     * bit-equal to [[cosineComposed]], property-tested.
     */

@@ -321,7 +321,7 @@ object TextQueries extends QueryPack {
     // read it — without the barrier the no-CSE-across-join rule builds the
     // whole minhash pipeline twice.
     "q_dedup_minhash_est" -> ((s, d) => {
-      val cands = bandPairs(s, d).distinct()
+      val cands = candidateEdges(s, d)
       val mh = minhashSigsOf(shinglesOf(Tables.documents(s, d))).localCheckpoint()
       val agree = cands
         .join(mh.select(col("doc_id").as("doc_a"), col("i"), col("minh").as("ma")), "doc_a")
@@ -387,7 +387,7 @@ object TextQueries extends QueryPack {
     // cost is 3 bounded passes over the edge list, never a convergence loop.
     // The oracle unrolls the same 3 iterations as CTEs.
     "q_graph_pagerank" -> ((s, d) => {
-      val und = bandPairs(s, d).distinct()
+      val und = candidateEdges(s, d)
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
       val edges = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))

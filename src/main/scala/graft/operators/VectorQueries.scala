@@ -156,11 +156,12 @@ object VectorQueries extends QueryPack {
   /** Squared L2 distance in exact MICRO-UNIT longs: round((|a|²+|b|²-2a·b)
     * ·1e6). All argmin/top-k comparisons downstream are integer compares and
     * the ADC sum is integer addition — cross-engine deterministic (the
-    * double-sum order hazard q_text_dsir hit, preempted).
+    * double-sum order hazard q_text_dsir hit, preempted). The distance is
+    * the fused [[VectorFns.sqL2]] codegen kernel (one array pass,
+    * bit-equal to the composed three-dot form the oracle mirrors).
     */
   private def d2u(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    round((VectorFns.dot(a, a) + VectorFns.dot(b, b)
-      - lit(2.0) * VectorFns.dot(a, b)) * lit(1e6)).cast("long")
+    round(VectorFns.sqL2(a, b) * lit(1e6)).cast("long")
 
   /** PQ codebooks, TRAINED: K=4 codes per subspace, seeds = the subvectors
     * of vec_id 1..4, ONE Lloyd iteration (µ-unit L2 assignment with (du,

@@ -37,6 +37,18 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("property: fused SqL2DistF32 equals the composed three-dot form bit-for-bit") {
+    val rnd = new scala.util.Random(37)
+    val vecs = Seq.fill(50)((
+      Array.fill(16)(rnd.nextFloat() * 2 - 1),
+      Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    val got = df.select(
+      VectorFns.sqL2(col("a"), col("b")).as("fused"),
+      VectorFns.sqL2Composed(col("a"), col("b")).as("ref")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("shingles produce n-w+1 space-joined grams; short docs yield none beyond the text") {
     val got = Seq("a b c d", "a b", "a").toDF("t")
       .select(TextFns.shinglesHof(TextFns.tokens(col("t")), 2))
