@@ -205,6 +205,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_simsearch_pq: codebooks and ADC tables broadcast — no shuffle join, no cartesian") {
+    val df = SparkEntry.queries("q_simsearch_pq")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_merge_upsert: one key-partitioned join applies the whole delta") {
+    val df = SparkEntry.queries("q_merge_upsert")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert("FullOuter".r.findAllIn(p).size == 1, p) // exactly one merge join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_funnel_stages: three chained windows collapse onto ONE sort (same partition+order spec)") {
     val df = SparkEntry.queries("q_funnel_stages")(spark, d)
     val p = df.queryExecution.executedPlan.toString
