@@ -711,6 +711,25 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("shard"), col("seq_id"))
     }),
 
+    // X4q: per-doc token-distribution Shannon entropy — the repetition/
+    // diversity quality signal (low entropy = a few tokens dominate =
+    // boilerplate/spam). Uses the identity H = ln n − (Σ c·ln c)/n so the
+    // whole thing is ONE aggregation chain over (doc, token) counts — no
+    // join back for the per-doc total. The Σ c·ln c term is carried as
+    // exact µ-unit longs (the q_text_dsir discipline) so the per-doc sum
+    // is order-independent across engines.
+    "q_text_entropy" -> ((s, d) => {
+      docTokens(s, d)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("c"),
+          round(col("c") * log(col("c")) * lit(1e6)).cast("long").as("t6"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), sum(col("t6")).as("s6"))
+        .select(col("doc_id"), col("n").as("n_tok"),
+          round(log(col("n")) - (col("s6") / lit(1e6)) / col("n"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X4: per-language token statistics.
     "q_text_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -1439,6 +1458,14 @@ object TextQueries extends QueryPack {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
         |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, seq_id""".stripMargin,
+    "q_text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |t AS (SELECT doc_id, c, CAST(round(c * ln(c) * 1e6) AS BIGINT) AS t6 FROM tc),
+        |a AS (SELECT doc_id, sum(c) AS n, sum(t6) AS s6 FROM t GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+        |       round(ln(n) - (s6 / 1e6) / n, 6) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -194,6 +194,33 @@ object VectorQueries extends QueryPack {
         .localCheckpoint()
     }
 
+  /** PQ encode pass: every vector → its 4 subspace codes (the compressed
+    * index row). One broadcast-join + argmin pass.
+    */
+  private def pqEncode(s: org.apache.spark.sql.SparkSession, d: String) =
+    pqSubs(s, d).join(broadcast(pqCodebooks(s, d)), Seq("m"))
+      .withColumn("du", d2u(col("sv"), col("ce")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("du"), col("code"))).as("code"))
+
+  /** [[pqEncode]] memoized — the encoded table IS the PQ index artifact
+    * (built once per snapshot); composition queries (IVF-PQ) read it.
+    * q_simsearch_pq itself encodes inline, timing the build honestly.
+    */
+  private val pqCodeCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private def pqCodes(s: org.apache.spark.sql.SparkSession, d: String) =
+    pqCodeCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pqcodes")(
+      pqEncode(s, d).localCheckpoint())
+
+  /** Per-probe ADC lookup table: distance from each probe's subvector to
+    * every codebook entry — 20×4×4 rows, always broadcast.
+    */
+  private def pqAdcTable(s: org.apache.spark.sql.SparkSession, d: String) =
+    pqSubs(s, d).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("m"), col("sv").as("qsv"))
+      .join(broadcast(pqCodebooks(s, d)), Seq("m"))
+      .select(col("pid"), col("m"), col("code"), d2u(col("qsv"), col("ce")).as("pdu"))
+
   val queries: Map[String, Q] = Map(
     // X3 baseline: brute-force cosine top-10 vs probe vec_id=0. O(n·d) scan —
     // correct at any scale, and the yardstick the ANN path is judged against.
@@ -404,17 +431,45 @@ object VectorQueries extends QueryPack {
     // same documented constraint as the recall harness.
     "q_simsearch_pq" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val cb = pqCodebooks(s, d)
-      val codes = pqSubs(s, d).join(broadcast(cb), Seq("m"))
-        .withColumn("du", d2u(col("sv"), col("ce")))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("code"), struct(col("du"), col("code"))).as("code"))
-      val adt = pqSubs(s, d).filter(col("vec_id") < 20)
-        .select(col("vec_id").as("pid"), col("m"), col("sv").as("qsv"))
-        .join(broadcast(cb), Seq("m"))
-        .select(col("pid"), col("m"), col("code"), d2u(col("qsv"), col("ce")).as("pdu"))
-      codes.join(broadcast(adt), Seq("m", "code"))
+      pqEncode(s, d).join(broadcast(pqAdcTable(s, d)), Seq("m", "code"))
         .filter(col("vec_id") =!= col("pid"))
+        .groupBy(col("pid"), col("vec_id"))
+        .agg(sum(col("pdu")).as("adu"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("adu"), col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("pid"), col("vec_id"),
+          round(col("adu") / lit(1e6), 6).as("ad2_r"), col("rn").cast("long").as("rn"))
+        .orderBy(col("pid"), col("rn"))
+    }),
+
+    // X3e: IVF-PQ — the production ANN composition (the FAISS IndexIVFPQ
+    // shape): the trained IVF coarse quantizer restricts each probe to its
+    // nprobe=2 nearest cells, then PQ's ADC scores ONLY those candidates
+    // from the compressed code table. At 100 TB this is the full recipe:
+    // the cell id is the partition key (one cell's codes scanned per
+    // probe), the codes are 4 bytes per vector (the corpus that can't hold
+    // raw floats holds this), and per-candidate work is 4 integer adds.
+    // Every artifact is memoized per snapshot — centroids, codebooks,
+    // encoded codes — because that is the deployment cost model; this
+    // query times the SEARCH, the composition it exists to demonstrate.
+    "q_simsearch_ivfpq" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = ivfAssigned(s, d).localCheckpoint()
+      val probeA = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      val top2 = ivfCentroids(s, d).crossJoin(broadcast(probeA))
+        .select(col("pid"), col("cid"),
+          round(VectorFns.cosine(col("ce"), col("pe")), 6).as("psim"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("psim").desc, col("cid"))))
+        .filter(col("crn") <= 2)
+        .select(col("pid"), col("cid").as("pcell"))
+      val cands = assigned.join(broadcast(top2), col("cell") === col("pcell"))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"))
+      cands.join(pqCodes(s, d), "vec_id")
+        .join(broadcast(pqAdcTable(s, d)), Seq("pid", "m", "code"))
         .groupBy(col("pid"), col("vec_id"))
         .agg(sum(col("pdu")).as("adu"))
         .withColumn("rn", row_number().over(
@@ -512,6 +567,37 @@ object VectorQueries extends QueryPack {
     s"${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)})"
   private val bktSql =
     "CAST(list_sum(list_transform(range(0, 4), j -> CASE WHEN embedding[j+1] > 0 THEN CAST(pow(2, j) AS INT) ELSE 0 END)) AS INT)"
+
+  /** µ-unit squared-L2 mirror of [[d2u]]: same (|a|²+|b|²-2a·b) form, same
+    * association, rounded to an exact BIGINT before any comparison.
+    */
+  private def duSql(a: String, b: String): String =
+    s"CAST(round((${dotSql(a, a)} + ${dotSql(b, b)} - 2*${dotSql(a, b)}) * 1e6) AS BIGINT)"
+
+  /** CTE chain mirroring the PQ artifacts: subvector view → seeded codebook
+    * training (1 Lloyd iteration) → per-vector codes → per-probe ADC table.
+    * Shared by the q_simsearch_pq and q_simsearch_ivfpq oracles.
+    */
+  private lazy val pqCtes: String =
+    s"""sub AS (SELECT vec_id, r.m AS m,
+       |               list_slice(embedding, r.m*16 + 1, r.m*16 + 16) AS sv
+       |        FROM embeddings CROSS JOIN range(4) r(m)),
+       |seeds AS (SELECT m, vec_id AS code, sv AS ce FROM sub WHERE vec_id BETWEEN 1 AND 4),
+       |du0 AS (SELECT s.vec_id, s.m, e.code, s.sv, ${duSql("s.sv", "e.ce")} AS du
+       |        FROM sub s JOIN seeds e USING (m)),
+       |asg AS (SELECT m, code, sv FROM du0
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) = 1),
+       |am AS (SELECT m, code, i, round(avg(CAST(sv[i] AS DOUBLE)), 6) AS mv
+       |       FROM asg CROSS JOIN range(1, 17) t(i) GROUP BY 1, 2, 3),
+       |cbm AS (SELECT m, code, list(CAST(mv AS FLOAT) ORDER BY i) AS nce FROM am GROUP BY 1, 2),
+       |cb AS (SELECT s.m, s.code, coalesce(c.nce, s.ce) AS ce
+       |       FROM seeds s LEFT JOIN cbm c USING (m, code)),
+       |du1 AS (SELECT s.vec_id, s.m, c.code, ${duSql("s.sv", "c.ce")} AS du
+       |        FROM sub s JOIN cb c USING (m)),
+       |codes AS (SELECT vec_id, m, code FROM du1
+       |          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) = 1),
+       |adt AS (SELECT p.vec_id AS pid, p.m, c.code, ${duSql("p.sv", "c.ce")} AS pdu
+       |        FROM sub p JOIN cb c USING (m) WHERE p.vec_id < 20)""".stripMargin
 
   /** CTE chain mirroring [[ivfCentroids]]: seeds c0 → assign t1 → means c1 →
     * assign t2 → means c2 (the trained quantizer). Means are rounded to 6 dp
@@ -699,38 +785,43 @@ object VectorQueries extends QueryPack {
          |       round(avg(coalesce(hn, 0) / tn), 6) AS recall
          |FROM grid LEFT JOIN h USING (method, pid)
          |GROUP BY method ORDER BY method""".stripMargin,
-    "q_simsearch_pq" -> {
-      // µ-unit squared-L2 mirror of [[d2u]]: same (|a|²+|b|²-2a·b) form,
-      // same association, rounded to an exact BIGINT before any comparison.
-      def duSql(a: String, b: String): String =
-        s"CAST(round((${dotSql(a, a)} + ${dotSql(b, b)} - 2*${dotSql(a, b)}) * 1e6) AS BIGINT)"
-      s"""WITH sub AS (SELECT vec_id, r.m AS m,
-         |                    list_slice(embedding, r.m*16 + 1, r.m*16 + 16) AS sv
-         |             FROM embeddings CROSS JOIN range(4) r(m)),
-         |seeds AS (SELECT m, vec_id AS code, sv AS ce FROM sub WHERE vec_id BETWEEN 1 AND 4),
-         |du0 AS (SELECT s.vec_id, s.m, e.code, s.sv, ${duSql("s.sv", "e.ce")} AS du
-         |        FROM sub s JOIN seeds e USING (m)),
-         |asg AS (SELECT m, code, sv FROM du0
-         |        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) = 1),
-         |am AS (SELECT m, code, i, round(avg(CAST(sv[i] AS DOUBLE)), 6) AS mv
-         |       FROM asg CROSS JOIN range(1, 17) t(i) GROUP BY 1, 2, 3),
-         |cbm AS (SELECT m, code, list(CAST(mv AS FLOAT) ORDER BY i) AS nce FROM am GROUP BY 1, 2),
-         |cb AS (SELECT s.m, s.code, coalesce(c.nce, s.ce) AS ce
-         |       FROM seeds s LEFT JOIN cbm c USING (m, code)),
-         |du1 AS (SELECT s.vec_id, s.m, c.code, ${duSql("s.sv", "c.ce")} AS du
-         |        FROM sub s JOIN cb c USING (m)),
-         |codes AS (SELECT vec_id, m, code FROM du1
-         |          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) = 1),
-         |adt AS (SELECT p.vec_id AS pid, p.m, c.code, ${duSql("p.sv", "c.ce")} AS pdu
-         |        FROM sub p JOIN cb c USING (m) WHERE p.vec_id < 20),
+    "q_simsearch_pq" ->
+      s"""WITH $pqCtes,
          |sc AS (SELECT a.pid, k.vec_id, sum(a.pdu) AS adu
          |       FROM codes k JOIN adt a ON k.m = a.m AND k.code = a.code AND k.vec_id <> a.pid
          |       GROUP BY 1, 2),
          |r AS (SELECT pid, vec_id, adu,
          |             row_number() OVER (PARTITION BY pid ORDER BY adu, vec_id) AS rn FROM sc)
          |SELECT pid, vec_id, round(adu / 1e6, 6) AS ad2_r, CAST(rn AS BIGINT) AS rn
-         |FROM r WHERE rn <= 10 ORDER BY pid, rn""".stripMargin
-    },
+         |FROM r WHERE rn <= 10 ORDER BY pid, rn""".stripMargin,
+    "q_simsearch_ivfpq" ->
+      s"""WITH $ivfTrainCtes,
+         |$pqCtes,
+         |a AS (SELECT vec_id, cid AS cell, embedding
+         |      FROM (SELECT e.vec_id, c.cid, e.embedding,
+         |                   row_number() OVER (PARTITION BY e.vec_id
+         |                     ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |            FROM embeddings e CROSS JOIN c2 c)
+         |      WHERE rn = 1),
+         |pa AS (SELECT vec_id AS pid, embedding AS pe
+         |       FROM a WHERE vec_id < 20),
+         |top2 AS (SELECT pid, cid AS pcell FROM (
+         |  SELECT p.pid, c.cid,
+         |         row_number() OVER (PARTITION BY p.pid
+         |           ORDER BY round(${cosSql("c.ce", "p.pe")}, 6) DESC, c.cid) AS crn
+         |  FROM c2 c CROSS JOIN pa p)
+         |  WHERE crn <= 2),
+         |cand AS (SELECT t.pid, e.vec_id
+         |         FROM a e JOIN top2 t ON e.cell = t.pcell
+         |         WHERE e.vec_id <> t.pid),
+         |sc AS (SELECT cd.pid, cd.vec_id, sum(ad.pdu) AS adu
+         |       FROM cand cd JOIN codes k ON k.vec_id = cd.vec_id
+         |                    JOIN adt ad ON ad.pid = cd.pid AND ad.m = k.m AND ad.code = k.code
+         |       GROUP BY 1, 2),
+         |r AS (SELECT pid, vec_id, adu,
+         |             row_number() OVER (PARTITION BY pid ORDER BY adu, vec_id) AS rn FROM sc)
+         |SELECT pid, vec_id, round(adu / 1e6, 6) AS ad2_r, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 10 ORDER BY pid, rn""".stripMargin,
     "q_vector_stats" ->
       s"""SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
          |       round(avg(${normSql("embedding")}), 6) AS avg_norm,
