@@ -274,6 +274,28 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("nk"))
     }),
 
+    // Grouped top-k with BOUNDED aggregation state ([[graft.functions
+    // .TopKAggregator]]): top-3 orders by price per priority where the
+    // per-group state is k entries merged map-side — the shuffle carries at
+    // most k rows per (group, map partition) and nothing is ever sorted.
+    // This is the operator-shaped answer to the W1 window funnel: the
+    // salted two-phase q_window_rank bounds the SORT, this bounds the
+    // STATE. Ordering (price DESC, orderkey ASC) is total, so the DuckDB
+    // row_number oracle reproduces the kept set exactly.
+    "q_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopKAggregator(3).toColumn.name("top"))
+        .toDF("o_orderpriority", "top")
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
     // Reshaping: long→wide pivot with a FIXED value list — at scale an
     // unpinned pivot first runs a distinct scan to discover columns; pinning
     // makes the plan one aggregation (and keeps the oracle deterministic).
@@ -474,6 +496,13 @@ object AnalyticsQueries extends QueryPack {
         |       round(coalesce(d.tot, 0.0), 2) AS total
         |FROM g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
         |ORDER BY day_us, g.event_type""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "q_pivot_wide" ->
       """SELECT user_id,
         |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

@@ -153,6 +153,11 @@ object JoinQueries extends QueryPack {
       val hotKeys = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("k_n"))
         .filter(col("k_n") >= 8).select(col("l_orderkey").as("hk"))
         .localCheckpoint()
+      // Salt must key on a HIGH-ENTROPY per-row value or the hot key's rows
+      // all land in one salt and the skew survives; (price, discount) is
+      // near-unique per lineitem row. A table with no such column would
+      // salt on monotonically_increasing_id (fine here: the salt never
+      // crosses the oracle boundary — only row routing depends on it).
       val liHot = li.join(broadcast(hotKeys), col("l_orderkey") === col("hk"))
         .drop("hk")
         .withColumn("salt", pmod(hash(col("l_extendedprice"), col("l_discount")), lit(S)))

@@ -37,6 +37,22 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("property: TopKAggregator equals sort-take under random insert orders and merges") {
+    val rnd = new scala.util.Random(43)
+    val agg = new graft.functions.TopKAggregator(3)
+    for (_ <- 1 to 40) {
+      val rows = Seq.fill(rnd.nextInt(12))((rnd.nextInt(5).toDouble, rnd.nextLong().abs))
+      val expect = rows.sortBy(r => (-r._1, r._2)).take(3)
+      // single-buffer reduction in arrival order
+      val direct = rows.foldLeft(agg.zero)(agg.reduce)
+      assert(direct == expect, s"direct $rows")
+      // arbitrary split into two partial buffers, then merge
+      val (l, r) = rows.splitAt(if (rows.isEmpty) 0 else rnd.nextInt(rows.size + 1))
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == expect, s"merged $rows split at ${l.size}")
+    }
+  }
+
   test("property: fused SqL2DistF32 equals the composed three-dot form bit-for-bit") {
     val rnd = new scala.util.Random(37)
     val vecs = Seq.fill(50)((
