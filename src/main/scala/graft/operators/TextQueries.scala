@@ -201,10 +201,14 @@ object TextQueries extends QueryPack {
     */
   private def corpusSigTable(s: org.apache.spark.sql.SparkSession, d: String): String =
     sigTableCache.get(graft.sources.Memo.key(s, d, "documents")) {
+      // The app id in the name keeps two LIVE contexts in one JVM from
+      // racing DROP/CREATE on the same warehouse table — computeIfAbsent is
+      // only per-key-atomic, and the key is per-context.
       val name = "graft_dedup_sigs_" +
         f"${scala.util.hashing.MurmurHash3.stringHash(
           new java.io.File(d).getAbsolutePath +
-            graft.sources.Memo.fingerprint(d, "documents"))}%08x"
+            graft.sources.Memo.fingerprint(d, "documents") +
+            s.sparkContext.applicationId)}%08x"
       graft.sources.BucketedTables.writeBucketed(
         bandKeysOf(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7))
           .withColumnRenamed("doc_id", "corpus_doc"),
@@ -394,15 +398,22 @@ object TextQueries extends QueryPack {
       val e2 = edges.join(deg, "u")
         .select(col("u"), col("v"), col("deg")).localCheckpoint()
       val nC = deg.agg(count(lit(1)).cast("double").as("nn"))
+      // Ranks are carried as exact µ-unit LONGS (pru = pr·1e6): each
+      // node's incoming contributions are `pru div deg` integer divisions
+      // summed in integer arithmetic, so the per-node total is independent
+      // of partial-aggregation order — summing raw pr/deg doubles here
+      // differed from DuckDB's fold order at rounding boundaries (the
+      // q_text_dsir lesson; both engines quantize identically instead).
       var r = deg.crossJoin(broadcast(nC))
-        .select(col("u").as("nd"), (lit(1.0) / col("nn")).as("pr"))
+        .select(col("u").as("nd"), round(lit(1e6) / col("nn")).cast("long").as("pru"))
       for (_ <- 1 to 3) {
         r = e2.join(r, e2("u") === r("nd"))
-          .groupBy(col("v")).agg(sum(col("pr") / col("deg")).as("m"))
+          .groupBy(col("v")).agg(sum(expr("pru div deg")).as("s"))
           .crossJoin(broadcast(nC))
-          .select(col("v").as("nd"), (lit(0.15) / col("nn") + lit(0.85) * col("m")).as("pr"))
+          .select(col("v").as("nd"),
+            round(lit(0.15e6) / col("nn") + lit(0.85) * col("s")).cast("long").as("pru"))
       }
-      r.select(col("nd").as("doc_id"), round(col("pr"), 6).as("pr"))
+      r.select(col("nd").as("doc_id"), round(col("pru") / lit(1e6), 6).as("pr"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1273,17 +1284,21 @@ object TextQueries extends QueryPack {
          |e AS (SELECT a AS u, b AS v FROM cand UNION ALL SELECT b, a FROM cand),
          |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
-         |r0 AS (SELECT u AS nd, 1.0 / (SELECT nn FROM n) AS pr FROM deg),
+         |r0 AS (SELECT u AS nd,
+         |              CAST(round(1e6 / (SELECT nn FROM n)) AS BIGINT) AS pru FROM deg),
          |r1 AS (SELECT e.v AS nd,
-         |              0.15 / (SELECT nn FROM n) + 0.85 * sum(r0.pr / deg.deg) AS pr
+         |              CAST(round(0.15e6 / (SELECT nn FROM n)
+         |                   + 0.85 * sum(r0.pru // deg.deg)) AS BIGINT) AS pru
          |       FROM e JOIN r0 ON e.u = r0.nd JOIN deg ON e.u = deg.u GROUP BY e.v),
          |r2 AS (SELECT e.v AS nd,
-         |              0.15 / (SELECT nn FROM n) + 0.85 * sum(r1.pr / deg.deg) AS pr
+         |              CAST(round(0.15e6 / (SELECT nn FROM n)
+         |                   + 0.85 * sum(r1.pru // deg.deg)) AS BIGINT) AS pru
          |       FROM e JOIN r1 ON e.u = r1.nd JOIN deg ON e.u = deg.u GROUP BY e.v),
          |r3 AS (SELECT e.v AS nd,
-         |              0.15 / (SELECT nn FROM n) + 0.85 * sum(r2.pr / deg.deg) AS pr
+         |              CAST(round(0.15e6 / (SELECT nn FROM n)
+         |                   + 0.85 * sum(r2.pru // deg.deg)) AS BIGINT) AS pru
          |       FROM e JOIN r2 ON e.u = r2.nd JOIN deg ON e.u = deg.u GROUP BY e.v)
-         |SELECT nd AS doc_id, round(pr, 6) AS pr FROM r3 ORDER BY doc_id""".stripMargin,
+         |SELECT nd AS doc_id, round(pru / 1e6, 6) AS pr FROM r3 ORDER BY doc_id""".stripMargin,
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $reachCtes,
          |lab AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),

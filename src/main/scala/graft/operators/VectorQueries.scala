@@ -212,6 +212,27 @@ object VectorQueries extends QueryPack {
     pqCodeCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pqcodes")(
       pqEncode(s, d).localCheckpoint())
 
+  /** nprobe=2 cell selection: each probe's two nearest TRAINED centroids by
+    * rounded cosine, ties to the lower cid. `probes` is (pid, pe); returns
+    * (pid, pcell) — 2 rows per probe, always tiny. ONE definition shared by
+    * the recall harness's ivf2 arm and q_simsearch_ivfpq (and mirrored by
+    * the single `ivfTop2Cte` oracle fragment), so an nprobe/tie-break/
+    * rounding change can never desynchronize the harness from the index it
+    * measures.
+    */
+  private def ivfTop2Cells(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      probes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ivfCentroids(s, d).crossJoin(broadcast(probes))
+      .select(col("pid"), col("cid"),
+        round(VectorFns.cosine(col("ce"), col("pe")), 6).as("psim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("psim").desc, col("cid"))))
+      .filter(col("crn") <= 2)
+      .select(col("pid"), col("cid").as("pcell"))
+  }
+
   /** Per-probe ADC lookup table: distance from each probe's subvector to
     * every codebook entry — 20×4×4 rows, always broadcast.
     */
@@ -389,13 +410,7 @@ object VectorQueries extends QueryPack {
           .select(col("pid"), col("vec_id"),
             round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r")))
       // nprobe=2: each probe's two nearest centroids (8×20 rows — tiny).
-      val top2 = ivfCentroids(s, d).crossJoin(broadcast(probeA.drop("pcell")))
-        .select(col("pid"), col("cid"),
-          round(VectorFns.cosine(col("ce"), col("pe")), 6).as("psim"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("pid")).orderBy(col("psim").desc, col("cid"))))
-        .filter(col("crn") <= 2)
-        .select(col("pid"), col("cid").as("pcell"))
+      val top2 = ivfTop2Cells(s, d, probeA.drop("pcell"))
       val ivf2 = top10PerProbe(
         assigned.join(broadcast(top2.join(probeA.drop("pcell"), "pid")),
             col("cell") === col("pcell"))
@@ -458,13 +473,7 @@ object VectorQueries extends QueryPack {
       val assigned = ivfAssigned(s, d).localCheckpoint()
       val probeA = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("pid"), col("embedding").as("pe"))
-      val top2 = ivfCentroids(s, d).crossJoin(broadcast(probeA))
-        .select(col("pid"), col("cid"),
-          round(VectorFns.cosine(col("ce"), col("pe")), 6).as("psim"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("pid")).orderBy(col("psim").desc, col("cid"))))
-        .filter(col("crn") <= 2)
-        .select(col("pid"), col("cid").as("pcell"))
+      val top2 = ivfTop2Cells(s, d, probeA)
       val cands = assigned.join(broadcast(top2), col("cell") === col("pcell"))
         .filter(col("vec_id") =!= col("pid"))
         .select(col("pid"), col("vec_id"))
@@ -574,6 +583,29 @@ object VectorQueries extends QueryPack {
   private def duSql(a: String, b: String): String =
     s"CAST(round((${dotSql(a, a)} + ${dotSql(b, b)} - 2*${dotSql(a, b)}) * 1e6) AS BIGINT)"
 
+  /** Oracle fragment mirroring [[ivfAssigned]]: every vector → nearest
+    * trained centroid. Expects `c2` (trained centroids) in scope; yields
+    * `a(vec_id, cell, embedding)`.
+    */
+  private lazy val ivfAssignCte: String =
+    s"""a AS (SELECT vec_id, cid AS cell, embedding
+       |      FROM (SELECT e.vec_id, c.cid, e.embedding,
+       |                   row_number() OVER (PARTITION BY e.vec_id
+       |                     ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |            FROM embeddings e CROSS JOIN c2 c)
+       |      WHERE rn = 1)""".stripMargin
+
+  /** Oracle fragment mirroring [[ivfTop2Cells]]: expects `c2` and a probe
+    * CTE `pa(pid, pe, …)` in scope; yields `top2(pid, pcell)`.
+    */
+  private lazy val ivfTop2Cte: String =
+    s"""top2 AS (SELECT pid, cid AS pcell FROM (
+       |  SELECT p.pid, c.cid,
+       |         row_number() OVER (PARTITION BY p.pid
+       |           ORDER BY round(${cosSql("c.ce", "p.pe")}, 6) DESC, c.cid) AS crn
+       |  FROM c2 c CROSS JOIN pa p)
+       |  WHERE crn <= 2)""".stripMargin
+
   /** CTE chain mirroring the PQ artifacts: subvector view → seeded codebook
     * training (1 Lloyd iteration) → per-vector codes → per-probe ADC table.
     * Shared by the q_simsearch_pq and q_simsearch_ivfpq oracles.
@@ -641,24 +673,14 @@ object VectorQueries extends QueryPack {
          |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
     "q_simsearch_ivf" ->
       s"""WITH $ivfTrainCtes,
-         |a AS (SELECT vec_id, cid AS cell, embedding
-         |      FROM (SELECT e.vec_id, c.cid, e.embedding,
-         |                   row_number() OVER (PARTITION BY e.vec_id
-         |                     ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
-         |            FROM embeddings e CROSS JOIN c2 c)
-         |      WHERE rn = 1),
+         |$ivfAssignCte,
          |p AS (SELECT cell AS pcell, embedding AS pe FROM a WHERE vec_id = 0)
          |SELECT vec_id, cell, round(${cosSql("embedding", "pe")}, 6) AS cos_r
          |FROM a, p WHERE cell = pcell AND vec_id <> 0
          |ORDER BY cos_r DESC, vec_id LIMIT 5""".stripMargin,
     "q_simsearch_ivf2" ->
       s"""WITH $ivfTrainCtes,
-         |a AS (SELECT vec_id, cid AS cell, embedding
-         |      FROM (SELECT e.vec_id, c.cid, e.embedding,
-         |                   row_number() OVER (PARTITION BY e.vec_id
-         |                     ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
-         |            FROM embeddings e CROSS JOIN c2 c)
-         |      WHERE rn = 1),
+         |$ivfAssignCte,
          |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
          |top2 AS (SELECT cid AS pcell
          |         FROM (SELECT cid, round(${cosSql("ce", "pe")}, 6) AS psim FROM c2, p
@@ -744,12 +766,7 @@ object VectorQueries extends QueryPack {
          |                  FROM eb WHERE vec_id < 20) p
          |    ON e.bkt = p.pbkt WHERE e.vec_id <> p.pid)
          |  WHERE rn <= 10),
-         |a AS (SELECT vec_id, cid AS cell, embedding
-         |      FROM (SELECT e.vec_id, c.cid, e.embedding,
-         |                   row_number() OVER (PARTITION BY e.vec_id
-         |                     ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
-         |            FROM embeddings e CROSS JOIN c2 c)
-         |      WHERE rn = 1),
+         |$ivfAssignCte,
          |pa AS (SELECT vec_id AS pid, embedding AS pe, cell AS pcell
          |       FROM a WHERE vec_id < 20),
          |ivf AS (SELECT pid, vec_id FROM (
@@ -758,12 +775,7 @@ object VectorQueries extends QueryPack {
          |           ORDER BY round(${cosSql("e.embedding", "p.pe")}, 6) DESC, e.vec_id) AS rn
          |  FROM a e JOIN pa p ON e.cell = p.pcell WHERE e.vec_id <> p.pid)
          |  WHERE rn <= 10),
-         |top2 AS (SELECT pid, cid AS pcell FROM (
-         |  SELECT p.pid, c.cid,
-         |         row_number() OVER (PARTITION BY p.pid
-         |           ORDER BY round(${cosSql("c.ce", "p.pe")}, 6) DESC, c.cid) AS crn
-         |  FROM c2 c CROSS JOIN pa p)
-         |  WHERE crn <= 2),
+         |$ivfTop2Cte,
          |ivf2 AS (SELECT pid, vec_id FROM (
          |  SELECT t.pid, e.vec_id,
          |         row_number() OVER (PARTITION BY t.pid
@@ -797,20 +809,10 @@ object VectorQueries extends QueryPack {
     "q_simsearch_ivfpq" ->
       s"""WITH $ivfTrainCtes,
          |$pqCtes,
-         |a AS (SELECT vec_id, cid AS cell, embedding
-         |      FROM (SELECT e.vec_id, c.cid, e.embedding,
-         |                   row_number() OVER (PARTITION BY e.vec_id
-         |                     ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
-         |            FROM embeddings e CROSS JOIN c2 c)
-         |      WHERE rn = 1),
+         |$ivfAssignCte,
          |pa AS (SELECT vec_id AS pid, embedding AS pe
          |       FROM a WHERE vec_id < 20),
-         |top2 AS (SELECT pid, cid AS pcell FROM (
-         |  SELECT p.pid, c.cid,
-         |         row_number() OVER (PARTITION BY p.pid
-         |           ORDER BY round(${cosSql("c.ce", "p.pe")}, 6) DESC, c.cid) AS crn
-         |  FROM c2 c CROSS JOIN pa p)
-         |  WHERE crn <= 2),
+         |$ivfTop2Cte,
          |cand AS (SELECT t.pid, e.vec_id
          |         FROM a e JOIN top2 t ON e.cell = t.pcell
          |         WHERE e.vec_id <> t.pid),

@@ -35,7 +35,11 @@ object Memo {
     */
   def key(s: SparkSession, sfDir: String, table: String): String = {
     val abs = new java.io.File(sfDir).getAbsolutePath
-    s"$abs/$table|${fingerprint(sfDir, table)}|sc@${System.identityHashCode(s.sparkContext)}"
+    // applicationId + startTime is unique per context for the JVM's life —
+    // identityHashCode is NOT (identity hashes recycle after GC, and a
+    // collision would hand a new context a dead context's localCheckpoints).
+    s"$abs/$table|${fingerprint(sfDir, table)}" +
+      s"|sc@${s.sparkContext.applicationId}:${s.sparkContext.startTime}"
   }
 
   /** Per-key-atomic memo. Entries for superseded fingerprints linger until

@@ -104,9 +104,15 @@ object StreamingDaemon {
       spark: SparkSession, dir: String, colName: String, excludeBatch: Long): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBatches = fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("batch="))
-    if (!hasBatches) spark.range(0).select(col("id").cast("string").as(colName))
+    // A batch= dir must hold a COMMITTED part file to count: a crash between
+    // directory creation and commit leaves only _temporary inside, and
+    // schema inference over zero footers would throw on every replay of
+    // that batch — the at-least-once recovery path must tolerate the torn
+    // write it exists to recover from (its own overwrite then repairs it).
+    val hasCommitted = fs.exists(path) &&
+      fs.listStatus(path).exists(s => s.getPath.getName.startsWith("batch=") &&
+        fs.listStatus(s.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+    if (!hasCommitted) spark.range(0).select(col("id").cast("string").as(colName))
     else spark.read.parquet(dir)
       .filter(col("batch") =!= excludeBatch)
       .select(col(colName))
@@ -168,17 +174,18 @@ object StreamingDaemon {
           val accepted = exact
             .join(nearDup.union(exactDup).distinct(), Seq("doc_id"), "left_anti")
             .persist()
-          accepted.drop("content_hash")
-            .write.mode("overwrite")
-            .parquet(s"$outDir/batch=$batchId")
-          sigs.join(accepted.select(col("doc_id")), "doc_id")
-            .select(col("skey"))
-            .write.mode("overwrite")
-            .parquet(s"$sigStoreDir/skeys/batch=$batchId")
-          accepted.select(col("content_hash"))
-            .write.mode("overwrite")
-            .parquet(s"$sigStoreDir/hashes/batch=$batchId")
-          accepted.unpersist()
+          try {
+            accepted.drop("content_hash")
+              .write.mode("overwrite")
+              .parquet(s"$outDir/batch=$batchId")
+            sigs.join(accepted.select(col("doc_id")), "doc_id")
+              .select(col("skey"))
+              .write.mode("overwrite")
+              .parquet(s"$sigStoreDir/skeys/batch=$batchId")
+            accepted.select(col("content_hash"))
+              .write.mode("overwrite")
+              .parquet(s"$sigStoreDir/hashes/batch=$batchId")
+          } finally accepted.unpersist() // a failed write must not pin the cache across retries
         } finally {
           sigs.unpersist()
           exact.unpersist()

@@ -37,8 +37,11 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     val rz = ZOrder.fileRanges(spark, s"$dir/by_z", "x", "y").cache()
     assert(rx.count() == 16 && rz.count() == 16)
 
-    // Band query on the sort key x: both layouts prune hard.
-    assert(ZOrder.candidateFiles(rx, 1, 8, 11) <= 2)
+    // Band query on the sort key x: both layouts prune hard. The x-sorted
+    // bound allows one extra file: repartitionByRange picks boundaries by
+    // reservoir sampling, so a boundary can drift off the exact band edge
+    // and make a third file's [min,max] straddle the band.
+    assert(ZOrder.candidateFiles(rx, 1, 8, 11) <= 3)
     assert(ZOrder.candidateFiles(rz, 1, 8, 11) <= 8)
     // Band query on the SECOND dimension y (4/64 of the domain): the x-sorted
     // layout reads every file — each spans all of y — the z layout a fraction.
