@@ -370,6 +370,11 @@ object VectorQueries extends QueryPack {
     // is the salted two-phase cut (local top-10 per (probe, salt-of-16),
     // global top-10 over survivors) so no 20-value window key ever sorts
     // the corpus in one task.
+    // Scope: the PQ family (q_simsearch_pq / q_simsearch_ivfpq) is
+    // deliberately OUTSIDE this harness — it ranks by squared L2 over
+    // quantized codes while this truth set is exact cosine, so a combined
+    // number would conflate metric disagreement with quantization loss; a
+    // PQ recall study needs an L2 brute-force truth of its own.
     "q_simsearch_recall" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.DataFrame
