@@ -54,12 +54,10 @@ object AnalyticsQueries extends QueryPack {
     // position within its group — unlike rank≤k (see q_window_rank's salted
     // two-phase), no bounded local phase can decide a row's quartile, so the
     // partitionBy(o_orderpriority) below genuinely funnels each priority
-    // through one sort task. Acceptable here as the distribution-function
-    // coverage query at test scale; at 100 TB compute tiles via a two-pass
-    // rank: per-group counts (broadcastable, 5 rows) + a salted global
-    // ordinal (range-partitioned sort or partition-offset zipWithIndex),
-    // then tile = ceil(ordinal * 4 / n). Same precedent as
-    // q_round_robin_cursor's documented metadata-only global window.
+    // through one sort task. Kept as the distribution-function COVERAGE
+    // query (the built-in-window surface); the 100 TB path is
+    // q_window_ntile_dist below — range-banded two-phase global ranking,
+    // oracle-proven equal to this window's ntile.
     "q_window_ntile" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -69,6 +67,48 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("pr", round(percent_rank().over(w), 6))
         .withColumn("cd", round(cume_dist().over(w), 6))
         .filter(col("o_orderkey") % 100 === 0)
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // W1c: DISTRIBUTED ntile — the scale-safe answer to q_window_ntile's
+    // documented constraint, delivered: global per-group position WITHOUT a
+    // per-group global sort. Two phases: (1) rows land in RANGE bands of
+    // the order key (fixed edges here; production derives edges from
+    // approx quantiles so bands stay balanced — B is the knob that bounds
+    // per-task rows at any corpus size), counts per (group, band) form a
+    // metadata-scale table (groups×B rows) whose running sum gives each
+    // band's global offset; (2) a local sort within each (group, band)
+    // yields the in-band ordinal, and global rank = band offset + ordinal.
+    // The tile is then the EXACT SQL NTILE formula (first n%k buckets take
+    // one extra row) in integer arithmetic — the oracle is the real
+    // ntile() window, so this query PROVES the decomposition equals the
+    // single-sort semantics.
+    "q_window_ntile_dist" -> ((s, d) => {
+      val B = 8
+      val banded = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("g"), col("o_orderkey"), col("o_totalprice").as("v"))
+        .withColumn("band", least(floor(col("v") / 50000.0), lit(B - 1)).cast("int"))
+      val offsets = banded.groupBy(col("g"), col("band")).agg(count(lit(1)).as("c"))
+        .withColumn("off",
+          sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("band"))) - col("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+        .select(col("g"), col("band"), col("off"), col("n"))
+      val localW = Window.partitionBy(col("g"), col("band"))
+        .orderBy(col("v"), col("o_orderkey"))
+      banded.withColumn("lr", row_number().over(localW))
+        .join(broadcast(offsets), Seq("g", "band"))
+        .withColumn("rank", (col("off") + col("lr")).cast("long"))
+        .withColumn("q", floor(col("n") / 4).cast("long"))
+        .withColumn("m", (col("n") % 4).cast("long"))
+        .withColumn("tile",
+          when(col("rank") <= (col("q") + 1) * col("m"),
+            ceil(col("rank") / (col("q") + lit(1.0))))
+            .otherwise(col("m") + ceil((col("rank") - (col("q") + 1) * col("m"))
+              / col("q").cast("double")))
+            .cast("long"))
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("g").as("o_orderpriority"), col("o_orderkey"),
+          col("v").as("o_totalprice"), col("rank"), col("tile"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     }),
 
@@ -396,6 +436,14 @@ object AnalyticsQueries extends QueryPack {
         |       CAST(ntile(4) OVER w AS BIGINT) AS tile,
         |       round(percent_rank() OVER w, 6) AS pr,
         |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |QUALIFY o_orderkey % 100 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_window_ntile_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       CAST(row_number() OVER w AS BIGINT) AS rank,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS tile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |QUALIFY o_orderkey % 100 = 0
