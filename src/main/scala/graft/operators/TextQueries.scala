@@ -722,6 +722,25 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("shard"), col("seq_id"))
     }),
 
+    // X4r: feature correlation matrix — pairwise Pearson correlation of the
+    // doc features the quality scorer consumes (chars, tokens, stopwords).
+    // The pre-training diagnostic: two features correlating at ~1.0 are
+    // redundant, one at ~0 carries no signal. ONE partial-aggregated pass —
+    // corr's co-moment state merges map-side, so the matrix costs a single
+    // scan at any corpus size.
+    "q_text_feature_corr" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .select(col("n_chars").cast("double").as("a"),
+          size(col("toks")).cast("double").as("b"),
+          TextFns.stopwordCount(col("toks")).cast("double").as("c"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(corr(col("a"), col("b")), 6).as("corr_chars_tokens"),
+          round(corr(col("a"), col("c")), 6).as("corr_chars_stop"),
+          round(corr(col("b"), col("c")), 6).as("corr_tokens_stop"))
+    }),
+
     // X4q: per-doc token-distribution Shannon entropy — the repetition/
     // diversity quality signal (low entropy = a few tokens dominate =
     // boilerplate/spam). Uses the identity H = ln n − (Σ c·ln c)/n so the
@@ -1473,6 +1492,17 @@ object TextQueries extends QueryPack {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
         |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, seq_id""".stripMargin,
+    "q_text_feature_corr" ->
+      """WITH f AS (SELECT CAST(n_chars AS DOUBLE) AS a,
+        |                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS b,
+        |                  CAST(len(list_filter(string_split(text, ' '),
+        |                                       t -> t IN ('the', 'a'))) AS DOUBLE) AS c
+        |           FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(corr(a, b), 6) AS corr_chars_tokens,
+        |       round(corr(a, c), 6) AS corr_chars_stop,
+        |       round(corr(b, c), 6) AS corr_tokens_stop
+        |FROM f""".stripMargin,
     "q_text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
