@@ -373,8 +373,8 @@ object VectorQueries extends QueryPack {
     // Scope: the PQ family (q_simsearch_pq / q_simsearch_ivfpq) is
     // deliberately OUTSIDE this harness — it ranks by squared L2 over
     // quantized codes while this truth set is exact cosine, so a combined
-    // number would conflate metric disagreement with quantization loss; a
-    // PQ recall study needs an L2 brute-force truth of its own.
+    // number would conflate metric disagreement with quantization loss;
+    // q_simsearch_pq_recall measures it against its own L2 truth.
     "q_simsearch_recall" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.DataFrame
@@ -492,6 +492,57 @@ object VectorQueries extends QueryPack {
         .select(col("pid"), col("vec_id"),
           round(col("adu") / lit(1e6), 6).as("ad2_r"), col("rn").cast("long").as("rn"))
         .orderBy(col("pid"), col("rn"))
+    }),
+
+    // X3f: recall@10 of the PQ family against its OWN metric's truth —
+    // exact squared-L2 top-10 per probe over the full float vectors (µ-unit
+    // integer selection, so the truth set is cross-engine exact). This is
+    // the L2 counterpart of q_simsearch_recall: PQ ranks by quantized L2,
+    // so only an L2 brute-force yardstick isolates pure QUANTIZATION loss
+    // (pq row) and quantization+cell-restriction loss (ivfpq row). Reads
+    // the memoized index artifacts; truth costs n·|panel| distances, the
+    // panel-bounded harness shape.
+    "q_simsearch_pq_recall" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.DataFrame
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      val truth = e.crossJoin(broadcast(probes)).filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"), d2u(col("embedding"), col("pe")).as("du"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("du"), col("vec_id"))))
+        .filter(col("rn") <= 10).select(col("pid"), col("vec_id"))
+        .localCheckpoint()
+      val adt = pqAdcTable(s, d)
+      def adcTop10(scored: DataFrame): DataFrame = scored
+        .groupBy(col("pid"), col("vec_id")).agg(sum(col("pdu")).as("adu"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("adu"), col("vec_id"))))
+        .filter(col("rn") <= 10).select(col("pid"), col("vec_id"))
+      val pqTop = adcTop10(
+        pqCodes(s, d).join(broadcast(adt), Seq("m", "code"))
+          .filter(col("vec_id") =!= col("pid")))
+      val assigned = ivfAssigned(s, d).localCheckpoint()
+      val probeA = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      val cands = assigned.join(broadcast(ivfTop2Cells(s, d, probeA)),
+          col("cell") === col("pcell"))
+        .filter(col("vec_id") =!= col("pid")).select(col("pid"), col("vec_id"))
+      val ivfpqTop = adcTop10(
+        cands.join(pqCodes(s, d), "vec_id")
+          .join(broadcast(adt), Seq("pid", "m", "code")))
+      val tcnt = truth.groupBy(col("pid")).agg(count(lit(1)).as("tn"))
+      def recallRow(m: DataFrame, name: String): DataFrame = {
+        val hits = truth.join(m, Seq("pid", "vec_id"))
+          .groupBy(col("pid")).agg(count(lit(1)).as("hn"))
+        tcnt.join(hits, Seq("pid"), "left")
+          .select((coalesce(col("hn"), lit(0L)) / col("tn")).as("r"))
+          .agg(count(lit(1)).as("n_probes"), round(avg(col("r")), 6).as("recall"))
+          .select(lit(name).as("method"), col("n_probes"), col("recall"))
+      }
+      recallRow(ivfpqTop, "ivfpq").unionAll(recallRow(pqTop, "pq"))
+        .orderBy(col("method"))
     }),
 
     // X3c: embedding-table hygiene stats — per-label vector counts and norm
@@ -811,6 +862,49 @@ object VectorQueries extends QueryPack {
          |             row_number() OVER (PARTITION BY pid ORDER BY adu, vec_id) AS rn FROM sc)
          |SELECT pid, vec_id, round(adu / 1e6, 6) AS ad2_r, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 10 ORDER BY pid, rn""".stripMargin,
+    "q_simsearch_pq_recall" ->
+      s"""WITH $ivfTrainCtes,
+         |$pqCtes,
+         |probes AS (SELECT vec_id AS pid, embedding AS pe
+         |           FROM embeddings WHERE vec_id < 20),
+         |truth AS (SELECT pid, vec_id FROM (
+         |  SELECT p.pid, e.vec_id,
+         |         row_number() OVER (PARTITION BY p.pid
+         |           ORDER BY ${duSql("e.embedding", "p.pe")}, e.vec_id) AS rn
+         |  FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.pid)
+         |  WHERE rn <= 10),
+         |pqsc AS (SELECT a.pid, k.vec_id, sum(a.pdu) AS adu
+         |         FROM codes k JOIN adt a ON k.m = a.m AND k.code = a.code AND k.vec_id <> a.pid
+         |         GROUP BY 1, 2),
+         |pqm AS (SELECT pid, vec_id FROM (
+         |  SELECT pid, vec_id,
+         |         row_number() OVER (PARTITION BY pid ORDER BY adu, vec_id) AS rn FROM pqsc)
+         |  WHERE rn <= 10),
+         |$ivfAssignCte,
+         |pa AS (SELECT vec_id AS pid, embedding AS pe FROM a WHERE vec_id < 20),
+         |$ivfTop2Cte,
+         |cand AS (SELECT t.pid, e.vec_id
+         |         FROM a e JOIN top2 t ON e.cell = t.pcell WHERE e.vec_id <> t.pid),
+         |ipsc AS (SELECT cd.pid, cd.vec_id, sum(ad.pdu) AS adu
+         |         FROM cand cd JOIN codes k ON k.vec_id = cd.vec_id
+         |                      JOIN adt ad ON ad.pid = cd.pid AND ad.m = k.m AND ad.code = k.code
+         |         GROUP BY 1, 2),
+         |ipm AS (SELECT pid, vec_id FROM (
+         |  SELECT pid, vec_id,
+         |         row_number() OVER (PARTITION BY pid ORDER BY adu, vec_id) AS rn FROM ipsc)
+         |  WHERE rn <= 10),
+         |m AS (SELECT 'ivfpq' AS method, pid, vec_id FROM ipm
+         |      UNION ALL SELECT 'pq', pid, vec_id FROM pqm),
+         |tc AS (SELECT pid, count(*) AS tn FROM truth GROUP BY pid),
+         |h AS (SELECT m.method, m.pid, count(*) AS hn
+         |      FROM m JOIN truth t ON m.pid = t.pid AND m.vec_id = t.vec_id
+         |      GROUP BY 1, 2),
+         |grid AS (SELECT method, pid, tn
+         |         FROM (VALUES ('ivfpq'), ('pq')) ms(method) CROSS JOIN tc)
+         |SELECT method, CAST(count(*) AS BIGINT) AS n_probes,
+         |       round(avg(coalesce(hn, 0) / tn), 6) AS recall
+         |FROM grid LEFT JOIN h USING (method, pid)
+         |GROUP BY method ORDER BY method""".stripMargin,
     "q_simsearch_ivfpq" ->
       s"""WITH $ivfTrainCtes,
          |$pqCtes,
