@@ -93,6 +93,19 @@ object StreamingDaemon {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keys :+ "ts")
 
+  /** Dedup on the BUSINESS keys alone within the watermark window —
+    * [[streamingDedup]] treats (key, ts) as the identity, so the same key
+    * re-emitted with a different event time passes; this form keeps only
+    * the first arrival per key until the watermark ages the key's state
+    * out. The crawl-ingest semantics (a re-fetched page has a new
+    * timestamp but is the same document), with state still bounded by the
+    * watermark horizon rather than growing with the stream.
+    */
+  def streamingDedupKeysOnly(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keys)
+
   /** One side of the dynamic signature store: `dir/batch=N` parquet written
     * per micro-batch. Reading the root infers the `batch` partition column;
     * `excludeBatch` drops the CURRENT batch's own directory so an

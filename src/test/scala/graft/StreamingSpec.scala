@@ -38,6 +38,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       batch.orderBy("user_id", "event_type").collect().toSeq)
   }
 
+  test("streamingDedupKeysOnly keeps one row per key across differing event times") {
+    val in = tmp("dwk-in")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    ev.coalesce(1).write.mode("append").parquet(in)
+
+    val q = StreamingDaemon
+      .streamingDedupKeysOnly(
+        StreamingDaemon.source(spark, in, spark.read.parquet(in)),
+        Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dwk_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val out = spark.table("dwk_out")
+    // the fixture has many (user, type) repeats at different ts; keys-only
+    // dedup collapses each to a single survivor
+    assert(ev.select("user_id", "event_type").distinct().count() == out.count())
+    assert(out.select("user_id", "event_type").distinct().count() == out.count())
+    assert(out.count() < ev.count()) // it actually dropped same-key re-arrivals
+  }
+
   test("attributionJoin (stream-stream interval join) matches the batch interval join") {
     val in  = tmp("attr-in")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
