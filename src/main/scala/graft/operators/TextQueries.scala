@@ -722,6 +722,33 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"), col("shard"), col("seq_id"))
     }),
 
+    // X4s: per-source scorecard — the curation decision table: for every
+    // crawl source, volume, near-dup rate (fraction of docs that lost to a
+    // cluster keeper, via the memoized label artifact), and quality
+    // aggregates. This is the table a curator reads before dropping or
+    // down-weighting a source. One corpus scan + one broadcast-sized label
+    // join + one groupBy on the bounded source key; the stop-ratio mean
+    // rides exact µ-unit longs (house FP discipline).
+    "q_source_scorecard" -> ((s, d) => {
+      val labels = clusterLabels(s, d)
+      Tables.documents(s, d)
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(TextFns.stopwordCount(col("toks")) / size(col("toks")) * lit(1e6))
+            .cast("long").as("sr6"))
+        .join(labels, Seq("doc_id"), "left_outer")
+        .withColumn("is_dup",
+          when(coalesce(col("cluster_id"), col("doc_id")) =!= col("doc_id"), 1L).otherwise(0L))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).as("n_dups"),
+          round(sum(col("is_dup")) / count(lit(1)), 4).as("dup_rate"),
+          round((sum(col("sr6")) / count(lit(1))) / lit(1e6), 6).as("avg_stop_ratio"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy(col("source"))
+    }),
+
     // X4r: feature correlation matrix — pairwise Pearson correlation of the
     // doc features the quality scorer consumes (chars, tokens, stopwords).
     // The pre-training diagnostic: two features correlating at ~1.0 are
@@ -1492,6 +1519,20 @@ object TextQueries extends QueryPack {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
         |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, seq_id""".stripMargin,
+    "q_source_scorecard" ->
+      s"""WITH RECURSIVE $reachCtes,
+         |lab AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+         |m AS (SELECT d.doc_id, d.source, d.n_chars,
+         |             CAST(round(len(list_filter(string_split(d.text, ' '), t -> t IN ('the', 'a')))
+         |                        / len(string_split(d.text, ' ')) * 1e6) AS BIGINT) AS sr6,
+         |             CASE WHEN coalesce(l.cluster_id, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END AS is_dup
+         |      FROM documents d LEFT JOIN lab l USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |       round(sum(is_dup) / count(*), 4) AS dup_rate,
+         |       round((sum(sr6) / count(*)) / 1e6, 6) AS avg_stop_ratio,
+         |       round(avg(n_chars), 2) AS avg_chars
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q_text_feature_corr" ->
       """WITH f AS (SELECT CAST(n_chars AS DOUBLE) AS a,
         |                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS b,
