@@ -136,6 +136,10 @@ object TextQueries extends QueryPack {
     * so a new session re-registers the table in its own catalog.
     */
   private val sigTableCache = new graft.sources.Memo.Cache[String]
+  /** Serializes the (rare) cross-context writes of the shared-name
+    * signature table; see the comment at the write site.
+    */
+  private val sigTableWriteLock = new Object
   private def candidateEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     edgeCache.get(graft.sources.Memo.key(s, d, "documents"))(
       bandPairs(s, d).distinct().localCheckpoint())
@@ -201,18 +205,23 @@ object TextQueries extends QueryPack {
     */
   private def corpusSigTable(s: org.apache.spark.sql.SparkSession, d: String): String =
     sigTableCache.get(graft.sources.Memo.key(s, d, "documents")) {
-      // The app id in the name keeps two LIVE contexts in one JVM from
-      // racing DROP/CREATE on the same warehouse table — computeIfAbsent is
-      // only per-key-atomic, and the key is per-context.
+      // Name is (path, fingerprint)-stable — NOT per-application: an appId
+      // component would leak one full bucketed table per run into the
+      // warehouse (nothing ever drops the previous run's name). The
+      // cross-context DROP/CREATE race (computeIfAbsent is per-key-atomic
+      // and the key is per-context) is closed by a JVM-wide write lock
+      // instead; concurrent contexts then serialize on an overwrite of
+      // IDENTICAL content (same fingerprint → same rows).
       val name = "graft_dedup_sigs_" +
         f"${scala.util.hashing.MurmurHash3.stringHash(
           new java.io.File(d).getAbsolutePath +
-            graft.sources.Memo.fingerprint(d, "documents") +
-            s.sparkContext.applicationId)}%08x"
-      graft.sources.BucketedTables.writeBucketed(
-        bandKeysOf(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7))
-          .withColumnRenamed("doc_id", "corpus_doc"),
-        name, "skey", 8)
+            graft.sources.Memo.fingerprint(d, "documents"))}%08x"
+      sigTableWriteLock.synchronized {
+        graft.sources.BucketedTables.writeBucketed(
+          bandKeysOf(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7))
+            .withColumnRenamed("doc_id", "corpus_doc"),
+          name, "skey", 8)
+      }
       name
     }
 
@@ -756,16 +765,40 @@ object TextQueries extends QueryPack {
     // corr's co-moment state merges map-side, so the matrix costs a single
     // scan at any corpus size.
     "q_text_feature_corr" -> ((s, d) => {
+      // Built-in corr() merges double co-moment state in partition order —
+      // the cross-engine FP hazard. The features are INTEGER-valued, so all
+      // five sufficient statistics per pair are EXACT long sums; the
+      // Pearson closed form then runs on exact scalars (cast to double
+      // first so the scalar math — deterministic, not an aggregation — is
+      // overflow-safe at any corpus size) and both engines compute
+      // identical doubles.
+      def pearson(sx: org.apache.spark.sql.Column, sy: org.apache.spark.sql.Column,
+          sxy: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column,
+          syy: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) = {
+        def D(c: org.apache.spark.sql.Column) = c.cast("double")
+        round((D(n) * D(sxy) - D(sx) * D(sy))
+          / sqrt((D(n) * D(sxx) - D(sx) * D(sx)) * (D(n) * D(syy) - D(sy) * D(sy))), 6)
+      }
       Tables.documents(s, d)
         .withColumn("toks", TextFns.tokens(col("text")))
-        .select(col("n_chars").cast("double").as("a"),
-          size(col("toks")).cast("double").as("b"),
-          TextFns.stopwordCount(col("toks")).cast("double").as("c"))
+        .select(col("n_chars").as("a"),
+          size(col("toks")).cast("long").as("b"),
+          TextFns.stopwordCount(col("toks")).cast("long").as("c"))
         .agg(
-          count(lit(1)).as("n_docs"),
-          round(corr(col("a"), col("b")), 6).as("corr_chars_tokens"),
-          round(corr(col("a"), col("c")), 6).as("corr_chars_stop"),
-          round(corr(col("b"), col("c")), 6).as("corr_tokens_stop"))
+          count(lit(1)).as("n"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"), sum(col("c")).as("sc"),
+          sum(col("a") * col("b")).as("sab"), sum(col("a") * col("c")).as("sac"),
+          sum(col("b") * col("c")).as("sbc"),
+          sum(col("a") * col("a")).as("saa"), sum(col("b") * col("b")).as("sbb"),
+          sum(col("c") * col("c")).as("scc"))
+        .select(
+          col("n").as("n_docs"),
+          pearson(col("sa"), col("sb"), col("sab"), col("saa"), col("sbb"), col("n"))
+            .as("corr_chars_tokens"),
+          pearson(col("sa"), col("sc"), col("sac"), col("saa"), col("scc"), col("n"))
+            .as("corr_chars_stop"),
+          pearson(col("sb"), col("sc"), col("sbc"), col("sbb"), col("scc"), col("n"))
+            .as("corr_tokens_stop"))
     }),
 
     // X4q: per-doc token-distribution Shannon entropy — the repetition/
@@ -1533,17 +1566,27 @@ object TextQueries extends QueryPack {
          |       round((sum(sr6) / count(*)) / 1e6, 6) AS avg_stop_ratio,
          |       round(avg(n_chars), 2) AS avg_chars
          |FROM m GROUP BY source ORDER BY source""".stripMargin,
-    "q_text_feature_corr" ->
-      """WITH f AS (SELECT CAST(n_chars AS DOUBLE) AS a,
-        |                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS b,
-        |                  CAST(len(list_filter(string_split(text, ' '),
-        |                                       t -> t IN ('the', 'a'))) AS DOUBLE) AS c
-        |           FROM documents)
-        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |       round(corr(a, b), 6) AS corr_chars_tokens,
-        |       round(corr(a, c), 6) AS corr_chars_stop,
-        |       round(corr(b, c), 6) AS corr_tokens_stop
-        |FROM f""".stripMargin,
+    "q_text_feature_corr" -> {
+      def p(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
+        s"round((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE)) / " +
+          s"sqrt((CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE)) * " +
+          s"(CAST(n AS DOUBLE) * CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))), 6)"
+      s"""WITH f AS (SELECT n_chars AS a,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS b,
+         |                  CAST(len(list_filter(string_split(text, ' '),
+         |                                       t -> t IN ('the', 'a'))) AS BIGINT) AS c
+         |           FROM documents),
+         |s AS (SELECT count(*) AS n,
+         |             sum(a) AS sa, sum(b) AS sb, sum(c) AS sc,
+         |             sum(a*b) AS sab, sum(a*c) AS sac, sum(b*c) AS sbc,
+         |             sum(a*a) AS saa, sum(b*b) AS sbb, sum(c*c) AS scc
+         |      FROM f)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |       ${p("sa", "sb", "sab", "saa", "sbb")} AS corr_chars_tokens,
+         |       ${p("sa", "sc", "sac", "saa", "scc")} AS corr_chars_stop,
+         |       ${p("sb", "sc", "sbc", "sbb", "scc")} AS corr_tokens_stop
+         |FROM s""".stripMargin
+    },
     "q_text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),

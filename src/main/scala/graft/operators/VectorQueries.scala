@@ -242,6 +242,21 @@ object VectorQueries extends QueryPack {
       .join(broadcast(pqCodebooks(s, d)), Seq("m"))
       .select(col("pid"), col("m"), col("code"), d2u(col("qsv"), col("ce")).as("pdu"))
 
+  /** Canonical ADC ranking: µ-unit subspace distances summed per (probe,
+    * candidate), ranked (distance ASC, vec_id ASC), top-10 per probe. ONE
+    * definition shared by the PQ index queries and the recall harness that
+    * measures them — a tie-break/scale/cutoff change can never
+    * desynchronize the harness from the indexes (the ivfTop2Cells rule
+    * applied to the scoring side).
+    */
+  private def adcRanked(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.groupBy(col("pid"), col("vec_id")).agg(sum(col("pdu")).as("adu"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("adu"), col("vec_id"))))
+      .filter(col("rn") <= 10)
+  }
+
   val queries: Map[String, Q] = Map(
     // X3 baseline: brute-force cosine top-10 vs probe vec_id=0. O(n·d) scan —
     // correct at any scale, and the yardstick the ANN path is judged against.
@@ -450,14 +465,9 @@ object VectorQueries extends QueryPack {
     // deterministic. The probe partition (bounded, 20 probes) carries the
     // same documented constraint as the recall harness.
     "q_simsearch_pq" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      pqEncode(s, d).join(broadcast(pqAdcTable(s, d)), Seq("m", "code"))
-        .filter(col("vec_id") =!= col("pid"))
-        .groupBy(col("pid"), col("vec_id"))
-        .agg(sum(col("pdu")).as("adu"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("pid")).orderBy(col("adu"), col("vec_id"))))
-        .filter(col("rn") <= 10)
+      adcRanked(
+        pqEncode(s, d).join(broadcast(pqAdcTable(s, d)), Seq("m", "code"))
+          .filter(col("vec_id") =!= col("pid")))
         .select(col("pid"), col("vec_id"),
           round(col("adu") / lit(1e6), 6).as("ad2_r"), col("rn").cast("long").as("rn"))
         .orderBy(col("pid"), col("rn"))
@@ -474,21 +484,16 @@ object VectorQueries extends QueryPack {
     // encoded codes — because that is the deployment cost model; this
     // query times the SEARCH, the composition it exists to demonstrate.
     "q_simsearch_ivfpq" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val assigned = ivfAssigned(s, d).localCheckpoint()
       val probeA = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("pid"), col("embedding").as("pe"))
-      val top2 = ivfTop2Cells(s, d, probeA)
-      val cands = assigned.join(broadcast(top2), col("cell") === col("pcell"))
+      val cands = assigned.join(broadcast(ivfTop2Cells(s, d, probeA)),
+          col("cell") === col("pcell"))
         .filter(col("vec_id") =!= col("pid"))
         .select(col("pid"), col("vec_id"))
-      cands.join(pqCodes(s, d), "vec_id")
-        .join(broadcast(pqAdcTable(s, d)), Seq("pid", "m", "code"))
-        .groupBy(col("pid"), col("vec_id"))
-        .agg(sum(col("pdu")).as("adu"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("pid")).orderBy(col("adu"), col("vec_id"))))
-        .filter(col("rn") <= 10)
+      adcRanked(
+        cands.join(pqCodes(s, d), "vec_id")
+          .join(broadcast(pqAdcTable(s, d)), Seq("pid", "m", "code")))
         .select(col("pid"), col("vec_id"),
           round(col("adu") / lit(1e6), 6).as("ad2_r"), col("rn").cast("long").as("rn"))
         .orderBy(col("pid"), col("rn"))
@@ -515,23 +520,20 @@ object VectorQueries extends QueryPack {
         .filter(col("rn") <= 10).select(col("pid"), col("vec_id"))
         .localCheckpoint()
       val adt = pqAdcTable(s, d)
-      def adcTop10(scored: DataFrame): DataFrame = scored
-        .groupBy(col("pid"), col("vec_id")).agg(sum(col("pdu")).as("adu"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("pid")).orderBy(col("adu"), col("vec_id"))))
-        .filter(col("rn") <= 10).select(col("pid"), col("vec_id"))
-      val pqTop = adcTop10(
+      val pqTop = adcRanked(
         pqCodes(s, d).join(broadcast(adt), Seq("m", "code"))
           .filter(col("vec_id") =!= col("pid")))
+        .select(col("pid"), col("vec_id"))
       val assigned = ivfAssigned(s, d).localCheckpoint()
       val probeA = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("pid"), col("embedding").as("pe"))
       val cands = assigned.join(broadcast(ivfTop2Cells(s, d, probeA)),
           col("cell") === col("pcell"))
         .filter(col("vec_id") =!= col("pid")).select(col("pid"), col("vec_id"))
-      val ivfpqTop = adcTop10(
+      val ivfpqTop = adcRanked(
         cands.join(pqCodes(s, d), "vec_id")
           .join(broadcast(adt), Seq("pid", "m", "code")))
+        .select(col("pid"), col("vec_id"))
       val tcnt = truth.groupBy(col("pid")).agg(count(lit(1)).as("tn"))
       def recallRow(m: DataFrame, name: String): DataFrame = {
         val hits = truth.join(m, Seq("pid", "vec_id"))
