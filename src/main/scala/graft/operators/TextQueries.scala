@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -693,20 +694,38 @@ object TextQueries extends QueryPack {
 
     // X4h: unigram-LM scoring (the CCNet/perplexity-filter shape, with a
     // unigram model standing in for the KenLM): PASS 1 trains the LM (one
-    // corpus tokenization → vocabulary-sized count table, materialized —
-    // it IS the model artifact), PASS 2 scores every doc by mean log
-    // probability via a BROADCAST join of the tiny LM onto the token
-    // stream. Two corpus passes is the honest train+apply shape; the LM
-    // side is bounded by vocabulary size, never corpus size.
+    // corpus tokenization → count table, CAPPED to the top-K vocabulary by
+    // count — CCNet/DSIR deployments bound the LM the same way, since a web
+    // corpus has hundreds of millions of distinct tokens and an unbounded
+    // broadcast dies at 100 TB), PASS 2 scores every doc by mean log
+    // probability via a BROADCAST join of the ≤K-row LM onto the token
+    // stream. OOV mass is folded into one UNK class with add-1 smoothing
+    // over K+1 classes, so every token scores. K=20 < the 31-word fixture
+    // vocab, so the oracle proves the capped semantics, not the uncapped
+    // coincidence. Per-token lp rides exact µ-unit longs (house FP
+    // discipline) so the per-doc mean is order-independent.
     "q_text_unigram_lp" -> ((s, d) => {
+      val K = 20
       val tok = docTokens(s, d).select(col("doc_id"), col("w"))
       val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint()
-      val n = uni.agg(sum(col("c")).as("n_total"))
-      val lm = uni.crossJoin(broadcast(n))
-        .select(col("w"), round(log(col("c") / col("n_total")), 6).as("lp"))
-      tok.join(broadcast(lm), "w")
+      // Top-K by count, w ASC tiebreak — a TakeOrdered over the vocab-sized
+      // count table, deterministic in both engines.
+      val topk = uni.orderBy(col("c").desc, col("w")).limit(K).localCheckpoint()
+      val scal = uni.agg(sum(col("c")).as("n_total"))
+        .crossJoin(topk.agg(sum(col("c")).as("n_vocab")))
+      val lm = topk.crossJoin(broadcast(scal))
+        .select(col("w"),
+          round(log((col("c") + lit(1.0)) / (col("n_total") + lit(K + 1))) * lit(1e6))
+            .cast("long").as("lp6"))
+      val unk = scal.select(
+        round(log((col("n_total") - col("n_vocab") + lit(1.0)) / (col("n_total") + lit(K + 1))) * lit(1e6))
+          .cast("long").as("unk_lp6"))
+      tok.join(broadcast(lm), Seq("w"), "left_outer")
+        .crossJoin(broadcast(unk))
+        .select(col("doc_id"), coalesce(col("lp6"), col("unk_lp6")).as("lp6"))
         .groupBy(col("doc_id"))
-        .agg(round(avg(col("lp")), 6).as("mean_lp"), count(lit(1)).as("n_tok"))
+        .agg(round((sum(col("lp6")) / count(lit(1))) / lit(1e6), 6).as("mean_lp"),
+          count(lit(1)).as("n_tok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1038,32 +1057,43 @@ object TextQueries extends QueryPack {
     // X4p: DSIR-style importance weighting (Xie et al. 2023, "Data
     // Selection via Importance Resampling"): score every doc by the mean
     // per-token log-likelihood ratio between a TARGET-domain unigram LM
-    // (here: the English slice) and the raw-corpus LM, add-1 smoothed over
-    // the shared vocabulary. Both LMs are vocab-bounded count tables
-    // (never corpus-sized), the scored LM broadcasts onto the token
-    // stream, and the per-doc score is one partial-aggregated avg — the
-    // same two-pass train+apply shape as q_text_unigram_lp, with the
-    // ratio replacing the raw log-prob. keep = (rounded) weight > 0,
-    // i.e. the doc looks more target-like than corpus-average.
+    // (here: the English slice) and the raw-corpus LM. Both LMs are CAPPED
+    // to the corpus top-K vocabulary (count DESC, w ASC tiebreak) — DSIR
+    // deployments hash/bound the feature space the same way, because an
+    // unbounded web-corpus vocabulary makes the broadcast (and the driver
+    // building it) die at 100 TB. Tokens outside the top-K fold into one
+    // UNK class carrying the leftover mass on both sides, add-1 smoothed
+    // over K+1 classes, so every token still scores. K=20 < the 31-word
+    // fixture vocab, so the oracle proves the capped semantics.
     "q_text_dsir" -> ((s, d) => {
+      val K = 20
       val tok = docTokens(s, d)
       val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("cc")).localCheckpoint()
-      val scalars = corpus.agg(sum(col("cc")).as("nc"), count(lit(1)).as("v"))
-        .crossJoin(tok.filter(col("lang") === "en")
-          .agg(count(lit(1)).as("nt")))
+      val vocab = corpus.orderBy(col("cc").desc, col("w")).limit(K).localCheckpoint()
       val target = tok.filter(col("lang") === "en")
         .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      val scalars = corpus.agg(sum(col("cc")).as("nc"))
+        .crossJoin(vocab.agg(sum(col("cc")).as("ncv")))
+        .crossJoin(tok.filter(col("lang") === "en").agg(count(lit(1)).as("nt")))
+        .crossJoin(vocab.join(target, Seq("w"), "inner")
+          .agg(sum(col("ct")).as("ntv")))
       // Per-word LLR is carried as an exact micro-unit LONG (round(llr*1e6))
       // so the per-doc sum is order-independent integer arithmetic — a
       // double avg() here differed from DuckDB in the 6th decimal on
       // boundary values because FP summation order differs between engines.
-      val lm = corpus.join(target, Seq("w"), "left_outer")
+      def llr6(ct: Column, nt: Column, cc: Column, nc: Column): Column =
+        round((log((ct + lit(1.0)) / (nt + lit(K + 1)))
+          - log((cc + lit(1.0)) / (nc + lit(K + 1)))) * lit(1e6)).cast("long")
+      val lm = vocab.join(target, Seq("w"), "left_outer")
         .crossJoin(broadcast(scalars))
         .select(col("w"),
-          round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + col("v")))
-            - log((col("cc") + lit(1.0)) / (col("nc") + col("v")))) * lit(1e6))
-            .cast("long").as("llr6"))
-      tok.join(broadcast(lm), "w")
+          llr6(coalesce(col("ct"), lit(0L)), col("nt"), col("cc"), col("nc")).as("llr6"))
+      val unk = scalars.select(
+        llr6(col("nt") - coalesce(col("ntv"), lit(0L)), col("nt"),
+          col("nc") - col("ncv"), col("nc")).as("unk_llr6"))
+      tok.join(broadcast(lm), Seq("w"), "left_outer")
+        .crossJoin(broadcast(unk))
+        .select(col("doc_id"), coalesce(col("llr6"), col("unk_llr6")).as("llr6"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"), sum(col("llr6")).as("s6"))
         .select(col("doc_id"), col("n_tok"),
@@ -1537,10 +1567,18 @@ object TextQueries extends QueryPack {
     "q_text_unigram_lp" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
-        |n AS (SELECT sum(c) AS n_total FROM uni),
-        |lm AS (SELECT w, round(ln(c / n_total), 6) AS lp FROM uni, n)
-        |SELECT doc_id, round(avg(lp), 6) AS mean_lp, CAST(count(*) AS BIGINT) AS n_tok
-        |FROM tok JOIN lm USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |topk AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 20),
+        |s AS (SELECT (SELECT sum(c) FROM uni) AS n_total,
+        |             (SELECT sum(c) FROM topk) AS n_vocab),
+        |lm AS (SELECT w, CAST(round(ln((c + 1.0) / (n_total + 21)) * 1e6) AS BIGINT) AS lp6
+        |       FROM topk, s),
+        |unk AS (SELECT CAST(round(ln((n_total - n_vocab + 1.0) / (n_total + 21)) * 1e6) AS BIGINT)
+        |               AS unk_lp6 FROM s)
+        |SELECT doc_id,
+        |       round((sum(coalesce(lm.lp6, unk.unk_lp6)) / count(*)) / 1e6, 6) AS mean_lp,
+        |       CAST(count(*) AS BIGINT) AS n_tok
+        |FROM tok LEFT JOIN lm USING (w), unk
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang, doc_id // 1000 AS shard,
         |                  len(string_split(text, ' ')) AS n_tok
@@ -1706,17 +1744,23 @@ object TextQueries extends QueryPack {
     "q_text_dsir" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT w, count(*) AS cc FROM tok GROUP BY 1),
+        |vocab AS (SELECT w, cc FROM c ORDER BY cc DESC, w LIMIT 20),
         |t AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
-        |s AS (SELECT (SELECT sum(cc) FROM c) AS nc, (SELECT count(*) FROM c) AS v,
-        |             (SELECT count(*) FROM tok WHERE lang = 'en') AS nt),
-        |lm AS (SELECT c.w,
-        |              CAST(round((ln((coalesce(t.ct, 0) + 1.0) / (s.nt + s.v))
-        |                          - ln((c.cc + 1.0) / (s.nc + s.v))) * 1e6) AS BIGINT) AS llr6
-        |       FROM c LEFT JOIN t USING (w), s)
+        |s AS (SELECT (SELECT sum(cc) FROM c) AS nc,
+        |             (SELECT sum(cc) FROM vocab) AS ncv,
+        |             (SELECT count(*) FROM tok WHERE lang = 'en') AS nt,
+        |             (SELECT sum(t.ct) FROM vocab JOIN t USING (w)) AS ntv),
+        |lm AS (SELECT vocab.w,
+        |              CAST(round((ln((coalesce(t.ct, 0) + 1.0) / (s.nt + 21))
+        |                          - ln((vocab.cc + 1.0) / (s.nc + 21))) * 1e6) AS BIGINT) AS llr6
+        |       FROM vocab LEFT JOIN t USING (w), s),
+        |unk AS (SELECT CAST(round((ln((s.nt - coalesce(s.ntv, 0) + 1.0) / (s.nt + 21))
+        |                           - ln((s.nc - s.ncv + 1.0) / (s.nc + 21))) * 1e6) AS BIGINT)
+        |               AS unk_llr6 FROM s)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-        |       round((sum(llr6) / count(*)) / 1e6, 6) AS dsir_w,
-        |       CAST(CASE WHEN sum(llr6) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM tok JOIN lm USING (w)
+        |       round((sum(coalesce(lm.llr6, unk.unk_llr6)) / count(*)) / 1e6, 6) AS dsir_w,
+        |       CAST(CASE WHEN sum(coalesce(lm.llr6, unk.unk_llr6)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM tok LEFT JOIN lm USING (w), unk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       s"""WITH r AS (SELECT * FROM (VALUES ('de', 10), ('en', 50), ('es', 30),
