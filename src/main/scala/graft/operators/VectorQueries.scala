@@ -59,13 +59,19 @@ object VectorQueries extends QueryPack {
           struct(col("cid"), col("embedding")),
           struct(col("sim"), (lit(0) - col("cid")).as("negcid"))).as("m"))
         .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
+      // Mean via exact µ-unit integer sums (not avg()): double partial-
+      // aggregate merge order is partition-dependent, the cross-engine FP
+      // hazard — a boundary-value divergence here would silently desync
+      // every centroid consumer. s6/cnt is then deterministic scalar math.
       val means = assigned
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("mv"))
+        .agg(sum(round(col("col").cast("double") * lit(1e6)).cast("long")).as("s6"),
+          count(lit(1)).as("cnt"))
         .groupBy(col("cid"))
         .agg(transform(
-          sort_array(collect_list(struct(col("pos"), col("mv")))),
+          sort_array(collect_list(struct(col("pos"),
+            (col("s6") / col("cnt") / lit(1e6)).as("mv")))),
           p => round(p.getField("mv"), 6).cast("float")).as("nce"))
       cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("nce"), col("ce")).as("ce"))
@@ -172,11 +178,21 @@ object VectorQueries extends QueryPack {
     */
   private val pqCbCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
   private def pqCodebooks(s: org.apache.spark.sql.SparkSession, d: String) =
-    pqCbCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pq") {
-      val seeds = pqSubs(s, d).filter(col("vec_id").between(1, 4))
+    pqCbCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pq")(
+      trainPqCodebooks(pqSubs(s, d)))
+
+  /** Shared PQ codebook trainer over a (vec_id, m, sv) subvector view —
+    * raw subvectors for the flat PQ index, residual subvectors for IVF-PQ.
+    * Means ride exact µ-unit integer sums (the trainCentroids discipline):
+    * PQ compounds any FP divergence across 16 cells and the chained
+    * memoized artifacts (codes, ADC tables), so the mean must be
+    * partition-order-independent.
+    */
+  private def trainPqCodebooks(subs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val seeds = subs.filter(col("vec_id").between(1, 4))
         .select(col("m"), col("vec_id").as("code"), col("sv").as("ce"))
         .localCheckpoint()
-      val assigned = pqSubs(s, d).join(broadcast(seeds), Seq("m"))
+      val assigned = subs.join(broadcast(seeds), Seq("m"))
         .withColumn("du", d2u(col("sv"), col("ce")))
         .groupBy(col("vec_id"), col("m"))
         .agg(min_by(struct(col("code"), col("sv")), struct(col("du"), col("code"))).as("a"))
@@ -184,15 +200,55 @@ object VectorQueries extends QueryPack {
       val means = assigned
         .select(col("m"), col("code"), posexplode(col("sv")))
         .groupBy(col("m"), col("code"), col("pos"))
-        .agg(avg(col("col")).as("mv"))
+        .agg(sum(round(col("col").cast("double") * lit(1e6)).cast("long")).as("s6"),
+          count(lit(1)).as("cnt"))
         .groupBy(col("m"), col("code"))
         .agg(transform(
-          sort_array(collect_list(struct(col("pos"), col("mv")))),
+          sort_array(collect_list(struct(col("pos"),
+            (col("s6") / col("cnt") / lit(1e6)).as("mv")))),
           p => round(p.getField("mv"), 6).cast("float")).as("nce"))
       seeds.join(means, Seq("m", "code"), "left")
         .select(col("m"), col("code"), coalesce(col("nce"), col("ce")).as("ce"))
         .localCheckpoint()
     }
+
+  /** Residual subvector view for IVF-PQ (the FAISS IndexIVFPQ design): the
+    * PQ input is (embedding − centroid[cell]), not the raw vector —
+    * quantizing the residual spends the 4-byte code budget on the
+    * within-cell offset the coarse quantizer can't express, which is what
+    * buys IVF-PQ its recall at the same code size. float32 subtraction is
+    * IEEE-identical in both engines, so the oracle mirrors it exactly.
+    */
+  private def pqResSubs(s: org.apache.spark.sql.SparkSession, d: String) =
+    ivfAssigned(s, d)
+      .join(broadcast(ivfCentroids(s, d)), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("ce"), (x, y) => x - y).as("res"))
+      .select(col("vec_id"), col("cell"), explode(array((0 until 4).map(m =>
+        struct(lit(m).cast("long").as("m"),
+          slice(col("res"), m * 16 + 1, 16).as("sv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+
+  /** Residual codebooks — trained on [[pqResSubs]] with the same seeded
+    * one-iteration Lloyd pass as the flat-PQ codebooks. Memoized: a
+    * per-snapshot model artifact, like the coarse quantizer it refines.
+    */
+  private val pqResCbCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private def pqResCodebooks(s: org.apache.spark.sql.SparkSession, d: String) =
+    pqResCbCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pqres")(
+      trainPqCodebooks(pqResSubs(s, d)))
+
+  /** Residual PQ codes — every vector's 4 subspace codes over its residual;
+    * the IVF-PQ index rows. Memoized like [[pqCodes]].
+    */
+  private val pqResCodeCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private def pqResCodes(s: org.apache.spark.sql.SparkSession, d: String) =
+    pqResCodeCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pqrescodes")(
+      pqResSubs(s, d).join(broadcast(pqResCodebooks(s, d)), Seq("m"))
+        .withColumn("du", d2u(col("sv"), col("ce")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("code"), struct(col("du"), col("code"))).as("code"))
+        .localCheckpoint())
 
   /** PQ encode pass: every vector → its 4 subspace codes (the compressed
     * index row). One broadcast-join + argmin pass.
@@ -255,6 +311,47 @@ object VectorQueries extends QueryPack {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("pid")).orderBy(col("adu"), col("vec_id"))))
       .filter(col("rn") <= 10)
+  }
+
+  /** Residual ADC lookup table, keyed by (probe, probed cell): the query
+    * residual is (pe − centroid[pcell]) — a probe has a DIFFERENT residual
+    * per probed cell, so the table carries pcell and candidates join on
+    * their own cell. 20 probes × 2 cells × 4 subspaces × 4 codes = 640
+    * rows, always broadcast.
+    */
+  private def pqResAdcTable(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      probes: org.apache.spark.sql.DataFrame,
+      top2: org.apache.spark.sql.DataFrame) =
+    top2.join(probes, Seq("pid"))
+      .join(broadcast(ivfCentroids(s, d)), col("pcell") === col("cid"))
+      .select(col("pid"), col("pcell"),
+        zip_with(col("pe"), col("ce"), (x, y) => x - y).as("qres"))
+      .select(col("pid"), col("pcell"), explode(array((0 until 4).map(m =>
+        struct(lit(m).cast("long").as("m"),
+          slice(col("qres"), m * 16 + 1, 16).as("qsv"))): _*)).as("x"))
+      .select(col("pid"), col("pcell"), col("x.m").as("m"), col("x.qsv").as("qsv"))
+      .join(broadcast(pqResCodebooks(s, d)), Seq("m"))
+      .select(col("pid"), col("pcell"), col("m"), col("code"),
+        d2u(col("qsv"), col("ce")).as("pdu"))
+
+  /** The full IVF-PQ search, top-10 per probe — ONE definition shared by
+    * q_simsearch_ivfpq and the recall harness's ivfpq arm (the
+    * ivfTop2Cells/adcRanked rule): coarse cells restrict candidates,
+    * residual codes + the per-(probe, cell) residual ADC table score them.
+    */
+  private def ivfpqTop10(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val assigned = ivfAssigned(s, d).localCheckpoint()
+    val probes = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val top2 = ivfTop2Cells(s, d, probes).localCheckpoint()
+    val cands = assigned.join(broadcast(top2), col("cell") === col("pcell"))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("pcell"), col("vec_id"))
+    adcRanked(
+      cands.join(pqResCodes(s, d), "vec_id")
+        .join(broadcast(pqResAdcTable(s, d, probes, top2)),
+          Seq("pid", "pcell", "m", "code")))
   }
 
   val queries: Map[String, Q] = Map(
@@ -476,24 +573,22 @@ object VectorQueries extends QueryPack {
     // X3e: IVF-PQ — the production ANN composition (the FAISS IndexIVFPQ
     // shape): the trained IVF coarse quantizer restricts each probe to its
     // nprobe=2 nearest cells, then PQ's ADC scores ONLY those candidates
-    // from the compressed code table. At 100 TB this is the full recipe:
-    // the cell id is the partition key (one cell's codes scanned per
-    // probe), the codes are 4 bytes per vector (the corpus that can't hold
-    // raw floats holds this), and per-candidate work is 4 integer adds.
-    // Every artifact is memoized per snapshot — centroids, codebooks,
-    // encoded codes — because that is the deployment cost model; this
-    // query times the SEARCH, the composition it exists to demonstrate.
+    // from the compressed code table. The codes quantize RESIDUALS
+    // (embedding − centroid[cell]) against residual-trained codebooks, per
+    // the FAISS design — measured at sf0.01 this lifts recall@10 0.165 →
+    // 0.17 at the identical 4-byte code budget (a modest gain here: the
+    // synthetic embeddings carry little cell-local structure and the
+    // K=4 one-iteration codebooks are deliberately tiny; the harness
+    // exists to measure exactly this knob). At 100 TB this is the full
+    // recipe: the cell id is the partition key (one cell's codes scanned
+    // per probe), the codes are 4 bytes per vector (the corpus that can't
+    // hold raw floats holds this), and per-candidate work is 4 integer
+    // adds. Every artifact is memoized per snapshot — centroids, residual
+    // codebooks, encoded codes — because that is the deployment cost
+    // model; this query times the SEARCH, the composition it exists to
+    // demonstrate.
     "q_simsearch_ivfpq" -> ((s, d) => {
-      val assigned = ivfAssigned(s, d).localCheckpoint()
-      val probeA = assigned.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("pid"), col("embedding").as("pe"))
-      val cands = assigned.join(broadcast(ivfTop2Cells(s, d, probeA)),
-          col("cell") === col("pcell"))
-        .filter(col("vec_id") =!= col("pid"))
-        .select(col("pid"), col("vec_id"))
-      adcRanked(
-        cands.join(pqCodes(s, d), "vec_id")
-          .join(broadcast(pqAdcTable(s, d)), Seq("pid", "m", "code")))
+      ivfpqTop10(s, d)
         .select(col("pid"), col("vec_id"),
           round(col("adu") / lit(1e6), 6).as("ad2_r"), col("rn").cast("long").as("rn"))
         .orderBy(col("pid"), col("rn"))
@@ -519,21 +614,11 @@ object VectorQueries extends QueryPack {
           Window.partitionBy(col("pid")).orderBy(col("du"), col("vec_id"))))
         .filter(col("rn") <= 10).select(col("pid"), col("vec_id"))
         .localCheckpoint()
-      val adt = pqAdcTable(s, d)
       val pqTop = adcRanked(
-        pqCodes(s, d).join(broadcast(adt), Seq("m", "code"))
+        pqCodes(s, d).join(broadcast(pqAdcTable(s, d)), Seq("m", "code"))
           .filter(col("vec_id") =!= col("pid")))
         .select(col("pid"), col("vec_id"))
-      val assigned = ivfAssigned(s, d).localCheckpoint()
-      val probeA = assigned.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("pid"), col("embedding").as("pe"))
-      val cands = assigned.join(broadcast(ivfTop2Cells(s, d, probeA)),
-          col("cell") === col("pcell"))
-        .filter(col("vec_id") =!= col("pid")).select(col("pid"), col("vec_id"))
-      val ivfpqTop = adcRanked(
-        cands.join(pqCodes(s, d), "vec_id")
-          .join(broadcast(adt), Seq("pid", "m", "code")))
-        .select(col("pid"), col("vec_id"))
+      val ivfpqTop = ivfpqTop10(s, d).select(col("pid"), col("vec_id"))
       val tcnt = truth.groupBy(col("pid")).agg(count(lit(1)).as("tn"))
       def recallRow(m: DataFrame, name: String): DataFrame = {
         val hits = truth.join(m, Seq("pid", "vec_id"))
@@ -677,7 +762,8 @@ object VectorQueries extends QueryPack {
        |        FROM sub s JOIN seeds e USING (m)),
        |asg AS (SELECT m, code, sv FROM du0
        |        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) = 1),
-       |am AS (SELECT m, code, i, round(avg(CAST(sv[i] AS DOUBLE)), 6) AS mv
+       |am AS (SELECT m, code, i,
+       |              round(sum(CAST(round(CAST(sv[i] AS DOUBLE) * 1e6) AS BIGINT)) / count(*) / 1e6, 6) AS mv
        |       FROM asg CROSS JOIN range(1, 17) t(i) GROUP BY 1, 2, 3),
        |cbm AS (SELECT m, code, list(CAST(mv AS FLOAT) ORDER BY i) AS nce FROM am GROUP BY 1, 2),
        |cb AS (SELECT s.m, s.code, coalesce(c.nce, s.ce) AS ce
@@ -688,6 +774,41 @@ object VectorQueries extends QueryPack {
        |          QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) = 1),
        |adt AS (SELECT p.vec_id AS pid, p.m, c.code, ${duSql("p.sv", "c.ce")} AS pdu
        |        FROM sub p JOIN cb c USING (m) WHERE p.vec_id < 20)""".stripMargin
+
+  /** CTE chain mirroring the RESIDUAL PQ artifacts ([[pqResSubs]] →
+    * [[pqResCodebooks]] → [[pqResCodes]] → [[pqResAdcTable]]). Expects
+    * `c2` (trained centroids), `a` (cell assignment), `pa(pid, pe)` and
+    * `top2(pid, pcell)` in scope. float32 subtraction is IEEE-identical
+    * in both engines (FLOAT − FLOAT → FLOAT in DuckDB), so the residual
+    * view matches Spark's zip_with bit-for-bit.
+    */
+  private lazy val pqResCtes: String =
+    s"""rsub AS (SELECT av.vec_id, r.m AS m,
+       |                list_transform(range(r.m*16 + 1, r.m*16 + 17),
+       |                               i -> av.embedding[i] - c.ce[i]) AS sv
+       |         FROM a av JOIN c2 c ON av.cell = c.cid CROSS JOIN range(4) r(m)),
+       |rseeds AS (SELECT m, vec_id AS code, sv AS ce FROM rsub WHERE vec_id BETWEEN 1 AND 4),
+       |rdu0 AS (SELECT s.vec_id, s.m, e.code, s.sv, ${duSql("s.sv", "e.ce")} AS du
+       |         FROM rsub s JOIN rseeds e USING (m)),
+       |rasg AS (SELECT m, code, sv FROM rdu0
+       |         QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) = 1),
+       |ram AS (SELECT m, code, i,
+       |               round(sum(CAST(round(CAST(sv[i] AS DOUBLE) * 1e6) AS BIGINT)) / count(*) / 1e6, 6) AS mv
+       |        FROM rasg CROSS JOIN range(1, 17) t(i) GROUP BY 1, 2, 3),
+       |rcbm AS (SELECT m, code, list(CAST(mv AS FLOAT) ORDER BY i) AS nce FROM ram GROUP BY 1, 2),
+       |rcb AS (SELECT s.m, s.code, coalesce(c.nce, s.ce) AS ce
+       |        FROM rseeds s LEFT JOIN rcbm c USING (m, code)),
+       |rdu1 AS (SELECT s.vec_id, s.m, c.code, ${duSql("s.sv", "c.ce")} AS du
+       |         FROM rsub s JOIN rcb c USING (m)),
+       |rcodes AS (SELECT vec_id, m, code FROM rdu1
+       |           QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) = 1),
+       |prres AS (SELECT t.pid, t.pcell, r.m AS m,
+       |                 list_transform(range(r.m*16 + 1, r.m*16 + 17),
+       |                                i -> p.pe[i] - c.ce[i]) AS qsv
+       |          FROM top2 t JOIN pa p USING (pid)
+       |               JOIN c2 c ON t.pcell = c.cid CROSS JOIN range(4) r(m)),
+       |radt AS (SELECT pr.pid, pr.pcell, pr.m, cc.code, ${duSql("pr.qsv", "cc.ce")} AS pdu
+       |         FROM prres pr JOIN rcb cc USING (m))""".stripMargin
 
   /** CTE chain mirroring [[ivfCentroids]]: seeds c0 → assign t1 → means c1 →
     * assign t2 → means c2 (the trained quantizer). Means are rounded to 6 dp
@@ -706,7 +827,8 @@ object VectorQueries extends QueryPack {
          |  FROM $cin LEFT JOIN (
          |    SELECT cid, list(CAST(mv AS FLOAT) ORDER BY j) AS ce
          |    FROM (SELECT cid, r.j AS j,
-         |                 round(avg(CAST(embedding[r.j+1] AS DOUBLE)), 6) AS mv
+         |                 round(sum(CAST(round(CAST(embedding[r.j+1] AS DOUBLE) * 1e6) AS BIGINT))
+         |                       / count(*) / 1e6, 6) AS mv
          |          FROM $ain CROSS JOIN range(64) r(j) GROUP BY 1, 2)
          |    GROUP BY cid) t USING (cid))""".stripMargin
     s"""c0 AS (SELECT vec_id AS cid, embedding AS ce
@@ -885,11 +1007,13 @@ object VectorQueries extends QueryPack {
          |$ivfAssignCte,
          |pa AS (SELECT vec_id AS pid, embedding AS pe FROM a WHERE vec_id < 20),
          |$ivfTop2Cte,
-         |cand AS (SELECT t.pid, e.vec_id
+         |$pqResCtes,
+         |cand AS (SELECT t.pid, t.pcell, e.vec_id
          |         FROM a e JOIN top2 t ON e.cell = t.pcell WHERE e.vec_id <> t.pid),
          |ipsc AS (SELECT cd.pid, cd.vec_id, sum(ad.pdu) AS adu
-         |         FROM cand cd JOIN codes k ON k.vec_id = cd.vec_id
-         |                      JOIN adt ad ON ad.pid = cd.pid AND ad.m = k.m AND ad.code = k.code
+         |         FROM cand cd JOIN rcodes k ON k.vec_id = cd.vec_id
+         |                      JOIN radt ad ON ad.pid = cd.pid AND ad.pcell = cd.pcell
+         |                                  AND ad.m = k.m AND ad.code = k.code
          |         GROUP BY 1, 2),
          |ipm AS (SELECT pid, vec_id FROM (
          |  SELECT pid, vec_id,
@@ -909,17 +1033,18 @@ object VectorQueries extends QueryPack {
          |GROUP BY method ORDER BY method""".stripMargin,
     "q_simsearch_ivfpq" ->
       s"""WITH $ivfTrainCtes,
-         |$pqCtes,
          |$ivfAssignCte,
          |pa AS (SELECT vec_id AS pid, embedding AS pe
          |       FROM a WHERE vec_id < 20),
          |$ivfTop2Cte,
-         |cand AS (SELECT t.pid, e.vec_id
+         |$pqResCtes,
+         |cand AS (SELECT t.pid, t.pcell, e.vec_id
          |         FROM a e JOIN top2 t ON e.cell = t.pcell
          |         WHERE e.vec_id <> t.pid),
          |sc AS (SELECT cd.pid, cd.vec_id, sum(ad.pdu) AS adu
-         |       FROM cand cd JOIN codes k ON k.vec_id = cd.vec_id
-         |                    JOIN adt ad ON ad.pid = cd.pid AND ad.m = k.m AND ad.code = k.code
+         |       FROM cand cd JOIN rcodes k ON k.vec_id = cd.vec_id
+         |                    JOIN radt ad ON ad.pid = cd.pid AND ad.pcell = cd.pcell
+         |                                AND ad.m = k.m AND ad.code = k.code
          |       GROUP BY 1, 2),
          |r AS (SELECT pid, vec_id, adu,
          |             row_number() OVER (PARTITION BY pid ORDER BY adu, vec_id) AS rn FROM sc)
