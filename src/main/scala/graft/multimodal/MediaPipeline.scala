@@ -76,6 +76,17 @@ object MediaPipeline {
     }.toDF("id", "features")
   }
 
+  /** Perceptual gradient hash over an opaque binary payload column — the
+    * dHash-style signature ([[graft.functions.expr.ByteGradientHash]])
+    * that extends the dedup family to media columns: band it and pair by
+    * Hamming distance exactly like SimHash on text (q_dedup_phash). With a
+    * real decoder in place, the same expression runs over the decoded
+    * grayscale bytes instead of the raw payload.
+    */
+  def phash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.GraftColumn.lift1(
+      graft.functions.expr.ByteGradientHash.apply)(payload)
+
   /** Frame sampling for "video" payloads: every k-th fixed-size frame slice
     * of the byte stream — the Spark-side shape of keyframe extraction
     * (explode to one row per sampled frame, frame index carried).

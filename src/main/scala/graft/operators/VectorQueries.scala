@@ -707,6 +707,45 @@ object VectorQueries extends QueryPack {
           length(col("frame")).cast("long").as("frame_bytes"),
           substring(hex(col("frame")), 1, 8).as("header8"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // X5c: perceptual-hash dedup over the MEDIA column — the third modality
+    // of the dedup family (after text MinHash/SimHash and embedding
+    // sign-LSH): each opaque payload gets a 32-bit byte-gradient dHash
+    // ([[graft.multimodal.MediaPipeline.phash]], integer-exact, one codegen
+    // pass), candidates come from byte-banding the hash (4 bands of 8 bits,
+    // pigeonhole: hamming ≤ 3 guarantees a shared band), and exact Hamming
+    // via bit_count(xor) runs on candidates only — the q_dedup_simhash_pairs
+    // shape verbatim, same 2–100 bucket cap so a hot band value is dropped,
+    // never expanded quadratically. Text bytes stand in for image payloads
+    // (no codecs in the container); with a real decoder the identical plan
+    // runs over decoded grayscale bytes.
+    "q_dedup_phash" -> ((s, d) => {
+      val sigs = Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.multimodal.MediaPipeline.phash(encode(col("text"), "utf-8")).as("phash"))
+      val banded = sigs.select(
+          col("doc_id"), col("phash"),
+          posexplode(array((0 until 4).map(k =>
+            pmod(shiftright(col("phash"), 8 * k), lit(256L))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      banded
+        .groupBy(col("band"), col("bval"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("phash")))).as("vs"))
+        .filter(size(col("vs")).between(2, 100))
+        .select(explode(flatten(transform(col("vs"), (a, i) =>
+          transform(
+            slice(col("vs"), i + lit(2), size(col("vs")) - i - 1),
+            b => struct(
+              a.getField("doc_id").as("doc_a"),
+              b.getField("doc_id").as("doc_b"),
+              bit_count(a.getField("phash").bitwiseXOR(b.getField("phash")))
+                .cast("long").as("hamming")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+        .filter(col("hamming") <= 6)
+        .distinct() // several bands can surface the same pair, same hamming
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(100)
     })
   )
 
@@ -1093,6 +1132,42 @@ object VectorQueries extends QueryPack {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |       CAST(length(frame_hex) // 2 AS BIGINT) AS frame_bytes,
         |       substr(frame_hex, 1, 8) AS header8
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Byte values come from the hex encoding (2 hex chars per byte, the
+    // same byte-addressable form as the frames oracle); the mean compare is
+    // integer cross-multiplication, so the hash is FP-free end to end. The
+    // dense 33-row grid with coalesce(0) mirrors the expression's zeroed
+    // block arrays for payloads shorter than 33 bytes.
+    "q_dedup_phash" ->
+      """WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  length(hex(encode(text))) // 2 AS nb
+        |           FROM documents),
+        |bytes AS (SELECT doc_id, nb, r.i AS i,
+        |                 16*(strpos('0123456789ABCDEF', substr(hx, CAST(2*r.i+1 AS INT), 1))-1)
+        |                   + strpos('0123456789ABCDEF', substr(hx, CAST(2*r.i+2 AS INT), 1))-1 AS v
+        |          FROM t, LATERAL (SELECT unnest(range(0, nb)) AS i) r),
+        |blk0 AS (SELECT doc_id, (i * 33) // nb AS b, sum(v) AS s, count(*) AS c
+        |         FROM bytes GROUP BY 1, 2),
+        |grid AS (SELECT d.doc_id, g.b, coalesce(blk0.s, 0) AS s, coalesce(blk0.c, 0) AS c
+        |         FROM (SELECT DISTINCT doc_id FROM t) d CROSS JOIN range(33) g(b)
+        |         LEFT JOIN blk0 ON blk0.doc_id = d.doc_id AND blk0.b = g.b),
+        |g2 AS (SELECT doc_id, b, s, c, lead(s) OVER w AS s2, lead(c) OVER w AS c2
+        |       FROM grid WINDOW w AS (PARTITION BY doc_id ORDER BY b)),
+        |ph AS (SELECT doc_id,
+        |              CAST(sum(CASE WHEN s*c2 > s2*c
+        |                            THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+        |                            ELSE 0 END) AS BIGINT) AS phash
+        |       FROM g2 WHERE b < 32 GROUP BY 1),
+        |banded AS (SELECT doc_id, phash, r.k AS band,
+        |                  (phash // (CAST(1 AS BIGINT) << CAST(8*r.k AS INT))) % 256 AS bval
+        |           FROM ph CROSS JOIN range(4) r(k)),
+        |sized AS (SELECT * FROM banded
+        |          QUALIFY count(*) OVER (PARTITION BY band, bval) BETWEEN 2 AND 100),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        |         FROM sized x JOIN sized y
+        |           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 6
+        |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin
   )
 }

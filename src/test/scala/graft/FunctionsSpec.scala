@@ -178,4 +178,45 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     val got = df.select(VectorFns.dot(col("a"), col("b"))).as[Double].collect().head
     assert(got == 1e14 + 1.0)
   }
+
+  test("property: codegen ByteGradientHash equals the reference fold, incl. short payloads") {
+    def ref(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      val s = new Array[Long](33)
+      val c = new Array[Long](33)
+      for (i <- 0 until n) {
+        val b = ((i.toLong * 33L) / n).toInt
+        s(b) += (bytes(i) & 0xff).toLong
+        c(b) += 1L
+      }
+      (0 until 32).foldLeft(0L)((h, b) =>
+        if (s(b) * c(b + 1) > s(b + 1) * c(b)) h | (1L << b) else h)
+    }
+    val rnd = new scala.util.Random(53)
+    // lengths straddle the 33-byte block boundary: empty-block semantics,
+    // exactly-33, and long payloads all pinned
+    val inputs = (Seq(1, 5, 32, 33, 34) ++ Seq.fill(40)(rnd.nextInt(600) + 1))
+      .map(len => Array.fill(len)(rnd.nextInt(256).toByte))
+    val got = inputs.toDF("b")
+      .select(graft.multimodal.MediaPipeline.phash(col("b"))).as[Long].collect()
+    assert(got.toSeq == inputs.map(ref))
+  }
+
+  test("ByteGradientHash is stable under near-duplication (tail truncation)") {
+    // Gradient hashes are stable for SMOOTH signals (decoded images/audio),
+    // not white noise — use a slow sinusoid, the shape a real decoder emits.
+    val base = Array.tabulate(400)(i =>
+      (128 + 100 * math.sin(i / 20.0)).toInt.toByte)
+    val trunc = base.take(390) // a re-encode/truncated-tail near-dup
+    val hs = Seq(base, trunc).toDF("b")
+      .select(graft.multimodal.MediaPipeline.phash(col("b"))).as[Long].collect()
+    val dist = java.lang.Long.bitCount(hs(0) ^ hs(1))
+    assert(dist <= 6, s"near-dup payloads should stay Hamming-close, got $dist")
+    // and an unrelated signal (phase-shifted) is NOT close
+    val other = Array.tabulate(400)(i =>
+      (128 + 100 * math.sin(i / 20.0 + math.Pi)).toInt.toByte)
+    val hs2 = Seq(base, other).toDF("b")
+      .select(graft.multimodal.MediaPipeline.phash(col("b"))).as[Long].collect()
+    assert(java.lang.Long.bitCount(hs2(0) ^ hs2(1)) > 6)
+  }
 }
