@@ -211,6 +211,39 @@ object JoinQueries extends QueryPack {
         .select(col("r_name"))
         .crossJoin(broadcast(Tables.events(s, d).select(col("event_type")).distinct()))
         .orderBy(col("r_name"), col("event_type"))
+    }),
+
+    // J10: the TPC-H Q10 SHAPE — returned-item revenue report: one plan
+    // composing both physical join strategies across 3 facts + 1 dim:
+    // customer⋈orders and (c⋈o)⋈lineitem shuffle on their keys (exactly two
+    // exchanges-per-side SMJs), nation broadcasts, and the selective
+    // filters (recent F orders, R returns) are pushed to the parquet scans
+    // BEFORE any join. This is where Catalyst join planning earns its keep
+    // at 100 TB: filter first, never shuffle the dim, aggregate after the
+    // last join so the group-by key set stays bounded by surviving
+    // customers. AQE re-plans the middle join from runtime stats when one
+    // side collapses under the filter. Revenue aggregates in decimal(18,6)
+    // (exact, order-independent) before the 2-dp output round — the
+    // cross-engine money discipline this file mandates.
+    "q_report_multijoin" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d)
+            .filter(col("o_orderstatus") === "F" &&
+              col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(
+          Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     })
   )
 
@@ -283,6 +316,18 @@ object JoinQueries extends QueryPack {
     "q_join_cross" ->
       """SELECT r_name, event_type
         |FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events)
-        |ORDER BY r_name, event_type""".stripMargin
+        |ORDER BY r_name, event_type""".stripMargin,
+    "q_report_multijoin" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
   )
 }

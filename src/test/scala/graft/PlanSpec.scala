@@ -184,6 +184,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_report_multijoin: dim broadcast by hint, exactly two shuffle joins at scale, filters pushed") {
+    // At sf0.001 every filtered fact fits under the auto-broadcast
+    // threshold, so the toy plan is all-BHJ (correct for toy inputs).
+    // The property worth pinning is the 100 TB shape: disable size-based
+    // broadcast (facts too big to broadcast) and the plan must become the
+    // two shuffle joins on c_custkey and o_orderkey, with nation STILL
+    // broadcast because the query hints it explicitly — the hint, not
+    // fixture luck, is what keeps the dim off the wire.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = SparkEntry.queries("q_report_multijoin")(s2, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p) // nation: explicit hint
+    val shuffleJoins = "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size
+    assert(shuffleJoins == 2, s"expected exactly 2 shuffle joins, got $shuffleJoins\n$p")
+    // selective filters reach the parquet scans before any join
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+    // (the PushedFilters list renders truncated, so the date bound is
+    // asserted on the scan's Filter predicate instead)
+    assert(p.contains(">= 1998-01-01"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_join_bloom: bloom runtime filter gates the fact scan before the shuffle join") {
     val df = SparkEntry.queries("q_join_bloom")(spark, d)
     val p = df.queryExecution.executedPlan.toString
