@@ -729,24 +729,46 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // X4i: sequence PACKING — group consecutive docs into ~4096-token
-    // training sequences (contiguous greedy fill: a doc goes to the bin its
-    // running-sum start position falls in). The packing unit is
-    // (lang, shard-of-1000-contiguous-doc-ids), NOT lang alone: lang
-    // cardinality is tiny, so a per-lang window would funnel a 100 TB corpus
-    // through a handful of tasks, while bounded shards keep every window
-    // partition ≤1000 rows at any corpus size — and packing only ever needs
-    // intra-shard contiguity, never a global order.
+    // X4i: sequence PACKING, two-phase — group consecutive docs into
+    // ~4096-token training sequences (contiguous greedy fill: a doc goes to
+    // the bin its running-sum start position falls in). PHASE 1 packs
+    // within (lang, shard-of-200-contiguous-doc-ids), NOT lang alone: lang
+    // cardinality is tiny, so a per-lang doc window would funnel a 100 TB
+    // corpus through a handful of tasks, while bounded shards keep every
+    // window partition ≤200 rows at any corpus size (and several shards
+    // exist even at fixture scale, so phase 2 is genuinely exercised). PHASE 2 fixes what
+    // sharding costs: every shard leaves one underfull TAIL sequence, so
+    // the tails (exactly one ROW per shard — sequence-level units, 1000×
+    // smaller than docs, the q_window_ntile_dist two-phase discipline) are
+    // re-packed across shards per lang, folding remainders into compacted
+    // bins (shard = -1). Bin utilization then survives shard boundaries:
+    // total tokens are conserved and the sequence count strictly drops
+    // whenever two tails fit one bin (pinned by spec).
     "q_pack_sequences" -> ((s, d) => {
       val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), (col("doc_id") / 1000).cast("long").as("shard"),
+      val seqs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), (col("doc_id") / 200).cast("long").as("shard"),
           size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
         .withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(4096)).cast("long"))
         .groupBy(col("lang"), col("shard"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"),
           min(col("doc_id")).as("first_doc"))
+      val marked = seqs.withColumn("last_seq",
+        max(col("seq_id")).over(Window.partitionBy(col("lang"), col("shard"))))
+      val full = marked.filter(col("seq_id") < col("last_seq"))
+        .select(col("lang"), col("shard"), col("seq_id"),
+          col("n_docs"), col("seq_tokens"), col("first_doc"))
+      val w2 = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      val compacted = marked.filter(col("seq_id") === col("last_seq"))
+        .withColumn("cum2", sum(col("seq_tokens")).over(w2))
+        .withColumn("bin", floor((col("cum2") - col("seq_tokens")) / lit(4096)).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("seq_tokens")).as("seq_tokens"),
+          min(col("first_doc")).as("first_doc"))
+        .select(col("lang"), lit(-1L).as("shard"), col("bin").as("seq_id"),
+          col("n_docs"), col("seq_tokens"), col("first_doc"))
+      full.unionByName(compacted)
         .orderBy(col("lang"), col("shard"), col("seq_id"))
     }),
 
@@ -1580,16 +1602,32 @@ object TextQueries extends QueryPack {
         |FROM tok LEFT JOIN lm USING (w), unk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
-      """WITH t AS (SELECT doc_id, lang, doc_id // 1000 AS shard,
+      """WITH t AS (SELECT doc_id, lang, doc_id // 200 AS shard,
         |                  len(string_split(text, ' ')) AS n_tok
         |           FROM documents),
         |c AS (SELECT doc_id, lang, shard, n_tok,
         |             sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS cum
-        |      FROM t)
-        |SELECT lang, shard, CAST((cum - n_tok) // 4096 AS BIGINT) AS seq_id,
-        |       CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
-        |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, seq_id""".stripMargin,
+        |      FROM t),
+        |s AS (SELECT lang, shard, CAST((cum - n_tok) // 4096 AS BIGINT) AS seq_id,
+        |             CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_tok) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
+        |      FROM c GROUP BY 1, 2, 3),
+        |m AS (SELECT *, max(seq_id) OVER (PARTITION BY lang, shard) AS last_seq FROM s),
+        |filled AS (SELECT lang, shard, seq_id, n_docs, seq_tokens, first_doc
+        |           FROM m WHERE seq_id < last_seq),
+        |c2 AS (SELECT lang, n_docs, seq_tokens, first_doc,
+        |              sum(seq_tokens) OVER (PARTITION BY lang ORDER BY shard) AS cum2
+        |       FROM m WHERE seq_id = last_seq),
+        |comp AS (SELECT lang, CAST(-1 AS BIGINT) AS shard,
+        |                CAST(bin AS BIGINT) AS seq_id,
+        |                CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |                CAST(sum(seq_tokens) AS BIGINT) AS seq_tokens,
+        |                min(first_doc) AS first_doc
+        |         FROM (SELECT lang, n_docs, seq_tokens, first_doc,
+        |                      (cum2 - seq_tokens) // 4096 AS bin FROM c2)
+        |         GROUP BY 1, 3)
+        |SELECT * FROM filled UNION ALL SELECT * FROM comp
+        |ORDER BY lang, shard, seq_id""".stripMargin,
     "q_source_scorecard" ->
       s"""WITH RECURSIVE $reachCtes,
          |lab AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
