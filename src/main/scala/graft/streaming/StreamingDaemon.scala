@@ -114,7 +114,8 @@ object StreamingDaemon {
     * keeps the exclusion a metadata operation, not a scan.
     */
   private def readSigStore(
-      spark: SparkSession, dir: String, colName: String, excludeBatch: Long): DataFrame = {
+      spark: SparkSession, dir: String, empty: DataFrame,
+      cols: Seq[String], excludeBatch: Long): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // A batch= dir must hold a COMMITTED part file to count: a crash between
@@ -125,11 +126,23 @@ object StreamingDaemon {
     val hasCommitted = fs.exists(path) &&
       fs.listStatus(path).exists(s => s.getPath.getName.startsWith("batch=") &&
         fs.listStatus(s.getPath).exists(_.getPath.getName.endsWith(".parquet")))
-    if (!hasCommitted) spark.range(0).select(col("id").cast("string").as(colName))
+    if (!hasCommitted) empty.select(cols.map(col): _*)
     else spark.read.parquet(dir)
       .filter(col("batch") =!= excludeBatch)
-      .select(col(colName))
+      .select(cols.map(col): _*)
   }
+
+  /** Sign-LSH band keys over an embedding column — the batch q_dedup_embed
+    * banding (8 bands × 8 sign bits) as a gate-side projection: one row per
+    * (doc, band) with `ekey = band:bucket` and the embedding carried for
+    * the exact-cosine confirmation. Deterministic, no RNG to persist.
+    */
+  def embedBandKeys(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("embedding"),
+        posexplode(array((0 until 8).map(b =>
+          graft.functions.VectorFns.signBucketAt(col("embedding"), b * 8, 8)): _*)))
+      .select(col("doc_id"), col("embedding"),
+        concat_ws(":", col("pos"), col("col")).as("ekey"))
 
   /** Streaming INGEST dedup — the LLM-crawl ingestion gate, the streaming
     * form of q_dedup_incremental: documents arrive as a file stream; each
@@ -152,6 +165,17 @@ object StreamingDaemon {
     * and the signature directories makes replays idempotent (at-least-once
     * foreachBatch → exactly-once directory contents).
     */
+  /** `corpusEmbSigs` (optional): the corpus-side EMBEDDING sign-LSH index
+    * (ekey, embedding) — when supplied, the gate also catches SEMANTIC
+    * near-dups (novel text, same meaning): each batch doc's band keys probe
+    * the corpus index plus the `ekeys/batch=N` store of previously-accepted
+    * embeddings, and a candidate is rejected only when the exact cosine
+    * confirms (≥ `semanticCos`) — band collision alone is a candidate
+    * signal, not a verdict, exactly the batch q_dedup_embed/q_dedup_semantic
+    * two-phase discipline. Accepted embeddings fold back into the store per
+    * batch like the text signatures. In production the hot band values are
+    * capped (the 2–100 bucket rule) when the store is compacted.
+    */
   def ingestDedupLoop(
       spark: SparkSession,
       inDir: String,
@@ -159,6 +183,8 @@ object StreamingDaemon {
       outDir: String,
       checkpointDir: String,
       sigStoreDir: String,
+      corpusEmbSigs: Option[DataFrame] = None,
+      semanticCos: Double = 0.95,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val static = spark.read.parquet(inDir)
     source(spark, inDir, static)
@@ -175,17 +201,34 @@ object StreamingDaemon {
           .select(col("k.*"))
           .persist()
         val sigs = graft.operators.TextQueries.bandKeysOf(exact).persist()
+        val bsigs = corpusEmbSigs.map(_ => embedBandKeys(exact).persist())
         try {
-          val priorSkeys  = readSigStore(spark, s"$sigStoreDir/skeys",  "skey", batchId)
-          val priorHashes = readSigStore(spark, s"$sigStoreDir/hashes", "content_hash", batchId)
+          val priorSkeys = readSigStore(spark, s"$sigStoreDir/skeys",
+            spark.range(0).select(col("id").cast("string").as("skey")), Seq("skey"), batchId)
+          val priorHashes = readSigStore(spark, s"$sigStoreDir/hashes",
+            spark.range(0).select(col("id").cast("string").as("content_hash")),
+            Seq("content_hash"), batchId)
           val nearDup = sigs
             .join(corpusSigs.select(col("skey")).union(priorSkeys), "skey")
             .select(col("doc_id"))
           val exactDup = exact
             .join(priorHashes, Seq("content_hash"), "left_semi")
             .select(col("doc_id"))
+          val semDup = (corpusEmbSigs, bsigs) match {
+            case (Some(corpusEmb), Some(bs)) =>
+              val stored = corpusEmb.select(col("ekey"), col("embedding"))
+                .union(readSigStore(spark, s"$sigStoreDir/ekeys",
+                  corpusEmb.limit(0), Seq("ekey", "embedding"), batchId))
+                .withColumnRenamed("embedding", "stored_emb")
+              bs.join(stored, "ekey")
+                .filter(graft.functions.VectorFns.cosine(
+                  col("embedding"), col("stored_emb")) >= semanticCos)
+                .select(col("doc_id"))
+            case _ => spark.range(0).select(col("id").as("doc_id"))
+          }
           val accepted = exact
-            .join(nearDup.union(exactDup).distinct(), Seq("doc_id"), "left_anti")
+            .join(nearDup.union(exactDup).union(semDup).distinct(),
+              Seq("doc_id"), "left_anti")
             .persist()
           try {
             accepted.drop("content_hash")
@@ -198,8 +241,15 @@ object StreamingDaemon {
             accepted.select(col("content_hash"))
               .write.mode("overwrite")
               .parquet(s"$sigStoreDir/hashes/batch=$batchId")
+            bsigs.foreach { bs =>
+              bs.join(accepted.select(col("doc_id")), "doc_id")
+                .select(col("ekey"), col("embedding"))
+                .write.mode("overwrite")
+                .parquet(s"$sigStoreDir/ekeys/batch=$batchId")
+            }
           } finally accepted.unpersist() // a failed write must not pin the cache across retries
         } finally {
+          bsigs.foreach(_.unpersist())
           sigs.unpersist()
           exact.unpersist()
         }

@@ -56,7 +56,13 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
     val out = spark.table("dwk_out")
     // the fixture has many (user, type) repeats at different ts; keys-only
-    // dedup collapses each to a single survivor
+    // dedup collapses each to a single survivor.
+    // LOAD-BEARING: dropDuplicatesWithinWatermark only guarantees dedup of
+    // re-arrivals within the watermark delay — the exact-count assert holds
+    // because AvailableNow over ONE input file yields a single micro-batch,
+    // so every repeat is seen before any state could age out. A fixture
+    // spanning >1h of event time across SEVERAL batches would legitimately
+    // re-emit keys; that is the documented API semantics, not a bug.
     assert(ev.select("user_id", "event_type").distinct().count() == out.count())
     assert(out.select("user_id", "event_type").distinct().count() == out.count())
     assert(out.count() < ev.count()) // it actually dropped same-key re-arrivals
@@ -176,6 +182,78 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(kept.exists(_ >= 3000000L), "novel batch-2 doc was wrongly rejected")
     // and batch 1 behaves exactly like the single-batch gate
     assert(kept.filter(_ < 2000000L) == expected1)
+  }
+
+  test("ingestDedupLoop semantic gate rejects embedding near-dups, batch-equal") {
+    val sf = "/root/testdata/sf0.001"
+    val in  = tmp("semingest-in")
+    val out = tmp("semingest-out")
+    val ckp = tmp("semingest-ckp")
+    val sig = tmp("semingest-sig")
+    val docs = Tables.documents(spark, sf)
+      .join(Tables.embeddings(spark, sf).select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7).localCheckpoint()
+    val fresh  = docs.filter(col("doc_id") % 10 === 7).localCheckpoint()
+
+    val corpusSigs = graft.operators.TextQueries.bandKeysOf(corpus)
+      .withColumnRenamed("doc_id", "corpus_doc").localCheckpoint()
+    val corpusEmb = StreamingDaemon.embedBandKeys(corpus)
+      .select(col("ekey"), col("embedding")).localCheckpoint()
+
+    // batch-gate expectation for the plain fresh docs: text near-dups drop;
+    // no fixture embedding pair reaches cos 0.99 (ceiling ~0.47), so the
+    // semantic arm must not reject any of them
+    val expected1 = fresh
+      .join(graft.operators.TextQueries.bandKeysOf(fresh)
+          .join(corpusSigs, "skey").select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+
+    // batch 1: fresh docs + a SEMANTIC dup of a corpus doc — novel text
+    // (passes the MinHash gate) but the corpus doc's exact embedding
+    val novelText  = (1 to 60).map(i => s"qwz${i}fleem").mkString(" ")
+    val novelText2 = (1 to 60).map(i => s"vrb${i}snork").mkString(" ")
+    val corpusOne = corpus.orderBy(col("doc_id")).limit(1)
+    val semDupOfCorpus = corpusOne
+      .withColumn("doc_id", lit(5000000L))
+      .withColumn("text", lit(novelText))
+    fresh.unionByName(semDupOfCorpus).coalesce(1).write.mode("append").parquet(in)
+    // batch 2: a semantic dup of an ADMITTED batch-1 doc (tests the ekeys
+    // store fold-back) + a genuinely novel doc (text AND embedding)
+    val keeper = fresh.filter(col("doc_id") === expected1.min)
+    val semDupOfAccepted = keeper
+      .withColumn("doc_id", lit(6000000L))
+      .withColumn("text", lit(novelText2))
+    val novelDoc = keeper
+      .withColumn("doc_id", lit(7000000L))
+      .withColumn("text", lit((1 to 60).map(i => s"xlp${i}crumb").mkString(" ")))
+      .withColumn("embedding",
+        array((0 until 64).map(i => lit(if (i % 2 == 0) 0.01f else -0.01f)): _*))
+    def partFiles() = new java.io.File(in).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).toSet
+    val files1 = partFiles()
+    semDupOfAccepted.unionByName(novelDoc).coalesce(1).write.mode("append").parquet(in)
+    val files2 = partFiles() -- files1
+    val t0 = System.currentTimeMillis() - 60000
+    files1.foreach(_.setLastModified(t0))
+    files2.foreach(_.setLastModified(t0 + 30000))
+
+    val q = StreamingDaemon.ingestDedupLoop(spark, in, corpusSigs, out, ckp, sig,
+      corpusEmbSigs = Some(corpusEmb), semanticCos = 0.99)
+    q.awaitTermination()
+
+    val kept = spark.read.parquet(s"$out/batch=*").select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    // the semantic dup of a CORPUS doc was rejected despite novel text
+    assert(!kept.contains(5000000L), "corpus semantic near-dup admitted")
+    // the semantic dup of an ADMITTED batch-1 doc was rejected (ekeys store)
+    assert(!kept.contains(6000000L), "prior-batch semantic near-dup admitted")
+    // the genuinely novel doc passed both gates
+    assert(kept.contains(7000000L), "novel doc wrongly rejected")
+    // and the plain fresh docs behave exactly like the batch text gate —
+    // the semantic arm rejected nothing below the cosine threshold
+    assert(kept.filter(_ < 5000000L) == expected1)
   }
 
   test("statefulLww folds new versions into O(keys) state across micro-batches") {
