@@ -137,12 +137,26 @@ object MetaQueries extends QueryPack {
 
     // A4 approx variant: HLL++ sketch distinct — at 100 TB the exact
     // expand+two-phase distinct shuffles every (group, user) pair; the sketch
-    // is one pass with fixed-size state. No oracle: HLL estimates are
-    // engine-specific (driver records the rows-only check).
+    // is one pass with fixed-size state. The raw estimate is engine-specific
+    // (Spark HLL++ vs DuckDB's sketch will not hash-match), so the ORACLED
+    // contract is the bounded-error check itself: each side emits the exact
+    // count and whether ITS OWN sketch lands within the ±5% documented
+    // tolerance (rsd 0.01 → ~1% expected error; 5% is a generous envelope a
+    // healthy sketch never leaves at this cardinality). Values hash-match
+    // because both engines agree on the exact count and both sketches are in
+    // tolerance — a broken sketch flips within_tol and fails the gate. The
+    // exact count is the HARNESS yardstick only — production emits just the
+    // one-pass sketch; pairing it with the exact form is what makes the
+    // sketch's error testable.
     "q_agg_approx_distinct" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <= col("exact_users") * lit(0.05))
+            .cast("long").as("within_tol"))
         .orderBy(col("event_type"))
     }),
 
@@ -267,6 +281,15 @@ object MetaQueries extends QueryPack {
     "q_agg_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // DuckDB checks ITS OWN sketch against the same ±5% envelope — the
+    // bounded-error contract both engines must satisfy; raw estimates are
+    // never compared (engine-specific sketches).
+    "q_agg_approx_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(CASE WHEN abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |                      <= count(DISTINCT user_id) * 0.05
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_compact_lww" ->
       """SELECT user_id, event_type, event_id AS last_event_id,

@@ -6,9 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class EntryContractSpec extends AnyFunSuite with SparkSpec {
 
   /** Queries deliberately shipped without a DuckDB oracle (driver then
-    * records a rows-only check): approx sketches are engine-specific.
+    * records a rows-only check). Empty since round 5: the last holdout
+    * (q_agg_approx_distinct) now oracles its bounded-error contract —
+    * each engine checks its own sketch against the ±5% envelope.
     */
-  private val noOracle = Set("q_agg_approx_distinct")
+  private val noOracle = Set.empty[String]
 
   test("every oracle has a query; only documented no-oracle queries lack one") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
