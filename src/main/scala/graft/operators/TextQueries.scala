@@ -218,10 +218,17 @@ object TextQueries extends QueryPack {
           new java.io.File(d).getAbsolutePath +
             graft.sources.Memo.fingerprint(d, "documents"))}%08x"
       sigTableWriteLock.synchronized {
-        graft.sources.BucketedTables.writeBucketed(
-          bandKeysOf(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7))
-            .withColumnRenamed("doc_id", "corpus_doc"),
-          name, "skey", 8)
+        // The name encodes (path, fingerprint), so an existing table IS the
+        // content this write would produce — skip the rewrite entirely.
+        // saveAsTable overwrite is delete-then-write, not atomic: re-writing
+        // identical content would open a missing-file window for a
+        // concurrent reader in another JVM sharing the warehouse, the exact
+        // hazard the skip closes (and a warm run saves the write).
+        if (!s.catalog.tableExists(name))
+          graft.sources.BucketedTables.writeBucketed(
+            bandKeysOf(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7))
+              .withColumnRenamed("doc_id", "corpus_doc"),
+            name, "skey", 8)
       }
       name
     }
@@ -1054,25 +1061,42 @@ object TextQueries extends QueryPack {
 
     // X4o: quality-scorer calibration — per-language simple linear
     // regression of the heuristic quality score on ln(doc length), closed
-    // form from the second-moment aggregates (slope = cov/var, intercept
-    // from the means, r = correlation). Training is ONE partial-aggregated
-    // pass over the corpus — the moments are merged map-side and the model
-    // is lang-cardinality rows — so "fit a scorer on 100 TB" is a single
-    // shuffle of 5 tiny states, not an iterative solver. Oracle uses
-    // DuckDB's regr_slope/regr_intercept over the same (x, y) pairs.
+    // form from the five sufficient statistics. Training is ONE
+    // partial-aggregated pass over the corpus — the stats merge map-side
+    // and the model is lang-cardinality rows — so "fit a scorer on 100 TB"
+    // is a single shuffle of 5 tiny states, not an iterative solver.
+    // (x, y) are quantized to exact µ-unit longs and the sufficient
+    // statistics are exact decimal(38,0) integer sums (the
+    // q_text_feature_corr discipline): built-in covar_pop/var_pop/corr
+    // merge double co-moment state in partition order, the cross-engine FP
+    // hazard — the closed form then runs on exact scalars and both engines
+    // compute identical doubles.
     "q_text_quality_lr" -> ((s, d) => {
+      def D(c: Column) = c.cast("double")
+      def i38(c: Column) = c.cast("decimal(38,0)")
       val xy = Tables.documents(s, d)
         .withColumn("toks", TextFns.tokens(col("text")))
-        .select(col("lang"), log(col("n_chars")).as("x"),
-          ((lit(1.0) - TextFns.stopwordCount(col("toks")) / size(col("toks")))
-            * least(size(col("toks")) / lit(100.0), lit(1.0))).as("y"))
-      val slope = covar_pop(col("x"), col("y")) / var_pop(col("x"))
+        .select(col("lang"),
+          round(log(col("n_chars")) * lit(1e6)).cast("long").as("x6"),
+          round(((lit(1.0) - TextFns.stopwordCount(col("toks")) / size(col("toks")))
+            * least(size(col("toks")) / lit(100.0), lit(1.0))) * lit(1e6))
+            .cast("long").as("y6"))
       xy.groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
-          round(slope, 6).as("slope"),
-          round(avg(col("y")) - slope * avg(col("x")), 6).as("intercept"),
-          round(corr(col("x"), col("y")), 6).as("r"))
+          sum(i38(col("x6"))).as("sx"), sum(i38(col("y6"))).as("sy"),
+          sum(i38(col("x6") * col("y6"))).as("sxy"),
+          sum(i38(col("x6") * col("x6"))).as("sxx"),
+          sum(i38(col("y6") * col("y6"))).as("syy"))
+        .select(col("lang"), col("n_docs"),
+          round((D(col("n_docs")) * D(col("sxy")) - D(col("sx")) * D(col("sy")))
+            / (D(col("n_docs")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))), 6).as("slope"),
+          round((D(col("sy")) - (D(col("n_docs")) * D(col("sxy")) - D(col("sx")) * D(col("sy")))
+              / (D(col("n_docs")) * D(col("sxx")) - D(col("sx")) * D(col("sx"))) * D(col("sx")))
+            / D(col("n_docs")) / lit(1e6), 6).as("intercept"),
+          round((D(col("n_docs")) * D(col("sxy")) - D(col("sx")) * D(col("sy")))
+            / sqrt((D(col("n_docs")) * D(col("sxx")) - D(col("sx")) * D(col("sx")))
+              * (D(col("n_docs")) * D(col("syy")) - D(col("sy")) * D(col("sy")))), 6).as("r"))
         .orderBy(col("lang"))
     }),
 
@@ -1769,16 +1793,28 @@ object TextQueries extends QueryPack {
         |FROM documents JOIN s USING (lang)
         |ORDER BY doc_id""".stripMargin,
     "q_text_quality_lr" ->
-      """WITH xy AS (SELECT lang, ln(n_chars) AS x,
-        |                   (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
-        |                          / len(string_split(text, ' ')))
-        |                   * least(len(string_split(text, ' ')) / 100.0, 1.0) AS y
-        |            FROM documents)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |       round(regr_slope(y, x), 6) AS slope,
-        |       round(regr_intercept(y, x), 6) AS intercept,
-        |       round(corr(y, x), 6) AS r
-        |FROM xy GROUP BY lang ORDER BY lang""".stripMargin,
+      """WITH xy AS (SELECT lang,
+        |                   CAST(round(ln(n_chars) * 1e6) AS BIGINT) AS x6,
+        |                   CAST(round(((1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+        |                               / len(string_split(text, ' ')))
+        |                              * least(len(string_split(text, ' ')) / 100.0, 1.0)) * 1e6) AS BIGINT) AS y6
+        |            FROM documents),
+        |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |              sum(x6) AS sx, sum(y6) AS sy,
+        |              sum(x6 * y6) AS sxy, sum(x6 * x6) AS sxx, sum(y6 * y6) AS syy
+        |       FROM xy GROUP BY lang)
+        |SELECT lang, n_docs,
+        |       round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE)
+        |              - (CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                * CAST(sx AS DOUBLE))
+        |             / CAST(n_docs AS DOUBLE) / 1e6, 6) AS intercept,
+        |       round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                    * (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+        |FROM st ORDER BY lang""".stripMargin,
     "q_text_dsir" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
         |c AS (SELECT w, count(*) AS cc FROM tok GROUP BY 1),
