@@ -160,6 +160,44 @@ object TextQueries extends QueryPack {
           explode(TextFns.shinglesFromText(col("text"), 10)).as("gram"))
         .localCheckpoint())
 
+  /** Byte-banded Hamming pairing over an integer signature column — ONE
+    * pipeline shared by q_dedup_simhash_pairs (16-bit SimHash, 2 bands)
+    * and q_dedup_phash (32-bit gradient hash, 4 bands): candidates from
+    * any matching 8-bit band (Charikar pigeonhole: hamming ≤ nBands−1
+    * guarantees a shared band), the standard 2–100 bucket cap (a skew-hot
+    * byte bucket is boilerplate and is dropped, never expanded
+    * quadratically), in-bucket pair expansion without a self-join, exact
+    * `bit_count(xor)` on candidates only, `distinct` because several bands
+    * can surface the same pair, top-100 closest under a total order. A
+    * banding/cap/tie-break fix lands in every consumer at once.
+    */
+  private[graft] def bandedHammingPairs(
+      sigs: org.apache.spark.sql.DataFrame, sigCol: String,
+      nBands: Int, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    val banded = sigs.select(
+        col("doc_id"), col(sigCol).as("sig"),
+        posexplode(array((0 until nBands).map(k =>
+          pmod(shiftright(col(sigCol), 8 * k), lit(256L))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    banded
+      .groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("vs"))
+      .filter(size(col("vs")).between(2, 100))
+      .select(explode(flatten(transform(col("vs"), (a, i) =>
+        transform(
+          slice(col("vs"), i + lit(2), size(col("vs")) - i - 1),
+          b => struct(
+            a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            bit_count(a.getField("sig").bitwiseXOR(b.getField("sig")))
+              .cast("long").as("hamming")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
   /** 16-bit SimHash signature per doc (token-hash bit votes), shared by the
     * signature dump (q_dedup_simhash) and the pairing pass
     * (q_dedup_simhash_pairs).
@@ -220,10 +258,16 @@ object TextQueries extends QueryPack {
       sigTableWriteLock.synchronized {
         // The name encodes (path, fingerprint), so an existing table IS the
         // content this write would produce — skip the rewrite entirely.
-        // saveAsTable overwrite is delete-then-write, not atomic: re-writing
-        // identical content would open a missing-file window for a
-        // concurrent reader in another JVM sharing the warehouse, the exact
-        // hazard the skip closes (and a warm run saves the write).
+        // saveAsTable overwrite is delete-then-write, not atomic, so every
+        // skipped rewrite is one fewer missing-file window for a concurrent
+        // reader (and a warm run saves the write). Scope honestly: the
+        // catalog is per-JVM (in-memory, non-Hive), so a FRESH JVM sharing
+        // the warehouse still rebuilds once and can race a reader in
+        // another JVM during that first write — full cross-JVM safety needs
+        // a shared metastore or a rename-swap layout, both out of scope for
+        // the fixture warehouse. CTAS commits catalog metadata after the
+        // data write, so a crashed write never registers and the rebuild
+        // still triggers.
         if (!s.catalog.tableExists(name))
           graft.sources.BucketedTables.writeBucketed(
             bandKeysOf(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7))
@@ -529,34 +573,9 @@ object TextQueries extends QueryPack {
     // pair collides iff either byte matches, the Charikar pigeonhole trick:
     // hamming ≤ 1 guarantees a shared band, low hamming makes one likely),
     // exact Hamming distance via bit_count(xor) on candidates only, top-100
-    // closest pairs reported. Same in-bucket expansion + 2–100 bucket cap as
-    // the MinHash/embedding pipelines (a skew-hot byte bucket is boilerplate
-    // and is dropped, never expanded quadratically).
-    "q_dedup_simhash_pairs" -> ((s, d) => {
-      val banded = simhashSigs(s, d).select(
-          col("doc_id"), col("simhash"),
-          posexplode(array(
-            pmod(col("simhash"), lit(256L)),
-            pmod(shiftright(col("simhash"), 8), lit(256L)))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-      banded
-        .groupBy(col("band"), col("bval"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("vs"))
-        .filter(size(col("vs")).between(2, 100))
-        .select(explode(flatten(transform(col("vs"), (a, i) =>
-          transform(
-            slice(col("vs"), i + lit(2), size(col("vs")) - i - 1),
-            b => struct(
-              a.getField("doc_id").as("doc_a"),
-              b.getField("doc_id").as("doc_b"),
-              bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash")))
-                .cast("long").as("hamming")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct() // both bands can surface the same pair, same hamming
-        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-        .limit(100)
-    }),
+    // closest pairs reported — the shared [[bandedHammingPairs]] pipeline.
+    "q_dedup_simhash_pairs" -> ((s, d) =>
+      bandedHammingPairs(simhashSigs(s, d), "simhash", nBands = 2, maxHamming = 3)),
 
     // X2h: PARAGRAPH-level dedup — boilerplate passages that doc-level sha2
     // misses: split each doc into non-overlapping 10-token chunks (the

@@ -720,33 +720,12 @@ object VectorQueries extends QueryPack {
     // never expanded quadratically. Text bytes stand in for image payloads
     // (no codecs in the container); with a real decoder the identical plan
     // runs over decoded grayscale bytes.
-    "q_dedup_phash" -> ((s, d) => {
-      val sigs = Tables.documents(s, d).select(
-        col("doc_id"),
-        graft.multimodal.MediaPipeline.phash(encode(col("text"), "utf-8")).as("phash"))
-      val banded = sigs.select(
-          col("doc_id"), col("phash"),
-          posexplode(array((0 until 4).map(k =>
-            pmod(shiftright(col("phash"), 8 * k), lit(256L))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-      banded
-        .groupBy(col("band"), col("bval"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("phash")))).as("vs"))
-        .filter(size(col("vs")).between(2, 100))
-        .select(explode(flatten(transform(col("vs"), (a, i) =>
-          transform(
-            slice(col("vs"), i + lit(2), size(col("vs")) - i - 1),
-            b => struct(
-              a.getField("doc_id").as("doc_a"),
-              b.getField("doc_id").as("doc_b"),
-              bit_count(a.getField("phash").bitwiseXOR(b.getField("phash")))
-                .cast("long").as("hamming")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
-        .filter(col("hamming") <= 6)
-        .distinct() // several bands can surface the same pair, same hamming
-        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-        .limit(100)
-    })
+    "q_dedup_phash" -> ((s, d) =>
+      TextQueries.bandedHammingPairs(
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          graft.multimodal.MediaPipeline.phash(encode(col("text"), "utf-8")).as("phash")),
+        "phash", nBands = 4, maxHamming = 6))
   )
 
   /** DuckDB double-precision mirrors of [[VectorFns]]. */

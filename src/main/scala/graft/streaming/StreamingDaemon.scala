@@ -164,17 +164,21 @@ object StreamingDaemon {
     * between-compactions delta. batchId-keyed overwrite of BOTH the data
     * and the signature directories makes replays idempotent (at-least-once
     * foreachBatch → exactly-once directory contents).
-    */
-  /** `corpusEmbSigs` (optional): the corpus-side EMBEDDING sign-LSH index
+    *
+    * `corpusEmbSigs` (optional): the corpus-side EMBEDDING sign-LSH index
     * (ekey, embedding) — when supplied, the gate also catches SEMANTIC
     * near-dups (novel text, same meaning): each batch doc's band keys probe
-    * the corpus index plus the `ekeys/batch=N` store of previously-accepted
-    * embeddings, and a candidate is rejected only when the exact cosine
-    * confirms (≥ `semanticCos`) — band collision alone is a candidate
-    * signal, not a verdict, exactly the batch q_dedup_embed/q_dedup_semantic
-    * two-phase discipline. Accepted embeddings fold back into the store per
-    * batch like the text signatures. In production the hot band values are
-    * capped (the 2–100 bucket rule) when the store is compacted.
+    * the corpus index, the `ekeys/batch=N` store of previously-accepted
+    * embeddings, AND the rest of its own micro-batch (higher doc_id loses,
+    * the exact-dedup min-keeper rule); a candidate is rejected only when
+    * the exact cosine confirms (≥ `semanticCos`) — band collision alone is
+    * a candidate signal, not a verdict, exactly the batch
+    * q_dedup_embed/q_dedup_semantic two-phase discipline. Accepted
+    * embeddings fold back into the store per batch like the text
+    * signatures. (The TEXT near-dup arm stays store-only within a batch —
+    * exact hash handles intra-batch text dups; the semantic arm covers the
+    * mirror-page case exact hashing misses.) In production the hot band
+    * values are capped (the 2–100 bucket rule) when the store is compacted.
     */
   def ingestDedupLoop(
       spark: SparkSession,
@@ -220,10 +224,25 @@ object StreamingDaemon {
                 .union(readSigStore(spark, s"$sigStoreDir/ekeys",
                   corpusEmb.limit(0), Seq("ekey", "embedding"), batchId))
                 .withColumnRenamed("embedding", "stored_emb")
-              bs.join(stored, "ekey")
+              val vsStored = bs.join(stored, "ekey")
                 .filter(graft.functions.VectorFns.cosine(
                   col("embedding"), col("stored_emb")) >= semanticCos)
                 .select(col("doc_id"))
+              // INTRA-batch semantic pairs: two novel-text mirror docs in
+              // the same micro-batch collide on a band, confirm by cosine,
+              // and the HIGHER doc_id loses — the same deterministic
+              // min-keeper rule as the exact-hash dedup above. Without
+              // this, a crawl batch full of mirror pages would pass the
+              // gate untouched and pollute the ekeys store.
+              val vsBatch = bs.select(col("ekey"),
+                  col("doc_id").as("doc_a"), col("embedding").as("ea"))
+                .join(bs.select(col("ekey"),
+                  col("doc_id").as("doc_b"), col("embedding").as("eb")), "ekey")
+                .filter(col("doc_a") < col("doc_b"))
+                .filter(graft.functions.VectorFns.cosine(
+                  col("ea"), col("eb")) >= semanticCos)
+                .select(col("doc_b").as("doc_id"))
+              vsStored.union(vsBatch)
             case _ => spark.range(0).select(col("id").as("doc_id"))
           }
           val accepted = exact

@@ -218,7 +218,19 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val semDupOfCorpus = corpusOne
       .withColumn("doc_id", lit(5000000L))
       .withColumn("text", lit(novelText))
-    fresh.unionByName(semDupOfCorpus).coalesce(1).write.mode("append").parquet(in)
+    // an INTRA-batch mirror pair: two docs in the same micro-batch with
+    // distinct novel texts but identical embeddings (orthogonal to every
+    // fixture embedding pattern) — lower doc_id must win, higher must lose
+    val mirrorEmb = array((0 until 64).map(i =>
+      lit(if (i % 4 < 2) 0.02f else -0.02f)): _*)
+    val mirror1 = corpusOne.withColumn("doc_id", lit(8000000L))
+      .withColumn("text", lit((1 to 60).map(i => s"mra${i}zilt").mkString(" ")))
+      .withColumn("embedding", mirrorEmb)
+    val mirror2 = corpusOne.withColumn("doc_id", lit(8000001L))
+      .withColumn("text", lit((1 to 60).map(i => s"mrb${i}quop").mkString(" ")))
+      .withColumn("embedding", mirrorEmb)
+    fresh.unionByName(semDupOfCorpus).unionByName(mirror1).unionByName(mirror2)
+      .coalesce(1).write.mode("append").parquet(in)
     // batch 2: a semantic dup of an ADMITTED batch-1 doc (tests the ekeys
     // store fold-back) + a genuinely novel doc (text AND embedding)
     val keeper = fresh.filter(col("doc_id") === expected1.min)
@@ -251,6 +263,9 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!kept.contains(6000000L), "prior-batch semantic near-dup admitted")
     // the genuinely novel doc passed both gates
     assert(kept.contains(7000000L), "novel doc wrongly rejected")
+    // intra-batch mirror pair: min-keeper admitted, its mirror rejected
+    assert(kept.contains(8000000L), "intra-batch mirror keeper wrongly rejected")
+    assert(!kept.contains(8000001L), "intra-batch semantic mirror admitted")
     // and the plain fresh docs behave exactly like the batch text gate —
     // the semantic arm rejected nothing below the cosine threshold
     assert(kept.filter(_ < 5000000L) == expected1)
