@@ -124,7 +124,7 @@ object AnalyticsQueries extends QueryPack {
         """SELECT coalesce(o_orderstatus, 'ALL') AS status,
           |       coalesce(o_orderpriority, 'ALL') AS priority,
           |       CAST(count(*) AS BIGINT) AS n,
-          |       round(sum(o_totalprice), 2) AS total
+          |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
           |FROM orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY status, priority""".stripMargin)
@@ -181,7 +181,8 @@ object AnalyticsQueries extends QueryPack {
     "q_window_tumbling" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total"))
         .select(unix_micros(col("win.start")).as("day_us"), col("event_type"), col("n"), col("total"))
         .orderBy(col("day_us"), col("event_type"))
     }),
@@ -363,7 +364,8 @@ object AnalyticsQueries extends QueryPack {
     "q_cube_report" -> ((s, d) => {
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,6)")), 2).cast("double").as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -452,7 +454,7 @@ object AnalyticsQueries extends QueryPack {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(o_totalprice), 2) AS total
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
@@ -478,7 +480,8 @@ object AnalyticsQueries extends QueryPack {
         |ORDER BY event_id""".stripMargin,
     "q_window_tumbling" ->
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
-        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_window_sliding" ->
       """SELECT epoch_us(date_trunc('day', ts) - INTERVAL (o) DAY) AS win_us,
@@ -566,7 +569,7 @@ object AnalyticsQueries extends QueryPack {
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(l_quantity), 2) AS sum_qty
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q_agg_percentile" ->

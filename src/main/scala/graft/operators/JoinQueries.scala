@@ -27,7 +27,7 @@ object JoinQueries extends QueryPack {
         .groupBy(col("r_name"))
         .agg(
           count(lit(1)).as("n_cust"),
-          round(sum(col("c_acctbal")), 2).as("total_bal"))
+          round(sum(col("c_acctbal").cast("decimal(18,6)")), 2).cast("double").as("total_bal"))
         .orderBy(col("r_name"))
     }),
 
@@ -250,7 +250,7 @@ object JoinQueries extends QueryPack {
   val oracles: Map[String, String] = Map(
     "q_join_broadcast" ->
       """SELECT r_name, CAST(count(*) AS BIGINT) AS n_cust,
-        |       round(sum(c_acctbal), 2) AS total_bal
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey

@@ -62,8 +62,9 @@ object MetaQueries extends QueryPack {
     // (QHBaseCompact.java:151-156); customer=region, orders=files analog.
     "q_filter_compactable" -> ((s, d) => {
       Compaction
-        .compactableStores(Tables.orders(s, d), Seq(col("o_custkey")), col("o_totalprice"))
-        .withColumn("total_size", round(col("total_size"), 2))
+        .compactableStores(Tables.orders(s, d), Seq(col("o_custkey")),
+          col("o_totalprice").cast("decimal(18,6)"))
+        .withColumn("total_size", round(col("total_size"), 2).cast("double"))
         .orderBy(col("o_custkey"))
     }),
 
@@ -86,8 +87,9 @@ object MetaQueries extends QueryPack {
         .groupBy(col("size_class"))
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("total"),
-          ceil(sum(col("o_totalprice")) / 1073741824.0 * 40000).cast("long").as("est_wait_ms"))
+          round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").as("total"),
+          ceil(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / 1073741824.0 * 40000).cast("long").as("est_wait_ms"))
         .orderBy(col("size_class"))
     }),
 
@@ -107,8 +109,8 @@ object MetaQueries extends QueryPack {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_quantity").cast("decimal(18,6)")), 2).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").as("sum_price"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -118,7 +120,8 @@ object MetaQueries extends QueryPack {
     "q_rollup_report" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,6)")), 2).cast("double").as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -243,7 +246,7 @@ object MetaQueries extends QueryPack {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_filter_compactable" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_files,
-        |       round(sum(o_totalprice), 2) AS total_size
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_size
         |FROM orders GROUP BY o_custkey HAVING count(*) > 1
         |ORDER BY o_custkey""".stripMargin,
     "q_time_window_gate" ->
@@ -256,8 +259,9 @@ object MetaQueries extends QueryPack {
         |            WHEN o_totalprice > 200000 THEN 'skip'
         |            ELSE 'scheduled' END AS size_class,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(o_totalprice), 2) AS total,
-        |       CAST(ceil(sum(o_totalprice) / 1073741824.0 * 40000) AS BIGINT) AS est_wait_ms
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+        |       CAST(ceil(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |                 / 1073741824.0 * 40000) AS BIGINT) AS est_wait_ms
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_max_argmax" ->
       """SELECT o_orderpriority, o_totalprice AS max_price, o_orderkey AS max_order
@@ -267,15 +271,15 @@ object MetaQueries extends QueryPack {
         |ORDER BY o_orderpriority""".stripMargin,
     "q_agg_sum_by_group" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_rollup_report" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(l_quantity), 2) AS sum_qty
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q_agg_distinct" ->

@@ -538,9 +538,14 @@ object VectorQueries extends QueryPack {
       def recallRow(m: DataFrame, name: String): DataFrame = {
         val hits = truth.join(m, Seq("pid", "vec_id"))
           .groupBy(col("pid")).agg(count(lit(1)).as("hn"))
+        // per-probe ratio quantized to exact µ-unit longs before the mean:
+        // avg() of doubles merges partial sums in partition order, the
+        // cross-engine FP hazard (house discipline)
         tcnt.join(hits, Seq("pid"), "left")
-          .select((coalesce(col("hn"), lit(0L)) / col("tn")).as("r"))
-          .agg(count(lit(1)).as("n_probes"), round(avg(col("r")), 6).as("recall"))
+          .select(round(coalesce(col("hn"), lit(0L)) / col("tn") * lit(1e6))
+            .cast("long").as("r6"))
+          .agg(count(lit(1)).as("n_probes"),
+            round(sum(col("r6")) / count(lit(1)) / lit(1e6), 6).as("recall"))
           .select(lit(name).as("method"), col("n_probes"), col("recall"))
       }
       recallRow(lsh, "lsh")
@@ -623,9 +628,14 @@ object VectorQueries extends QueryPack {
       def recallRow(m: DataFrame, name: String): DataFrame = {
         val hits = truth.join(m, Seq("pid", "vec_id"))
           .groupBy(col("pid")).agg(count(lit(1)).as("hn"))
+        // per-probe ratio quantized to exact µ-unit longs before the mean:
+        // avg() of doubles merges partial sums in partition order, the
+        // cross-engine FP hazard (house discipline)
         tcnt.join(hits, Seq("pid"), "left")
-          .select((coalesce(col("hn"), lit(0L)) / col("tn")).as("r"))
-          .agg(count(lit(1)).as("n_probes"), round(avg(col("r")), 6).as("recall"))
+          .select(round(coalesce(col("hn"), lit(0L)) / col("tn") * lit(1e6))
+            .cast("long").as("r6"))
+          .agg(count(lit(1)).as("n_probes"),
+            round(sum(col("r6")) / count(lit(1)) / lit(1e6), 6).as("recall"))
           .select(lit(name).as("method"), col("n_probes"), col("recall"))
       }
       recallRow(ivfpqTop, "ivfpq").unionAll(recallRow(pqTop, "pq"))
@@ -641,7 +651,10 @@ object VectorQueries extends QueryPack {
         .select(col("label"), VectorFns.norm(col("embedding")).as("nrm"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
-          round(avg(col("nrm")), 6).as("avg_norm"),
+          // mean over exact µ-unit longs (min/max are order-independent
+          // and stay on the raw doubles)
+          round(sum(round(col("nrm") * lit(1e6)).cast("long"))
+            / count(lit(1)) / lit(1e6), 6).as("avg_norm"),
           round(min(col("nrm")), 6).as("min_norm"),
           round(max(col("nrm")), 6).as("max_norm"))
         .orderBy(col("label"))
@@ -992,7 +1005,7 @@ object VectorQueries extends QueryPack {
          |grid AS (SELECT method, pid, tn
          |         FROM (VALUES ('ivf'), ('ivf2'), ('lsh')) ms(method) CROSS JOIN tc)
          |SELECT method, CAST(count(*) AS BIGINT) AS n_probes,
-         |       round(avg(coalesce(hn, 0) / tn), 6) AS recall
+         |       round(sum(CAST(round(coalesce(hn, 0) / tn * 1e6) AS BIGINT)) / count(*) / 1e6, 6) AS recall
          |FROM grid LEFT JOIN h USING (method, pid)
          |GROUP BY method ORDER BY method""".stripMargin,
     "q_simsearch_pq" ->
@@ -1046,7 +1059,7 @@ object VectorQueries extends QueryPack {
          |grid AS (SELECT method, pid, tn
          |         FROM (VALUES ('ivfpq'), ('pq')) ms(method) CROSS JOIN tc)
          |SELECT method, CAST(count(*) AS BIGINT) AS n_probes,
-         |       round(avg(coalesce(hn, 0) / tn), 6) AS recall
+         |       round(sum(CAST(round(coalesce(hn, 0) / tn * 1e6) AS BIGINT)) / count(*) / 1e6, 6) AS recall
          |FROM grid LEFT JOIN h USING (method, pid)
          |GROUP BY method ORDER BY method""".stripMargin,
     "q_simsearch_ivfpq" ->
@@ -1070,7 +1083,7 @@ object VectorQueries extends QueryPack {
          |FROM r WHERE rn <= 10 ORDER BY pid, rn""".stripMargin,
     "q_vector_stats" ->
       s"""SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
-         |       round(avg(${normSql("embedding")}), 6) AS avg_norm,
+         |       round(sum(CAST(round(${normSql("embedding")} * 1e6) AS BIGINT)) / count(*) / 1e6, 6) AS avg_norm,
          |       round(min(${normSql("embedding")}), 6) AS min_norm,
          |       round(max(${normSql("embedding")}), 6) AS max_norm
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
