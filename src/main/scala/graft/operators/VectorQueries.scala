@@ -642,6 +642,34 @@ object VectorQueries extends QueryPack {
         .orderBy(col("method"))
     }),
 
+    // X3g: IVF index-staleness monitor — the maintenance query an ANN
+    // deployment runs nightly: assign the CURRENT corpus to the memoized
+    // (trained-once) centroids and report, per cell, occupancy, how much
+    // of the cell is freshly-ingested data (the %10==7 split, the same
+    // fresh/corpus convention as the dedup family), and the exact µ-unit
+    // mean/max squared-L2 to the centroid. Rising mean distance or fresh
+    // data piling into few cells is the retrain signal — the drift report
+    // is what decides when the quantizer artifact is stale. One broadcast
+    // pass + a k-bounded groupBy: flat at any corpus size.
+    "q_simsearch_ivf_drift" -> ((s, d) => {
+      val assigned = Tables.embeddings(s, d)
+        .crossJoin(broadcast(ivfCentroids(s, d)))
+        .withColumn("sim", VectorFns.cosine(col("embedding"), col("ce")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("cid"), col("embedding"), col("ce")),
+          struct(col("sim"), (lit(0) - col("cid")).as("negcid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cell"),
+          d2u(col("m.embedding"), col("m.ce")).as("du"))
+      assigned
+        .withColumn("fresh", when(col("vec_id") % 10 === 7, 1L).otherwise(0L))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("fresh")).as("n_fresh"),
+          round(sum(col("du")) / count(lit(1)) / lit(1e6), 6).as("mean_d2"),
+          round(max(col("du")) / lit(1e6), 6).as("max_d2"))
+        .orderBy(col("cell"))
+    }),
+
     // X3c: embedding-table hygiene stats — per-label vector counts and norm
     // distribution, the sanity pass run before any ANN index build (zero
     // norms break cosine, norm drift flags a bad encoder batch). One map
@@ -1081,6 +1109,19 @@ object VectorQueries extends QueryPack {
          |             row_number() OVER (PARTITION BY pid ORDER BY adu, vec_id) AS rn FROM sc)
          |SELECT pid, vec_id, round(adu / 1e6, 6) AS ad2_r, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 10 ORDER BY pid, rn""".stripMargin,
+    "q_simsearch_ivf_drift" ->
+      s"""WITH $ivfTrainCtes,
+         |ad AS (SELECT vec_id, cid AS cell, du FROM (
+         |  SELECT e.vec_id, c.cid, ${duSql("e.embedding", "c.ce")} AS du,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c2 c)
+         |  WHERE rn = 1)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+         |       round(sum(du) / count(*) / 1e6, 6) AS mean_d2,
+         |       round(max(du) / 1e6, 6) AS max_d2
+         |FROM ad GROUP BY cell ORDER BY cell""".stripMargin,
     "q_vector_stats" ->
       s"""SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
          |       round(sum(CAST(round(${normSql("embedding")} * 1e6) AS BIGINT)) / count(*) / 1e6, 6) AS avg_norm,
