@@ -766,7 +766,28 @@ object VectorQueries extends QueryPack {
         Tables.documents(s, d).select(
           col("doc_id"),
           graft.multimodal.MediaPipeline.phash(encode(col("text"), "utf-8")).as("phash")),
-        "phash", nBands = 4, maxHamming = 6))
+        "phash", nBands = 4, maxHamming = 6)),
+
+    // X5d: FRAME-level perceptual dedup — the video near-dup shape: two
+    // "videos" are near-dups when they share frames, so the dedup unit is
+    // the sampled keyframe, not the whole payload. Composes the
+    // MediaPipeline end to end: typed frame sampling (every 2nd 32-byte
+    // frame) → per-frame gradient hash → the same banded-Hamming pairing
+    // as the payload-level pass, keyed by a composite (video, frame) id.
+    // The tight ≤1 threshold fits 32-byte frames (noisier than full
+    // payloads); intra-video hits expose keyframe redundancy, cross-video
+    // hits shared/duplicated footage. Scale shape: flatMap + map + the
+    // capped band join — no all-pairs anywhere.
+    "q_dedup_phash_frames" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val ds = graft.multimodal.MediaPipeline.fromDocuments(Tables.documents(s, d))
+      val sigs = graft.multimodal.MediaPipeline
+        .sampleFrames(ds, frameBytes = 32, everyK = 2)
+        .select((col("id") * 1000 + col("frame_idx")).as("doc_id"),
+          graft.multimodal.MediaPipeline.phash(col("frame")).as("phash"))
+      TextQueries.bandedHammingPairs(sigs, "phash", nBands = 4, maxHamming = 1)
+        .select(col("doc_a").as("frame_a"), col("doc_b").as("frame_b"), col("hamming"))
+    })
   )
 
   /** DuckDB double-precision mirrors of [[VectorFns]]. */
@@ -1201,6 +1222,44 @@ object VectorQueries extends QueryPack {
         |         FROM sized x JOIN sized y
         |           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 6
-        |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin
+        |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
+    // Frame slicing matches the frames oracle (64 hex chars = 32 bytes,
+    // partial tail frame dropped in both engines); the hash/banding chain
+    // is the q_dedup_phash construction over each frame's 32 bytes.
+    "q_dedup_phash_frames" ->
+      """WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  length(hex(encode(text))) // 2 AS nb
+        |           FROM documents),
+        |f AS (SELECT doc_id, r.fi AS frame_idx,
+        |             substr(hx, CAST(r.fi*64 + 1 AS INT), 64) AS fhx
+        |      FROM t, LATERAL (SELECT unnest(list_filter(range(0, nb // 32),
+        |                                                 j -> j % 2 = 0)) AS fi) r),
+        |fb AS (SELECT doc_id*1000 + frame_idx AS fid, r.bi AS bi,
+        |              16*(strpos('0123456789ABCDEF', substr(fhx, CAST(2*r.bi+1 AS INT), 1))-1)
+        |                + strpos('0123456789ABCDEF', substr(fhx, CAST(2*r.bi+2 AS INT), 1))-1 AS v
+        |       FROM f, LATERAL (SELECT unnest(range(0, 32)) AS bi) r),
+        |blk AS (SELECT fid, (bi * 33) // 32 AS b, sum(v) AS s, count(*) AS c
+        |        FROM fb GROUP BY 1, 2),
+        |grid AS (SELECT d.fid, g.b, coalesce(blk.s, 0) AS s, coalesce(blk.c, 0) AS c
+        |         FROM (SELECT DISTINCT fid FROM fb) d CROSS JOIN range(33) g(b)
+        |         LEFT JOIN blk ON blk.fid = d.fid AND blk.b = g.b),
+        |g2 AS (SELECT fid, b, s, c, lead(s) OVER w AS s2, lead(c) OVER w AS c2
+        |       FROM grid WINDOW w AS (PARTITION BY fid ORDER BY b)),
+        |ph AS (SELECT fid,
+        |              CAST(sum(CASE WHEN s*c2 > s2*c
+        |                            THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+        |                            ELSE 0 END) AS BIGINT) AS phash
+        |       FROM g2 WHERE b < 32 GROUP BY 1),
+        |banded AS (SELECT fid, phash, r.k AS band,
+        |                  (phash // (CAST(1 AS BIGINT) << CAST(8*r.k AS INT))) % 256 AS bval
+        |           FROM ph CROSS JOIN range(4) r(k)),
+        |sized AS (SELECT * FROM banded
+        |          QUALIFY count(*) OVER (PARTITION BY band, bval) BETWEEN 2 AND 100),
+        |cand AS (SELECT DISTINCT x.fid AS frame_a, y.fid AS frame_b,
+        |                CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        |         FROM sized x JOIN sized y
+        |           ON x.band = y.band AND x.bval = y.bval AND x.fid < y.fid)
+        |SELECT frame_a, frame_b, hamming FROM cand WHERE hamming <= 1
+        |ORDER BY hamming, frame_a, frame_b LIMIT 100""".stripMargin
   )
 }
