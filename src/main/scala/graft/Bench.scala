@@ -83,7 +83,9 @@ object Bench {
             }
           }.toMap
         } else Map.empty
-      val sfTag = sfDir.reverse.takeWhile(_ != '/').reverse
+      // last non-empty path segment: a trailing slash must not collapse the
+      // namespace to "" (which would merge every sf into one floor set)
+      val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
       // drop any legacy un-namespaced keys from earlier file formats
       val base = prior.filter(_._1.contains("|"))
       val merged = base ++ results.collect { case (name, t) if t >= 0 =>

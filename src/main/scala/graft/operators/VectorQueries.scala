@@ -354,6 +354,28 @@ object VectorQueries extends QueryPack {
           Seq("pid", "pcell", "m", "code")))
   }
 
+  /** Recall@10 scoreboard — the shared scoring tail of BOTH recall
+    * harnesses: hit counts per probe against the given truth set, per-probe
+    * ratios quantized to exact µ-unit longs before the mean (avg() of
+    * doubles merges partial sums in partition order, the cross-engine FP
+    * hazard), one row per method, ordered by method name.
+    */
+  private def recallRows(
+      truth: org.apache.spark.sql.DataFrame,
+      methods: Seq[(String, org.apache.spark.sql.DataFrame)]): org.apache.spark.sql.DataFrame = {
+    val tcnt = truth.groupBy(col("pid")).agg(count(lit(1)).as("tn"))
+    methods.map { case (name, m) =>
+      val hits = truth.join(m, Seq("pid", "vec_id"))
+        .groupBy(col("pid")).agg(count(lit(1)).as("hn"))
+      tcnt.join(hits, Seq("pid"), "left")
+        .select(round(coalesce(col("hn"), lit(0L)) / col("tn") * lit(1e6))
+          .cast("long").as("r6"))
+        .agg(count(lit(1)).as("n_probes"),
+          round(sum(col("r6")) / count(lit(1)) / lit(1e6), 6).as("recall"))
+        .select(lit(name).as("method"), col("n_probes"), col("recall"))
+    }.reduce(_ unionAll _).orderBy(col("method"))
+  }
+
   val queries: Map[String, Q] = Map(
     // X3 baseline: brute-force cosine top-10 vs probe vec_id=0. O(n·d) scan —
     // correct at any scale, and the yardstick the ANN path is judged against.
@@ -534,24 +556,7 @@ object VectorQueries extends QueryPack {
           .filter(col("vec_id") =!= col("pid"))
           .select(col("pid"), col("vec_id"),
             round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r")))
-      val tcnt = truth.groupBy(col("pid")).agg(count(lit(1)).as("tn"))
-      def recallRow(m: DataFrame, name: String): DataFrame = {
-        val hits = truth.join(m, Seq("pid", "vec_id"))
-          .groupBy(col("pid")).agg(count(lit(1)).as("hn"))
-        // per-probe ratio quantized to exact µ-unit longs before the mean:
-        // avg() of doubles merges partial sums in partition order, the
-        // cross-engine FP hazard (house discipline)
-        tcnt.join(hits, Seq("pid"), "left")
-          .select(round(coalesce(col("hn"), lit(0L)) / col("tn") * lit(1e6))
-            .cast("long").as("r6"))
-          .agg(count(lit(1)).as("n_probes"),
-            round(sum(col("r6")) / count(lit(1)) / lit(1e6), 6).as("recall"))
-          .select(lit(name).as("method"), col("n_probes"), col("recall"))
-      }
-      recallRow(lsh, "lsh")
-        .unionAll(recallRow(ivf, "ivf"))
-        .unionAll(recallRow(ivf2, "ivf2"))
-        .orderBy(col("method"))
+      recallRows(truth, Seq("lsh" -> lsh, "ivf" -> ivf, "ivf2" -> ivf2))
     }),
 
     // X3d: product quantization (Jégou et al. 2011) — the third ANN index
@@ -624,22 +629,7 @@ object VectorQueries extends QueryPack {
           .filter(col("vec_id") =!= col("pid")))
         .select(col("pid"), col("vec_id"))
       val ivfpqTop = ivfpqTop10(s, d).select(col("pid"), col("vec_id"))
-      val tcnt = truth.groupBy(col("pid")).agg(count(lit(1)).as("tn"))
-      def recallRow(m: DataFrame, name: String): DataFrame = {
-        val hits = truth.join(m, Seq("pid", "vec_id"))
-          .groupBy(col("pid")).agg(count(lit(1)).as("hn"))
-        // per-probe ratio quantized to exact µ-unit longs before the mean:
-        // avg() of doubles merges partial sums in partition order, the
-        // cross-engine FP hazard (house discipline)
-        tcnt.join(hits, Seq("pid"), "left")
-          .select(round(coalesce(col("hn"), lit(0L)) / col("tn") * lit(1e6))
-            .cast("long").as("r6"))
-          .agg(count(lit(1)).as("n_probes"),
-            round(sum(col("r6")) / count(lit(1)) / lit(1e6), 6).as("recall"))
-          .select(lit(name).as("method"), col("n_probes"), col("recall"))
-      }
-      recallRow(ivfpqTop, "ivfpq").unionAll(recallRow(pqTop, "pq"))
-        .orderBy(col("method"))
+      recallRows(truth, Seq("ivfpq" -> ivfpqTop, "pq" -> pqTop))
     }),
 
     // X3g: IVF index-staleness monitor — the maintenance query an ANN
@@ -652,15 +642,14 @@ object VectorQueries extends QueryPack {
     // is what decides when the quantizer artifact is stale. One broadcast
     // pass + a k-bounded groupBy: flat at any corpus size.
     "q_simsearch_ivf_drift" -> ((s, d) => {
-      val assigned = Tables.embeddings(s, d)
-        .crossJoin(broadcast(ivfCentroids(s, d)))
-        .withColumn("sim", VectorFns.cosine(col("embedding"), col("ce")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(
-          struct(col("cid"), col("embedding"), col("ce")),
-          struct(col("sim"), (lit(0) - col("cid")).as("negcid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cell"),
-          d2u(col("m.embedding"), col("m.ce")).as("du"))
+      // Reuses the ONE assignment definition (ivfAssigned) and recovers the
+      // centroid vector by re-joining the broadcast 8-row centroid table —
+      // a tie-break or similarity fix lands here automatically instead of
+      // a third copy of the crossJoin+max_by pass.
+      val assigned = ivfAssigned(s, d)
+        .join(broadcast(ivfCentroids(s, d)), col("cell") === col("cid"))
+        .select(col("vec_id"), col("cell"),
+          d2u(col("embedding"), col("ce")).as("du"))
       assigned
         .withColumn("fresh", when(col("vec_id") % 10 === 7, 1L).otherwise(0L))
         .groupBy(col("cell"))
@@ -783,7 +772,12 @@ object VectorQueries extends QueryPack {
       val ds = graft.multimodal.MediaPipeline.fromDocuments(Tables.documents(s, d))
       val sigs = graft.multimodal.MediaPipeline
         .sampleFrames(ds, frameBytes = 32, everyK = 2)
-        .select((col("id") * 1000 + col("frame_idx")).as("doc_id"),
+        // frame_idx packs into the LOW 32 BITS (a 2^32-frame payload would
+        // be 137 GB; video ids bounded to 2^30 — documented, not aliasing).
+        // A small multiplier would collide doc N's frame M with doc N+1's
+        // frame 0 on any payload over M frames, silently corrupting pair
+        // identities — and the oracle — at real video sizes.
+        .select((shiftleft(col("id"), 32) + col("frame_idx")).as("doc_id"),
           graft.multimodal.MediaPipeline.phash(col("frame")).as("phash"))
       TextQueries.bandedHammingPairs(sigs, "phash", nBands = 4, maxHamming = 1)
         .select(col("doc_a").as("frame_a"), col("doc_b").as("frame_b"), col("hamming"))
@@ -1234,7 +1228,7 @@ object VectorQueries extends QueryPack {
         |             substr(hx, CAST(r.fi*64 + 1 AS INT), 64) AS fhx
         |      FROM t, LATERAL (SELECT unnest(list_filter(range(0, nb // 32),
         |                                                 j -> j % 2 = 0)) AS fi) r),
-        |fb AS (SELECT doc_id*1000 + frame_idx AS fid, r.bi AS bi,
+        |fb AS (SELECT doc_id*4294967296 + frame_idx AS fid, r.bi AS bi,
         |              16*(strpos('0123456789ABCDEF', substr(fhx, CAST(2*r.bi+1 AS INT), 1))-1)
         |                + strpos('0123456789ABCDEF', substr(fhx, CAST(2*r.bi+2 AS INT), 1))-1 AS v
         |       FROM f, LATERAL (SELECT unnest(range(0, 32)) AS bi) r),

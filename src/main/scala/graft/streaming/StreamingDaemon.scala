@@ -220,11 +220,20 @@ object StreamingDaemon {
             .select(col("doc_id"))
           val semDup = (corpusEmbSigs, bsigs) match {
             case (Some(corpusEmb), Some(bs)) =>
+              import org.apache.spark.sql.expressions.Window
               val stored = corpusEmb.select(col("ekey"), col("embedding"))
                 .union(readSigStore(spark, s"$sigStoreDir/ekeys",
                   corpusEmb.limit(0), Seq("ekey", "embedding"), batchId))
                 .withColumnRenamed("embedding", "stored_emb")
-              val vsStored = bs.join(stored, "ekey")
+              // Hot store-side band values (> 100 entries) are boilerplate
+              // buckets and are excluded — the incNewEdges guard: without
+              // it one saturated band value makes the probe join quadratic
+              // in the store.
+              val hot = stored.groupBy(col("ekey"))
+                .agg(count(lit(1)).as("esz"))
+                .filter(col("esz") > 100).select(col("ekey"))
+              val vsStored = bs.join(hot, Seq("ekey"), "left_anti")
+                .join(stored, "ekey")
                 .filter(graft.functions.VectorFns.cosine(
                   col("embedding"), col("stored_emb")) >= semanticCos)
                 .select(col("doc_id"))
@@ -233,12 +242,21 @@ object StreamingDaemon {
               // and the HIGHER doc_id loses — the same deterministic
               // min-keeper rule as the exact-hash dedup above. Without
               // this, a crawl batch full of mirror pages would pass the
-              // gate untouched and pollute the ekeys store.
-              val vsBatch = bs.select(col("ekey"),
+              // gate untouched and pollute the ekeys store. Same 2–100
+              // bucket cap as every banded pipeline (a mirror-flood batch
+              // saturates all 8 bands — the motivating input must not go
+              // quadratic on itself), and each surviving pair pays the
+              // exact cosine ONCE (deduped across bands first).
+              val sized = bs.withColumn("bsz",
+                  count(lit(1)).over(Window.partitionBy(col("ekey"))))
+                .filter(col("bsz").between(2, 100))
+              val vsBatch = sized.select(col("ekey"),
                   col("doc_id").as("doc_a"), col("embedding").as("ea"))
-                .join(bs.select(col("ekey"),
+                .join(sized.select(col("ekey"),
                   col("doc_id").as("doc_b"), col("embedding").as("eb")), "ekey")
                 .filter(col("doc_a") < col("doc_b"))
+                .groupBy(col("doc_a"), col("doc_b"))
+                .agg(first(col("ea")).as("ea"), first(col("eb")).as("eb"))
                 .filter(graft.functions.VectorFns.cosine(
                   col("ea"), col("eb")) >= semanticCos)
                 .select(col("doc_b").as("doc_id"))
