@@ -87,6 +87,44 @@ object MediaPipeline {
     org.apache.spark.sql.graftshim.GraftColumn.lift1(
       graft.functions.expr.ByteGradientHash.apply)(payload)
 
+  /** Exact-integer PCM stats for "audio" payloads: decode the byte stream as
+    * little-endian int16 samples (trailing odd byte dropped, the WAV data
+    * convention) and fold sample count / energy (Σv²) / peak amplitude /
+    * zero-crossing count in ONE pass per record inside the decode partition —
+    * the loudness/clipping/silence screens an audio-curation pipeline runs
+    * before anything shuffles. All outputs are longs: no floating point
+    * anywhere, so results are bit-stable across engines and partitionings.
+    * With a real codec in place, the same fold runs over the decoder's PCM
+    * output instead of the raw payload.
+    */
+  def audioStats(ds: Dataset[MediaRecord])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      // Real decoders acquire codec context here, once per partition.
+      it.map { r =>
+        val p = r.payload
+        val n = p.length / 2
+        var i = 0
+        var sumSq = 0L
+        var peak = 0L
+        var zc = 0L
+        var prevNeg = false
+        while (i < n) {
+          val u = (p(2 * i) & 0xff) | ((p(2 * i + 1) & 0xff) << 8)
+          val v = (if (u >= 32768) u - 65536 else u).toLong
+          sumSq += v * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          val neg = v < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          i += 1
+        }
+        (r.id, n.toLong, sumSq, peak, zc)
+      }
+    }.toDF("id", "n_samples", "sum_sq", "peak_abs", "zero_cross")
+  }
+
   /** Frame sampling for "video" payloads: every k-th fixed-size frame slice
     * of the byte stream — the Spark-side shape of keyframe extraction
     * (explode to one row per sampled frame, frame index carried).

@@ -383,6 +383,26 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // A4': sketch-quantile CONTRACT — same closure pattern as
+    // q_agg_approx_distinct: Spark's approx_percentile (KLL-style) and
+    // DuckDB's approx_quantile (t-digest) will never hash-match each other,
+    // so each engine checks its OWN sketch against its OWN exact median
+    // within ±5%, and the driver compares the verdicts plus the exact
+    // values. This is the 100 TB estimator: the exact percentile needs a
+    // full sort per group; the sketch is one mergeable pass.
+    "q_agg_approx_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("ex"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("apx"))
+        .select(col("o_orderpriority"),
+          round(col("ex"), 2).as("exact_med"),
+          (abs(col("apx") - col("ex")) <= col("ex") * lit(0.05))
+            .cast("long").as("within_tol"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // §2.9 scalar suite: string/date/math/JSON functions in one projection —
     // all codegen'd built-ins, no UDFs.
     "q_scalar_suite" -> ((s, d) => {
@@ -576,6 +596,16 @@ object AnalyticsQueries extends QueryPack {
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 2) AS med,
         |       round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // DuckDB checks ITS OWN t-digest against the same ±5% envelope — raw
+    // sketch estimates are never compared across engines.
+    "q_agg_approx_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS exact_med,
+        |       CAST(CASE WHEN abs(approx_quantile(o_totalprice, 0.5)
+        |                          - quantile_cont(o_totalprice, 0.5))
+        |                      <= quantile_cont(o_totalprice, 0.5) * 0.05
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS within_tol
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_agg_salted_twophase" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -236,6 +236,47 @@ object TextQueries extends QueryPack {
     labelCache.get(graft.sources.Memo.key(s, d, "documents"))(
       dedupClusters(s, d).localCheckpoint())
 
+  /** DSIR sufficient statistics per document — (doc_id, n_tok, s6) where s6
+    * is the exact µ-unit sum of per-token log-likelihood ratios under the
+    * capped top-K unigram LMs (target = en, corpus = all). Shared by
+    * q_text_dsir (reports the mean weight + keep bit) and q_sample_dsir
+    * (ranks and selects the pretraining subset — the DSIR paper's actual
+    * purpose). Both LMs are broadcast, top-K-bounded with OOV mass folded
+    * into one UNK cell; the token stream never shuffles for the join.
+    */
+  private def dsirScores(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val K = 20
+    val tok = docTokens(s, d)
+    val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("cc")).localCheckpoint()
+    val vocab = corpus.orderBy(col("cc").desc, col("w")).limit(K).localCheckpoint()
+    val target = tok.filter(col("lang") === "en")
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val scalars = corpus.agg(sum(col("cc")).as("nc"))
+      .crossJoin(vocab.agg(sum(col("cc")).as("ncv")))
+      .crossJoin(tok.filter(col("lang") === "en").agg(count(lit(1)).as("nt")))
+      .crossJoin(vocab.join(target, Seq("w"), "inner")
+        .agg(sum(col("ct")).as("ntv")))
+    // Per-word LLR is carried as an exact micro-unit LONG (round(llr*1e6))
+    // so the per-doc sum is order-independent integer arithmetic — a
+    // double avg() here differed from DuckDB in the 6th decimal on
+    // boundary values because FP summation order differs between engines.
+    def llr6(ct: Column, nt: Column, cc: Column, nc: Column): Column =
+      round((log((ct + lit(1.0)) / (nt + lit(K + 1)))
+        - log((cc + lit(1.0)) / (nc + lit(K + 1)))) * lit(1e6)).cast("long")
+    val lm = vocab.join(target, Seq("w"), "left_outer")
+      .crossJoin(broadcast(scalars))
+      .select(col("w"),
+        llr6(coalesce(col("ct"), lit(0L)), col("nt"), col("cc"), col("nc")).as("llr6"))
+    val unk = scalars.select(
+      llr6(col("nt") - coalesce(col("ntv"), lit(0L)), col("nt"),
+        col("nc") - col("ncv"), col("nc")).as("unk_llr6"))
+    tok.join(broadcast(lm), Seq("w"), "left_outer")
+      .crossJoin(broadcast(unk))
+      .select(col("doc_id"), coalesce(col("llr6"), col("unk_llr6")).as("llr6"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("llr6")).as("s6"))
+  }
+
   /** Persisted corpus band-key store — (corpus_doc, skey) for the corpus
     * split (doc_id % 10 != 7), bucketed+sorted by skey ("yesterday's
     * state"). Shared by q_dedup_incremental (scoring) and
@@ -542,6 +583,32 @@ object TextQueries extends QueryPack {
           round(col("n_removed").cast("double") / col("n_docs"), 6).as("dup_rate"),
           col("chars_removed"))
         .orderBy(col("cluster_size"))
+    }),
+
+    // X2g'': SOFT dedup — instead of dropping near-dups, emit a per-doc
+    // training weight 1/|cluster| (the SoftDeDup-style reweighting: keep
+    // every copy but make each duplicate group contribute one document's
+    // worth of gradient mass). Weight is carried as an exact µ-unit long
+    // via integer division — no FP, bit-stable across engines. Scale shape:
+    // cluster sizes come from the LABEL table (near-dup docs only, ≪
+    // corpus; the size groupBy and the labels⋈sizes join share the
+    // cluster_id partitioning), so the corpus itself shuffles exactly once
+    // — the doc_id join; unlabeled docs take (self, 1) via coalesce without
+    // ever entering the size aggregation.
+    "q_dedup_weights" -> ((s, d) => {
+      val labels = clusterLabels(s, d)
+      val sized = labels
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+        .join(labels, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("csize"))
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .join(sized, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("csize"), lit(1L)).as("csize"))
+        .withColumn("weight_u", expr("1000000 div csize").cast("long"))
+        .orderBy(col("doc_id"))
     }),
 
     // X2b': MinHash signatures via the typed Aggregator rung of the
@@ -1130,42 +1197,34 @@ object TextQueries extends QueryPack {
     // UNK class carrying the leftover mass on both sides, add-1 smoothed
     // over K+1 classes, so every token still scores. K=20 < the 31-word
     // fixture vocab, so the oracle proves the capped semantics.
-    "q_text_dsir" -> ((s, d) => {
-      val K = 20
-      val tok = docTokens(s, d)
-      val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("cc")).localCheckpoint()
-      val vocab = corpus.orderBy(col("cc").desc, col("w")).limit(K).localCheckpoint()
-      val target = tok.filter(col("lang") === "en")
-        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
-      val scalars = corpus.agg(sum(col("cc")).as("nc"))
-        .crossJoin(vocab.agg(sum(col("cc")).as("ncv")))
-        .crossJoin(tok.filter(col("lang") === "en").agg(count(lit(1)).as("nt")))
-        .crossJoin(vocab.join(target, Seq("w"), "inner")
-          .agg(sum(col("ct")).as("ntv")))
-      // Per-word LLR is carried as an exact micro-unit LONG (round(llr*1e6))
-      // so the per-doc sum is order-independent integer arithmetic — a
-      // double avg() here differed from DuckDB in the 6th decimal on
-      // boundary values because FP summation order differs between engines.
-      def llr6(ct: Column, nt: Column, cc: Column, nc: Column): Column =
-        round((log((ct + lit(1.0)) / (nt + lit(K + 1)))
-          - log((cc + lit(1.0)) / (nc + lit(K + 1)))) * lit(1e6)).cast("long")
-      val lm = vocab.join(target, Seq("w"), "left_outer")
-        .crossJoin(broadcast(scalars))
-        .select(col("w"),
-          llr6(coalesce(col("ct"), lit(0L)), col("nt"), col("cc"), col("nc")).as("llr6"))
-      val unk = scalars.select(
-        llr6(col("nt") - coalesce(col("ntv"), lit(0L)), col("nt"),
-          col("nc") - col("ncv"), col("nc")).as("unk_llr6"))
-      tok.join(broadcast(lm), Seq("w"), "left_outer")
-        .crossJoin(broadcast(unk))
-        .select(col("doc_id"), coalesce(col("llr6"), col("unk_llr6")).as("llr6"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"), sum(col("llr6")).as("s6"))
+    "q_text_dsir" -> ((s, d) =>
+      dsirScores(s, d)
         .select(col("doc_id"), col("n_tok"),
           round((col("s6") / col("n_tok")) / lit(1e6), 6).as("dsir_w"),
           when(col("s6") > 0, 1L).otherwise(0L).as("keep"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
+
+    // X12b: DSIR SELECTION — the step the importance weights exist for:
+    // rank documents by mean per-token LLR and take the top slice as the
+    // pretraining subset. The mean is computed as an exact µ-unit long via
+    // integer division with a positive offset (s6 can be negative; DuckDB's
+    // floor // and Spark's truncating div only agree on non-negative
+    // numerators, so both engines shift by +1e8·n_tok first — per-token LLR
+    // is bounded far below 1e8 µ-units). Ranking and tie-breaks are
+    // therefore pure integer comparisons: deterministic at any partition
+    // count. Scale shape: the scores side is [[dsirScores]] (broadcast LMs,
+    // no token shuffle) and the selection is a TopK sort on one row per doc.
+    "q_sample_dsir" -> ((s, d) =>
+      dsirScores(s, d)
+        .select(col("doc_id"), col("n_tok"),
+          (expr("(s6 + 100000000L * n_tok) div n_tok") - lit(100000000L))
+            .cast("long").as("mean6"))
+        .orderBy(col("mean6").desc, col("doc_id"))
+        .limit(100)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("mean6").desc, col("doc_id"))))
+        .orderBy(col("rank"))),
 
     // X4k: stratified sampling — per-language admission rates from a tiny
     // rate table (a real pipeline's sampling config), joined BROADCAST onto
@@ -1392,6 +1451,18 @@ object TextQueries extends QueryPack {
       s"""WITH RECURSIVE $reachCtes
          |SELECT v AS doc_id, min(u) AS cluster_id
          |FROM reach GROUP BY v ORDER BY v""".stripMargin,
+    // Integer division both sides (numerators positive, so DuckDB's floor
+    // // and Spark's truncating div agree) — weight_u is exact.
+    "q_dedup_weights" ->
+      s"""WITH RECURSIVE $reachCtes,
+         |lbl AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+         |j AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize,
+         |       CAST(1000000 // count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |         AS weight_u
+         |FROM j ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash_est" ->
       s"""WITH $shCte,
          |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
@@ -1855,6 +1926,34 @@ object TextQueries extends QueryPack {
         |       CAST(CASE WHEN sum(coalesce(lm.llr6, unk.unk_llr6)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM tok LEFT JOIN lm USING (w), unk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same LM chain as q_text_dsir; the +1e8·n_tok offset keeps the integer
+    // division numerator positive so DuckDB // (floor) equals Spark div
+    // (truncate) — mean6 is exact in both engines.
+    "q_sample_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS cc FROM tok GROUP BY 1),
+        |vocab AS (SELECT w, cc FROM c ORDER BY cc DESC, w LIMIT 20),
+        |t AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |s AS (SELECT (SELECT sum(cc) FROM c) AS nc,
+        |             (SELECT sum(cc) FROM vocab) AS ncv,
+        |             (SELECT count(*) FROM tok WHERE lang = 'en') AS nt,
+        |             (SELECT sum(t.ct) FROM vocab JOIN t USING (w)) AS ntv),
+        |lm AS (SELECT vocab.w,
+        |              CAST(round((ln((coalesce(t.ct, 0) + 1.0) / (s.nt + 21))
+        |                          - ln((vocab.cc + 1.0) / (s.nc + 21))) * 1e6) AS BIGINT) AS llr6
+        |       FROM vocab LEFT JOIN t USING (w), s),
+        |unk AS (SELECT CAST(round((ln((s.nt - coalesce(s.ntv, 0) + 1.0) / (s.nt + 21))
+        |                           - ln((s.nc - s.ncv + 1.0) / (s.nc + 21))) * 1e6) AS BIGINT)
+        |               AS unk_llr6 FROM s),
+        |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |              CAST(sum(coalesce(lm.llr6, unk.unk_llr6)) AS BIGINT) AS s6
+        |       FROM tok LEFT JOIN lm USING (w), unk GROUP BY doc_id),
+        |m AS (SELECT doc_id, n_tok,
+        |             CAST((s6 + 100000000 * n_tok) // n_tok - 100000000 AS BIGINT) AS mean6
+        |      FROM ds)
+        |SELECT doc_id, n_tok, mean6,
+        |       CAST(row_number() OVER (ORDER BY mean6 DESC, doc_id) AS INT) AS rank
+        |FROM m ORDER BY mean6 DESC, doc_id LIMIT 100""".stripMargin,
     "q_sample_stratified" ->
       s"""WITH r AS (SELECT * FROM (VALUES ('de', 10), ('en', 50), ('es', 30),
          |                                 ('fr', 5), ('zh', 20)) v(lang, rate_pct)),

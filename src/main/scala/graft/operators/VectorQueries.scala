@@ -781,6 +781,24 @@ object VectorQueries extends QueryPack {
           graft.multimodal.MediaPipeline.phash(col("frame")).as("phash"))
       TextQueries.bandedHammingPairs(sigs, "phash", nBands = 4, maxHamming = 1)
         .select(col("doc_a").as("frame_a"), col("doc_b").as("frame_b"), col("hamming"))
+    }),
+
+    // X5e: AUDIO decode stats — the third MediaPipeline modality branch:
+    // payloads decoded as little-endian int16 PCM, with the
+    // loudness/clipping/silence screen (n, Σv², peak, zero-crossings)
+    // folded per record INSIDE the decode pass ([[MediaPipeline.audioStats]]).
+    // Scale shape: zero shuffles before the output sort — stats never leave
+    // the partition that decoded the bytes, exactly how a 100 TB audio
+    // screen must run (the alternative, exploding to one row per sample,
+    // is a 10^4× blowup). All-long output: bit-stable by construction.
+    "q_multimodal_audio" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      graft.multimodal.MediaPipeline.audioStats(
+        graft.multimodal.MediaPipeline.fromDocuments(Tables.documents(s, d)))
+        .filter(col("n_samples") > 0)
+        .select(col("id").as("doc_id"), col("n_samples"), col("sum_sq"),
+          col("peak_abs"), col("zero_cross"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1254,6 +1272,31 @@ object VectorQueries extends QueryPack {
         |         FROM sized x JOIN sized y
         |           ON x.band = y.band AND x.bval = y.bval AND x.fid < y.fid)
         |SELECT frame_a, frame_b, hamming FROM cand WHERE hamming <= 1
-        |ORDER BY hamming, frame_a, frame_b LIMIT 100""".stripMargin
+        |ORDER BY hamming, frame_a, frame_b LIMIT 100""".stripMargin,
+    // Sample i = bytes (2i, 2i+1) little-endian signed 16-bit: low byte at
+    // hex chars 4i+1..4i+2, high byte at 4i+3..4i+4; trailing odd byte
+    // dropped by the // 2. Zero crossing = consecutive samples with opposite
+    // sign bit (v < 0), counted per doc via lead(). All-integer aggregates.
+    "q_multimodal_audio" ->
+      """WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  length(hex(encode(text))) // 2 AS nb
+        |           FROM documents),
+        |sm AS (SELECT doc_id, r.i AS i,
+        |              (16*(strpos('0123456789ABCDEF', substr(hx, CAST(4*r.i+1 AS INT), 1))-1)
+        |                 + strpos('0123456789ABCDEF', substr(hx, CAST(4*r.i+2 AS INT), 1))-1)
+        |            + 256*(16*(strpos('0123456789ABCDEF', substr(hx, CAST(4*r.i+3 AS INT), 1))-1)
+        |                 + strpos('0123456789ABCDEF', substr(hx, CAST(4*r.i+4 AS INT), 1))-1) AS u
+        |       FROM t, LATERAL (SELECT unnest(range(0, nb // 2)) AS i) r),
+        |v AS (SELECT doc_id, i,
+        |             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM sm),
+        |z AS (SELECT doc_id, v,
+        |             lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS v2 FROM v)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(v*v) AS BIGINT) AS sum_sq,
+        |       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |       CAST(sum(CASE WHEN v2 IS NOT NULL AND (v < 0) <> (v2 < 0)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

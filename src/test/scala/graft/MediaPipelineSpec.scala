@@ -57,6 +57,30 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("audioStats folds int16 LE samples exactly: energy, peak, crossings, odd tail") {
+    import spark.implicits._
+    // Samples: +1, -1, +256, -32768 (le bytes below), trailing odd byte dropped.
+    val payload = Array[Byte](
+      0x01, 0x00,              // +1
+      0xff.toByte, 0xff.toByte, // -1
+      0x00, 0x01,              // +256
+      0x00, 0x80.toByte,       // -32768
+      0x2a)                    // odd tail — dropped
+    val one = Seq(MediaPipeline.MediaRecord(7L, payload,
+      MediaPipeline.MediaMeta("audio/fake", 7L, payload.length.toLong))).toDS()
+    val r = MediaPipeline.audioStats(one).head()
+    assert(r.getAs[Long]("n_samples") == 4L)
+    assert(r.getAs[Long]("sum_sq") == 1L + 1L + 256L * 256L + 32768L * 32768L)
+    assert(r.getAs[Long]("peak_abs") == 32768L)
+    // sign sequence +,-,+,- → 3 crossings
+    assert(r.getAs[Long]("zero_cross") == 3L)
+  }
+
+  test("audioStats plan has no shuffle: stats stay in the decode partition") {
+    val stats = MediaPipeline.audioStats(media)
+    assert(!stats.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("sampleFrames slices every k-th fixed-size frame") {
     val payload = Array.tabulate(100)(_.toByte)
     import spark.implicits._
