@@ -802,6 +802,15 @@ object VectorQueries extends QueryPack {
     })
   )
 
+  /** DuckDB fragment: byte `idx` (0-based) of hex-string column `hx` as an
+    * unsigned int — the shared decode idiom of every byte-sliced oracle
+    * (q_dedup_phash, q_dedup_phash_frames, q_multimodal_audio). Hex chars
+    * are 1-based: byte j occupies chars 2j+1..2j+2.
+    */
+  private def byteSql(hx: String, idx: String): String =
+    s"(16*(strpos('0123456789ABCDEF', substr($hx, CAST(2*($idx)+1 AS INT), 1))-1)" +
+      s" + strpos('0123456789ABCDEF', substr($hx, CAST(2*($idx)+2 AS INT), 1))-1)"
+
   /** DuckDB double-precision mirrors of [[VectorFns]]. */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -1205,12 +1214,10 @@ object VectorQueries extends QueryPack {
     // dense 33-row grid with coalesce(0) mirrors the expression's zeroed
     // block arrays for payloads shorter than 33 bytes.
     "q_dedup_phash" ->
-      """WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+      s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
         |                  length(hex(encode(text))) // 2 AS nb
         |           FROM documents),
-        |bytes AS (SELECT doc_id, nb, r.i AS i,
-        |                 16*(strpos('0123456789ABCDEF', substr(hx, CAST(2*r.i+1 AS INT), 1))-1)
-        |                   + strpos('0123456789ABCDEF', substr(hx, CAST(2*r.i+2 AS INT), 1))-1 AS v
+        |bytes AS (SELECT doc_id, nb, r.i AS i, ${byteSql("hx", "r.i")} AS v
         |          FROM t, LATERAL (SELECT unnest(range(0, nb)) AS i) r),
         |blk0 AS (SELECT doc_id, (i * 33) // nb AS b, sum(v) AS s, count(*) AS c
         |         FROM bytes GROUP BY 1, 2),
@@ -1239,7 +1246,7 @@ object VectorQueries extends QueryPack {
     // partial tail frame dropped in both engines); the hash/banding chain
     // is the q_dedup_phash construction over each frame's 32 bytes.
     "q_dedup_phash_frames" ->
-      """WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+      s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
         |                  length(hex(encode(text))) // 2 AS nb
         |           FROM documents),
         |f AS (SELECT doc_id, r.fi AS frame_idx,
@@ -1247,8 +1254,7 @@ object VectorQueries extends QueryPack {
         |      FROM t, LATERAL (SELECT unnest(list_filter(range(0, nb // 32),
         |                                                 j -> j % 2 = 0)) AS fi) r),
         |fb AS (SELECT doc_id*4294967296 + frame_idx AS fid, r.bi AS bi,
-        |              16*(strpos('0123456789ABCDEF', substr(fhx, CAST(2*r.bi+1 AS INT), 1))-1)
-        |                + strpos('0123456789ABCDEF', substr(fhx, CAST(2*r.bi+2 AS INT), 1))-1 AS v
+        |              ${byteSql("fhx", "r.bi")} AS v
         |       FROM f, LATERAL (SELECT unnest(range(0, 32)) AS bi) r),
         |blk AS (SELECT fid, (bi * 33) // 32 AS b, sum(v) AS s, count(*) AS c
         |        FROM fb GROUP BY 1, 2),
@@ -1278,14 +1284,12 @@ object VectorQueries extends QueryPack {
     // dropped by the // 2. Zero crossing = consecutive samples with opposite
     // sign bit (v < 0), counted per doc via lead(). All-integer aggregates.
     "q_multimodal_audio" ->
-      """WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+      s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
         |                  length(hex(encode(text))) // 2 AS nb
         |           FROM documents),
         |sm AS (SELECT doc_id, r.i AS i,
-        |              (16*(strpos('0123456789ABCDEF', substr(hx, CAST(4*r.i+1 AS INT), 1))-1)
-        |                 + strpos('0123456789ABCDEF', substr(hx, CAST(4*r.i+2 AS INT), 1))-1)
-        |            + 256*(16*(strpos('0123456789ABCDEF', substr(hx, CAST(4*r.i+3 AS INT), 1))-1)
-        |                 + strpos('0123456789ABCDEF', substr(hx, CAST(4*r.i+4 AS INT), 1))-1) AS u
+        |              ${byteSql("hx", "2*r.i")}
+        |            + 256*${byteSql("hx", "2*r.i+1")} AS u
         |       FROM t, LATERAL (SELECT unnest(range(0, nb // 2)) AS i) r),
         |v AS (SELECT doc_id, i,
         |             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM sm),
