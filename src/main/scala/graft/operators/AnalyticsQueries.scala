@@ -405,6 +405,57 @@ object AnalyticsQueries extends QueryPack {
 
     // §2.9 scalar suite: string/date/math/JSON functions in one projection —
     // all codegen'd built-ins, no UDFs.
+    // DATA PROFILING — the per-column audit every ingest runs before
+    // anything downstream trusts a table: row count, null count, exact
+    // distinct count, and type-split min/max (numerics as doubles — ids
+    // and epoch-µs are < 2^53 so the cast is exact; strings as strings —
+    // never cross-rendered, the double→varchar formatting trap). ONE pass:
+    // a single aggregate (the multi-countDistinct Expand, same trade as
+    // q_corpus_report) over the table, then a 1-row→6-row unpivot. At
+    // 100 TB the exact distincts would ride approx_count_distinct under
+    // the q_agg_approx_distinct bounded-error contract instead — the
+    // documented swap, same plan shape.
+    "q_profile_events" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val p = ev.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("d_event_id"),
+        countDistinct(col("ts_us")).as("d_ts"),
+        countDistinct(col("user_id")).as("d_user_id"),
+        countDistinct(col("event_type")).as("d_event_type"),
+        countDistinct(col("value")).as("d_value"),
+        countDistinct(col("props")).as("d_props"),
+        sum(col("event_id").isNull.cast("long")).as("nn_event_id"),
+        sum(col("ts_us").isNull.cast("long")).as("nn_ts"),
+        sum(col("user_id").isNull.cast("long")).as("nn_user_id"),
+        sum(col("event_type").isNull.cast("long")).as("nn_event_type"),
+        sum(col("value").isNull.cast("long")).as("nn_value"),
+        sum(col("props").isNull.cast("long")).as("nn_props"),
+        min(col("event_id")).as("mn_event_id"), max(col("event_id")).as("mx_event_id"),
+        min(col("ts_us")).as("mn_ts"), max(col("ts_us")).as("mx_ts"),
+        min(col("user_id")).as("mn_user_id"), max(col("user_id")).as("mx_user_id"),
+        min(col("value")).as("mn_value"), max(col("value")).as("mx_value"),
+        min(col("event_type")).as("mns_event_type"), max(col("event_type")).as("mxs_event_type"),
+        min(col("props")).as("mns_props"), max(col("props")).as("mxs_props"))
+      def row(name: String, dc: String, nn: String,
+              mnNum: Option[String], mnStr: Option[String]) = {
+        val (mnN, mxN) = mnNum.map(c => (col("mn_" + c).cast("double"), col("mx_" + c).cast("double")))
+          .getOrElse((lit(null).cast("double"), lit(null).cast("double")))
+        val (mnS, mxS) = mnStr.map(c => (col("mns_" + c), col("mxs_" + c)))
+          .getOrElse((lit(null).cast("string"), lit(null).cast("string")))
+        p.select(lit(name).as("col_name"), col("n"),
+          col("nn_" + nn).as("n_null"), col("d_" + dc).as("n_distinct"),
+          mnN.as("min_num"), mxN.as("max_num"), mnS.as("min_str"), mxS.as("max_str"))
+      }
+      row("event_id", "event_id", "event_id", Some("event_id"), None)
+        .unionAll(row("ts_us", "ts", "ts", Some("ts"), None))
+        .unionAll(row("user_id", "user_id", "user_id", Some("user_id"), None))
+        .unionAll(row("event_type", "event_type", "event_type", None, Some("event_type")))
+        .unionAll(row("value", "value", "value", Some("value"), None))
+        .unionAll(row("props", "props", "props", None, Some("props")))
+        .orderBy(col("col_name"))
+    }),
+
     "q_scalar_suite" -> ((s, d) => {
       Tables.events(s, d)
         .select(
@@ -620,6 +671,48 @@ object AnalyticsQueries extends QueryPack {
     "q_setop_intersect" ->
       """SELECT c_nationkey AS nk FROM customer
         |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+    // Numeric min/max cross-rendered ONLY as doubles (ids/epoch-µs < 2^53,
+    // exact); strings stay strings — both engines binary-collate ASCII.
+    "q_profile_events" ->
+      """WITH p AS (SELECT count(*) AS n,
+        |  count(DISTINCT event_id) AS d_event_id,
+        |  count(DISTINCT epoch_us(ts)) AS d_ts,
+        |  count(DISTINCT user_id) AS d_user_id,
+        |  count(DISTINCT event_type) AS d_event_type,
+        |  count(DISTINCT value) AS d_value,
+        |  count(DISTINCT props) AS d_props,
+        |  count(*) - count(event_id) AS nn_event_id,
+        |  count(*) - count(ts) AS nn_ts,
+        |  count(*) - count(user_id) AS nn_user_id,
+        |  count(*) - count(event_type) AS nn_event_type,
+        |  count(*) - count(value) AS nn_value,
+        |  count(*) - count(props) AS nn_props,
+        |  min(event_id) AS mn_event_id, max(event_id) AS mx_event_id,
+        |  min(epoch_us(ts)) AS mn_ts, max(epoch_us(ts)) AS mx_ts,
+        |  min(user_id) AS mn_user_id, max(user_id) AS mx_user_id,
+        |  min(value) AS mn_value, max(value) AS mx_value,
+        |  min(event_type) AS mns_et, max(event_type) AS mxs_et,
+        |  min(props) AS mns_props, max(props) AS mxs_props
+        |  FROM events)
+        |SELECT * FROM (
+        |SELECT 'event_id' AS col_name, CAST(n AS BIGINT) AS n,
+        |       CAST(nn_event_id AS BIGINT) AS n_null,
+        |       CAST(d_event_id AS BIGINT) AS n_distinct,
+        |       CAST(mn_event_id AS DOUBLE) AS min_num,
+        |       CAST(mx_event_id AS DOUBLE) AS max_num,
+        |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM p
+        |UNION ALL SELECT 'ts_us', n, nn_ts, d_ts,
+        |       CAST(mn_ts AS DOUBLE), CAST(mx_ts AS DOUBLE), NULL, NULL FROM p
+        |UNION ALL SELECT 'user_id', n, nn_user_id, d_user_id,
+        |       CAST(mn_user_id AS DOUBLE), CAST(mx_user_id AS DOUBLE), NULL, NULL FROM p
+        |UNION ALL SELECT 'event_type', n, nn_event_type, d_event_type,
+        |       NULL, NULL, mns_et, mxs_et FROM p
+        |UNION ALL SELECT 'value', n, nn_value, d_value,
+        |       mn_value, mx_value, NULL, NULL FROM p
+        |UNION ALL SELECT 'props', n, nn_props, d_props,
+        |       NULL, NULL, mns_props, mxs_props FROM p
+        |) ORDER BY col_name""".stripMargin,
     "q_scalar_suite" ->
       """SELECT event_id,
         |       upper(event_type) AS et_upper,

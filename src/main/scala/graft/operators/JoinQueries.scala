@@ -213,6 +213,33 @@ object JoinQueries extends QueryPack {
         .orderBy(col("r_name"), col("event_type"))
     }),
 
+    // J11: event-time INTERVAL join — click→purchase attribution, the
+    // batch twin of StreamingDaemon.attributionJoin (which StreamingSpec
+    // proves equal on shared batches; this entry puts the semantics under
+    // the DuckDB oracle too). Each purchase joins every click by the same
+    // user in the 30 minutes before it. Scale shape: the range predicate
+    // RIDES the user_id equi-join — one key-partitioned SMJ whose per-key
+    // scan is bounded by the 30-minute window, never a time-only theta
+    // join (which would be all-pairs across users). value is a passthrough
+    // column, not an aggregate — no FP hazard.
+    "q_join_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"), col("value"))
+      purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("interval 30 minutes"))
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"),
+          unix_micros(col("c_ts")).as("c_ts_us"), col("value"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // J10: the TPC-H Q10 SHAPE — returned-item revenue report: one plan
     // composing both physical join strategies across 3 facts + 1 dim:
     // customer⋈orders and (c⋈o)⋈lineitem shuffle on their keys (exactly two
@@ -317,6 +344,14 @@ object JoinQueries extends QueryPack {
       """SELECT r_name, event_type
         |FROM region CROSS JOIN (SELECT DISTINCT event_type FROM events)
         |ORDER BY r_name, event_type""".stripMargin,
+    "q_join_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |       epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us, p.value
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "q_report_multijoin" ->
       """SELECT c_custkey, c_name, n_name,
         |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,

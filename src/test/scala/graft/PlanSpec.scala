@@ -184,6 +184,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_join_attribution: the interval rides the user_id equi-join, never a nested loop") {
+    // 100 TB shape: with size-based broadcast off, the plan must be ONE
+    // key-partitioned equi-join on user_id carrying the time range as a
+    // post-join condition — a time-only theta join would plan as a
+    // nested-loop cartesian across users and die at scale.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = SparkEntry.queries("q_join_attribution")(s2, d)
+    val p = df.queryExecution.executedPlan.toString
+    val equiJoins = "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size
+    assert(equiJoins == 1, s"expected exactly 1 shuffle equi-join, got $equiJoins\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the event_type filters are pushed to the scans, not evaluated post-join
+    assert(p.contains("EqualTo(event_type,click)"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+  }
+
   test("q_report_multijoin: dim broadcast by hint, exactly two shuffle joins at scale, filters pushed") {
     // At sf0.001 every filtered fact fits under the auto-broadcast
     // threshold, so the toy plan is all-BHJ (correct for toy inputs).
