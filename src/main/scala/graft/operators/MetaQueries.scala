@@ -68,6 +68,28 @@ object MetaQueries extends QueryPack {
         .orderBy(col("o_custkey"))
     }),
 
+    // F1b: compaction OUTPUT PLAN — the file-level half of the S5 sink's
+    // size planning ([[Compactor.planFileCount]]): per store, files (orders
+    // rows under the same metadata mapping as q_filter_compactable) fill
+    // output bins sequentially in key order — a file lands in bin k when
+    // the bytes before it occupy k whole target units. Sizes ride exact
+    // integer cents (decimal(18,2)·100 — never a double product), so the
+    // running sum and the bin division are bit-stable at any partition
+    // count. One shuffle: the store-keyed window and the (store, bin)
+    // groupBy share the o_custkey partitioning.
+    "q_compact_plan" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("sz"))
+        .withColumn("before", coalesce(sum(col("sz")).over(w), lit(0L)))
+        .withColumn("bin", expr("before div 50000000").cast("long"))
+        .groupBy(col("o_custkey"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("sz")).as("bin_c"))
+        .orderBy(col("o_custkey"), col("bin"))
+    }),
+
     // F2: HH:mm:ss admission window with the reference's *string-compare*
     // semantics (QHBaseCompact.java:48-60; window conf/config.properties:5-6).
     "q_time_window_gate" -> ((s, d) => {
@@ -249,6 +271,20 @@ object MetaQueries extends QueryPack {
         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_size
         |FROM orders GROUP BY o_custkey HAVING count(*) > 1
         |ORDER BY o_custkey""".stripMargin,
+    // Integer-cents sizes and floor division both sides (operands
+    // non-negative, so DuckDB // equals Spark div).
+    "q_compact_plan" ->
+      """WITH f AS (SELECT o_custkey, o_orderkey,
+        |                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS sz
+        |           FROM orders),
+        |c AS (SELECT o_custkey, sz,
+        |             coalesce(sum(sz) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                      0) AS bfr
+        |      FROM f)
+        |SELECT o_custkey, CAST(bfr // 50000000 AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n_files, CAST(sum(sz) AS BIGINT) AS bin_c
+        |FROM c GROUP BY 1, 2 ORDER BY o_custkey, bin""".stripMargin,
     "q_time_window_gate" ->
       """SELECT event_id, user_id, event_type, strftime(ts, '%H:%M:%S') AS hms
         |FROM events
