@@ -280,6 +280,56 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("day_us"), col("event_type"))
     }),
 
+    // §2.10+ gap sessionization: a session break is a >30-minute silence
+    // within a user's stream. ONE user_id shuffle feeds everything — the
+    // lag, the running break-sum, and the per-(user, session) rollup all
+    // ride the same hash partitioning (session_id is derived inside the
+    // partition), so adding the rollup costs no extra exchange. user_id is
+    // high-cardinality: no reducer funnels at 100 TB. All times are epoch-µs
+    // longs — gap compare and duration are exact integer math.
+    "q_sessionize" -> ((s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val run  = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev", lag(col("tus"), 1).over(byTs))
+        .withColumn("brk",
+          when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("tus")).as("start_us"),
+          max(col("tus")).as("end_us"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // §2.10+ event-transition matrix (first-order Markov counts): for each
+    // user-adjacent (type → next type) pair, global count and transition
+    // probability. The lag window shuffles once on high-cardinality
+    // user_id; the pair groupBy collapses to ≤ |types|² rows map-side
+    // (partial aggregation), so the low-cardinality final agg sees partials,
+    // not the fact table. Probability is exact integer micro-units —
+    // (n·1e6) div row-total — never a double ratio.
+    "q_event_transitions" -> ((s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(byTs))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .withColumn("p_micro", expr("n * 1000000 div tot").cast("long"))
+        .select(col("from_type"), col("to_type"), col("n"), col("p_micro"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // Skew pattern: salted two-phase aggregation. A hot grouping key melts
     // one reducer at 100 TB; salting spreads the partial aggregation over
     // 16 sub-keys, then the (tiny) final pass merges partials. Result is
@@ -618,6 +668,36 @@ object AnalyticsQueries extends QueryPack {
         |       round(coalesce(d.tot, 0.0), 2) AS total
         |FROM g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
         |ORDER BY day_us, g.event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |a AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+        |      FROM e),
+        |b AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |                     THEN 1 ELSE 0 END AS brk FROM a),
+        |c AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                AS session_id FROM b)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(tus) AS start_us, max(tus) AS end_us,
+        |       max(tus) - min(tus) AS duration_us,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_purchases
+        |FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // Integer micro-unit probability both sides (operands non-negative, so
+    // DuckDB // equals Spark div).
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |               AS to_type
+        |      FROM e),
+        |g AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT *, sum(n) OVER (PARTITION BY from_type) AS tot FROM g)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |       CAST((n * 1000000) // tot AS BIGINT) AS p_micro
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
     "q_topk_agg" ->
       """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
         |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
