@@ -330,6 +330,79 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // Largest-remainder pro-rata allocation: distribute each order's total
+    // across its line items proportionally to extended price, in EXACT
+    // integer cents — floor shares first, then the leftover cents go to the
+    // largest fractional remainders (l_linenumber tiebreak), so the per-order
+    // allocations sum to the order total to the cent, always. The financial
+    // split no double ratio can do. The fixture (like any append log) holds
+    // duplicate (orderkey, linenumber) rows, so the join output first
+    // collapses to line grain — and because hash(l_orderkey) clusters every
+    // finer key, the grain groupBy AND all the windows ride the SMJ's
+    // partitioning: ONE l_orderkey shuffle end to end. Products stay
+    // < 2^63: cents ≤ 5e7, so T·w ≤ 2.5e15.
+    "q_alloc_prorata" -> ((s, d) => {
+      val byO = Window.partitionBy(col("l_orderkey"))
+      val byRem = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("rem").desc, col("l_linenumber"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("w0"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("t"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("w0")).as("w"), first(col("t")).as("t"))
+        .withColumn("tw", col("t") * col("w"))
+        .withColumn("ww", sum(col("w")).over(byO))
+        .withColumn("base", expr("tw div ww"))
+        .withColumn("rem", expr("tw % ww"))
+        .withColumn("short", col("t") - sum(col("base")).over(byO))
+        .withColumn("rnk", row_number().over(byRem))
+        .withColumn("alloc_c",
+          col("base") + when(col("rnk") <= col("short"), 1L).otherwise(0L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("w").as("price_c"),
+          col("alloc_c"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Robust dispersion / outlier gate: per priority, median and MAD (median
+    // absolute deviation) of the order total, plus the count beyond the
+    // 3·1.4826·MAD robust-z fence. Medians interpolate midpoints of integer
+    // cents, so every value is k or k+0.5 — exactly representable; the fence
+    // compares 2×-scaled integer-valued doubles cross-multiplied against
+    // rational 44478/10000 (products < 2^53), so no engine-dependent float
+    // rounding anywhere. Three grouped passes by construction — a median is
+    // a global order statistic, so MAD needs median → deviations → median
+    // again → fence count; each intermediate (5 rows) rejoins by broadcast,
+    // and each pass shuffles on the same bounded-cardinality key where
+    // partial aggregation has already collapsed the fact table.
+    "q_stats_mad" -> ((s, d) => {
+      val c = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val med = c.groupBy(col("o_orderpriority"))
+        .agg(percentile(col("c"), lit(0.5)).as("med_c"))
+      val dev = c.join(broadcast(med), Seq("o_orderpriority"))
+        .withColumn("d2", abs(col("c") * 2 - col("med_c") * 2))
+      val stats = dev.groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          first(col("med_c")).as("med_c"),
+          percentile(col("d2"), lit(0.5)).as("mad2_c"))
+      val outliers = dev
+        .join(broadcast(stats.select(col("o_orderpriority"), col("mad2_c"))),
+          Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(when(col("d2") * 10000 > col("mad2_c") * 44478, 1L).otherwise(0L))
+          .as("n_outliers"))
+      stats.join(broadcast(outliers), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"), col("med_c"),
+          (col("mad2_c") / 2).as("mad_c"), col("n_outliers"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Skew pattern: salted two-phase aggregation. A hot grouping key melts
     // one reducer at 100 TB; salting spreads the partial aggregation over
     // 16 sub-keys, then the (tiny) final pass merges partials. Result is
@@ -698,6 +771,51 @@ object AnalyticsQueries extends QueryPack {
         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
         |       CAST((n * 1000000) // tot AS BIGINT) AS p_micro
         |FROM t ORDER BY from_type, to_type""".stripMargin,
+    // Floor shares + largest-remainder top-up in exact integer cents; // and
+    // % match Spark div/% on the non-negative operands.
+    "q_alloc_prorata" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w0
+        |            FROM lineitem),
+        |o AS (SELECT o_orderkey,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+        |      FROM orders),
+        |g AS (SELECT l_orderkey, l_linenumber, CAST(sum(w0) AS BIGINT) AS w,
+        |             any_value(t) AS t
+        |      FROM li JOIN o ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |j AS (SELECT l_orderkey, l_linenumber, w, t, t * w AS tw,
+        |             sum(w) OVER (PARTITION BY l_orderkey) AS ww
+        |      FROM g),
+        |b AS (SELECT *, tw // ww AS base, tw % ww AS rem FROM j),
+        |r AS (SELECT *, t - sum(base) OVER (PARTITION BY l_orderkey) AS short,
+        |             row_number() OVER (PARTITION BY l_orderkey
+        |                                ORDER BY rem DESC, l_linenumber) AS rnk
+        |      FROM b)
+        |SELECT l_orderkey, l_linenumber, w AS price_c,
+        |       CAST(base + CASE WHEN rnk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc_c
+        |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // quantile_cont interpolates exactly like Spark's percentile; every
+    // median of integer cents is k or k+0.5 — exactly representable — and
+    // the fence cross-multiplies 2x-scaled integer-valued doubles, so the
+    // comparison is float-rounding-free in both engines.
+    "q_stats_mad" ->
+      """WITH c AS (SELECT o_orderpriority,
+        |                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |           FROM orders),
+        |m AS (SELECT o_orderpriority, quantile_cont(c, 0.5) AS med_c
+        |      FROM c GROUP BY 1),
+        |d AS (SELECT c.o_orderpriority, c.c, m.med_c,
+        |             abs(c.c * 2 - m.med_c * 2) AS d2
+        |      FROM c JOIN m USING (o_orderpriority)),
+        |s AS (SELECT o_orderpriority, count(*) AS n, any_value(med_c) AS med_c,
+        |             quantile_cont(d2, 0.5) AS mad2_c
+        |      FROM d GROUP BY 1)
+        |SELECT d.o_orderpriority, CAST(s.n AS BIGINT) AS n, s.med_c,
+        |       s.mad2_c / 2 AS mad_c,
+        |       CAST(sum(CASE WHEN d.d2 * 10000 > s.mad2_c * 44478 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM d JOIN s USING (o_orderpriority)
+        |GROUP BY 1, 2, 3, 4 ORDER BY d.o_orderpriority""".stripMargin,
     "q_topk_agg" ->
       """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
         |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
