@@ -330,6 +330,30 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // Slowly-changing-dimension TYPE 2 history build: collapse each user's
+    // event stream into state-change intervals — one row per run of equal
+    // event_type, with [valid_from, valid_to) in epoch-µs and a per-user
+    // version counter; the open (current) interval carries Long.MaxValue.
+    // The warehouse operator behind MERGE-based dimension loads. ONE
+    // user_id shuffle: change detection (lag), versioning (row_number) and
+    // interval close (lead) all ride the same high-cardinality partition
+    // spec; event_id is verified unique, so the order is total and the
+    // run-collapse is deterministic.
+    "q_scd2_history" -> ((s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byTs))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(byTs).cast("long"))
+        .withColumn("valid_to_us",
+          coalesce(lead(col("tus"), 1).over(byTs), lit(Long.MaxValue)))
+        .select(col("user_id"), col("version"), col("event_type").as("state"),
+          col("tus").as("valid_from_us"), col("valid_to_us"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
     // Largest-remainder pro-rata allocation: distribute each order's total
     // across its line items proportionally to extended price, in EXACT
     // integer cents — floor shares first, then the leftover cents go to the
@@ -771,6 +795,21 @@ object AnalyticsQueries extends QueryPack {
         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
         |       CAST((n * 1000000) // tot AS BIGINT) AS p_micro
         |FROM t ORDER BY from_type, to_type""".stripMargin,
+    "q_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |a AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |                AS prev_type FROM e),
+        |c AS (SELECT * FROM a WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT user_id, event_type, tus,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |               AS version,
+        |             lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |               AS next_tus
+        |      FROM c)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, event_type AS state,
+        |       tus AS valid_from_us,
+        |       coalesce(next_tus, 9223372036854775807) AS valid_to_us
+        |FROM v ORDER BY user_id, version""".stripMargin,
     // Floor shares + largest-remainder top-up in exact integer cents; // and
     // % match Spark div/% on the non-negative operands.
     "q_alloc_prorata" ->

@@ -277,6 +277,38 @@ object TextQueries extends QueryPack {
       .agg(count(lit(1)).as("n_tok"), sum(col("llr6")).as("s6"))
   }
 
+  /** Per-doc unigram-LM log-probability sufficient statistics: (doc_id,
+    * lang, sum_lp6, n_tok), where sum_lp6 is the exact µ-unit integer sum of
+    * per-token log probs under the CAPPED top-K(=20) corpus LM with OOV mass
+    * folded into one add-1-smoothed UNK class (the CCNet/DSIR vocabulary
+    * bound — an uncapped web-corpus LM broadcast dies at 100 TB). The ≤K-row
+    * LM broadcasts onto the token stream; the stream never shuffles for the
+    * join. Shared by q_text_unigram_lp (reports the per-doc mean) and
+    * q_text_ppl_buckets (per-lang quality split on the same scores).
+    */
+  private def unigramDocLp(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val K = 20
+    val tok = docTokens(s, d)
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint()
+    // Top-K by count, w ASC tiebreak — a TakeOrdered over the vocab-sized
+    // count table, deterministic in both engines.
+    val topk = uni.orderBy(col("c").desc, col("w")).limit(K).localCheckpoint()
+    val scal = uni.agg(sum(col("c")).as("n_total"))
+      .crossJoin(topk.agg(sum(col("c")).as("n_vocab")))
+    val lm = topk.crossJoin(broadcast(scal))
+      .select(col("w"),
+        round(log((col("c") + lit(1.0)) / (col("n_total") + lit(K + 1))) * lit(1e6))
+          .cast("long").as("lp6"))
+    val unk = scal.select(
+      round(log((col("n_total") - col("n_vocab") + lit(1.0)) / (col("n_total") + lit(K + 1))) * lit(1e6))
+        .cast("long").as("unk_lp6"))
+    tok.join(broadcast(lm), Seq("w"), "left_outer")
+      .crossJoin(broadcast(unk))
+      .select(col("doc_id"), col("lang"), coalesce(col("lp6"), col("unk_lp6")).as("lp6"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lp6")).as("sum_lp6"), count(lit(1)).as("n_tok"))
+  }
+
   /** [[dsirScores]] memoized per (context, source fingerprint) — the same
     * artifact model as [[clusterLabels]]: q_text_dsir times the LM training
     * honestly on every run; downstream consumers (q_sample_dsir) read the
@@ -796,40 +828,49 @@ object TextQueries extends QueryPack {
     }),
 
     // X4h: unigram-LM scoring (the CCNet/perplexity-filter shape, with a
-    // unigram model standing in for the KenLM): PASS 1 trains the LM (one
-    // corpus tokenization → count table, CAPPED to the top-K vocabulary by
-    // count — CCNet/DSIR deployments bound the LM the same way, since a web
-    // corpus has hundreds of millions of distinct tokens and an unbounded
-    // broadcast dies at 100 TB), PASS 2 scores every doc by mean log
-    // probability via a BROADCAST join of the ≤K-row LM onto the token
-    // stream. OOV mass is folded into one UNK class with add-1 smoothing
-    // over K+1 classes, so every token scores. K=20 < the 31-word fixture
-    // vocab, so the oracle proves the capped semantics, not the uncapped
-    // coincidence. Per-token lp rides exact µ-unit longs (house FP
-    // discipline) so the per-doc mean is order-independent.
-    "q_text_unigram_lp" -> ((s, d) => {
-      val K = 20
-      val tok = docTokens(s, d).select(col("doc_id"), col("w"))
-      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint()
-      // Top-K by count, w ASC tiebreak — a TakeOrdered over the vocab-sized
-      // count table, deterministic in both engines.
-      val topk = uni.orderBy(col("c").desc, col("w")).limit(K).localCheckpoint()
-      val scal = uni.agg(sum(col("c")).as("n_total"))
-        .crossJoin(topk.agg(sum(col("c")).as("n_vocab")))
-      val lm = topk.crossJoin(broadcast(scal))
-        .select(col("w"),
-          round(log((col("c") + lit(1.0)) / (col("n_total") + lit(K + 1))) * lit(1e6))
-            .cast("long").as("lp6"))
-      val unk = scal.select(
-        round(log((col("n_total") - col("n_vocab") + lit(1.0)) / (col("n_total") + lit(K + 1))) * lit(1e6))
-          .cast("long").as("unk_lp6"))
-      tok.join(broadcast(lm), Seq("w"), "left_outer")
-        .crossJoin(broadcast(unk))
-        .select(col("doc_id"), coalesce(col("lp6"), col("unk_lp6")).as("lp6"))
-        .groupBy(col("doc_id"))
-        .agg(round((sum(col("lp6")) / count(lit(1))) / lit(1e6), 6).as("mean_lp"),
-          count(lit(1)).as("n_tok"))
-        .orderBy(col("doc_id"))
+    // unigram model standing in for the KenLM) — per-doc mean log prob over
+    // the shared [[unigramDocLp]] scores (capped top-K LM, broadcast onto
+    // the token stream, UNK-folded OOV; see the helper's doc). K=20 < the
+    // 31-word fixture vocab, so the oracle proves the capped semantics, not
+    // the uncapped coincidence. Per-token lp rides exact µ-unit longs
+    // (house FP discipline) so the per-doc mean is order-independent.
+    "q_text_unigram_lp" -> ((s, d) =>
+      unigramDocLp(s, d)
+        .select(col("doc_id"),
+          round((col("sum_lp6") / col("n_tok")) / lit(1e6), 6).as("mean_lp"),
+          col("n_tok"))
+        .orderBy(col("doc_id"))),
+
+    // X4h2: CCNet-style PERPLEXITY BUCKETING — split the corpus per language
+    // into head/mid/tail quality buckets by unigram-LM perplexity (shared
+    // [[unigramDocLp]] scoring). Boundaries are per-lang QUARTILES of the
+    // integer µ-unit per-token score, computed by a grouped exact percentile
+    // and broadcast back — never ntile over a low-cardinality lang
+    // partition, which would funnel a 100 TB corpus through a handful of
+    // sort tasks (the q_window_ntile_dist lesson). Quartiles, not thirds, on
+    // purpose: p ∈ {0.25, 0.75} makes both the rank position and the
+    // interpolation fraction exact powers of two, so the boundary doubles
+    // are bit-identical across engines over integer scores — p = 1/3 is not
+    // binary-representable and would reopen the cross-engine FP hazard.
+    // Comparisons cross-multiply by 4 so both sides stay integer-valued.
+    "q_text_ppl_buckets" -> ((s, d) => {
+      // Positive per-token µ-unit "perplexity proxy": (−Σlp6) div n_tok —
+      // both operands non-negative, so Spark div == DuckDB // (floor).
+      val sc = unigramDocLp(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("(0 - sum_lp6) div n_tok").as("p6"))
+      val qs = sc.groupBy(col("lang"))
+        .agg(percentile(col("p6"), lit(0.25)).as("q1"),
+          percentile(col("p6"), lit(0.75)).as("q3"))
+      sc.join(broadcast(qs), Seq("lang"))
+        .withColumn("bucket",
+          when(col("p6") * 4 <= col("q1") * 4, lit("head"))
+            .when(col("p6") * 4 >= col("q3") * 4, lit("tail"))
+            .otherwise(lit("mid")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("p6")).as("min_p6"), max(col("p6")).as("max_p6"))
+        .orderBy(col("lang"), col("bucket"))
     }),
 
     // X4i: sequence PACKING, two-phase — group consecutive docs into
@@ -1725,6 +1766,34 @@ object TextQueries extends QueryPack {
         |       CAST(count(*) AS BIGINT) AS n_tok
         |FROM tok LEFT JOIN lm USING (w), unk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same capped LM as q_text_unigram_lp; quartile boundaries are exact
+    // (p = 1/4, 3/4 are binary-representable; integer scores), and the
+    // bucket compare cross-multiplies by 4 so both sides stay
+    // integer-valued. (−Σlp6)//n_tok operands are non-negative, so // == div.
+    "q_text_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |topk AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 20),
+        |s AS (SELECT (SELECT sum(c) FROM uni) AS n_total,
+        |             (SELECT sum(c) FROM topk) AS n_vocab),
+        |lm AS (SELECT w, CAST(round(ln((c + 1.0) / (n_total + 21)) * 1e6) AS BIGINT) AS lp6
+        |       FROM topk, s),
+        |unk AS (SELECT CAST(round(ln((n_total - n_vocab + 1.0) / (n_total + 21)) * 1e6) AS BIGINT)
+        |               AS unk_lp6 FROM s),
+        |ds AS (SELECT doc_id, any_value(lang) AS lang,
+        |              sum(coalesce(lm.lp6, unk.unk_lp6)) AS sum_lp6, count(*) AS n_tok
+        |       FROM tok LEFT JOIN lm USING (w), unk GROUP BY doc_id),
+        |sc AS (SELECT doc_id, lang, (0 - sum_lp6) // n_tok AS p6 FROM ds),
+        |qs AS (SELECT lang, quantile_cont(p6, 0.25) AS q1, quantile_cont(p6, 0.75) AS q3
+        |       FROM sc GROUP BY 1)
+        |SELECT sc.lang,
+        |       CASE WHEN p6 * 4 <= q1 * 4 THEN 'head'
+        |            WHEN p6 * 4 >= q3 * 4 THEN 'tail'
+        |            ELSE 'mid' END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(p6) AS BIGINT) AS min_p6, CAST(max(p6) AS BIGINT) AS max_p6
+        |FROM sc JOIN qs USING (lang)
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, lang, doc_id // 200 AS shard,
         |                  len(string_split(text, ' ')) AS n_tok
