@@ -330,6 +330,29 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // Exponentially-weighted moving average per user stream — the trend
+    // smoother behind rate monitors and anomaly baselines. α = 1/2 with the
+    // kernel truncated at 8 lags, so every weight is a power of two and the
+    // whole smoother is INTEGER arithmetic on µ-unit values: ewma6 =
+    // (Σ_{k=0..7} x_{t-k}·2^(7-k)) div 256 — bit-identical across engines,
+    // no float power/exp anywhere (the usual EWMA recursion is
+    // order-dependent FP). The 8 lags share one window spec → a single
+    // WindowExec on the lone user_id shuffle; truncation error is ≤ 2^-8 of
+    // the oldest mass, the documented contract of the dyadic kernel.
+    "q_time_ewma" -> ((s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val terms = (0 until 8).map(k =>
+        coalesce(lag(col("v6"), k).over(byTs), lit(0L)) * lit(1L << (7 - k)))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"),
+          round(col("value") * lit(1e6)).cast("long").as("v6"))
+        .withColumn("wsum", terms.reduce(_ + _))
+        .withColumn("ewma6", expr("wsum div 256"))
+        .select(col("user_id"), col("event_id"), col("tus"), col("v6"), col("ewma6"))
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    }),
+
     // Slowly-changing-dimension TYPE 2 history build: collapse each user's
     // event stream into state-change intervals — one row per run of equal
     // event_type, with [valid_from, valid_to) in epoch-µs and a per-user
@@ -795,6 +818,23 @@ object AnalyticsQueries extends QueryPack {
         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
         |       CAST((n * 1000000) // tot AS BIGINT) AS p_micro
         |FROM t ORDER BY from_type, to_type""".stripMargin,
+    // Dyadic weights keep every term integer; events.value ≥ 0 in the
+    // fixture so wsum is non-negative and // equals Spark div.
+    "q_time_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |                  CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events)
+        |SELECT user_id, event_id, tus, v6,
+        |       CAST((v6 * 128
+        |             + coalesce(lag(v6, 1) OVER win, 0) * 64
+        |             + coalesce(lag(v6, 2) OVER win, 0) * 32
+        |             + coalesce(lag(v6, 3) OVER win, 0) * 16
+        |             + coalesce(lag(v6, 4) OVER win, 0) * 8
+        |             + coalesce(lag(v6, 5) OVER win, 0) * 4
+        |             + coalesce(lag(v6, 6) OVER win, 0) * 2
+        |             + coalesce(lag(v6, 7) OVER win, 0)) // 256 AS BIGINT) AS ewma6
+        |FROM e
+        |WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |ORDER BY user_id, tus, event_id""".stripMargin,
     "q_scd2_history" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
         |a AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)

@@ -58,6 +58,35 @@ object MetaQueries extends QueryPack {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // S2c: ZONE-MAP pruning planner — the data-skipping decision table over
+    // a time-partitioned layout: per monthly "file", rowcount + min/max
+    // shipdate (the zone map a parquet footer carries), classified against
+    // a ship-window predicate as pruned / full / partial. This is the
+    // metadata pass a scan planner runs BEFORE touching data: at 100 TB the
+    // zone-map table is file-count-sized (metadata scale, one groupBy on
+    // the high-cardinality file key), and only 'partial' files need their
+    // row-level filter — 'pruned' files are never opened, 'full' files
+    // skip the filter entirely. Mid-month bounds on purpose so all three
+    // classes appear. Pairs with [[graft.sources.ZOrder]], which is what
+    // makes zone maps tight on multi-column predicates.
+    "q_zonemap_prune" -> ((s, d) => {
+      val lo = lit(858470400000000L)  // 1997-03-15 epoch-µs
+      val hi = lit(905385600000000L)  // 1998-09-10 epoch-µs
+      Tables.lineitem(s, d)
+        .select(
+          unix_micros(date_trunc("month", col("l_shipdate")).cast("timestamp"))
+            .as("file_id"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("sus"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("sus")).as("mn_us"), max(col("sus")).as("mx_us"))
+        .withColumn("status",
+          when(col("mx_us") < lo || col("mn_us") > hi, lit("pruned"))
+            .when(col("mn_us") >= lo && col("mx_us") <= hi, lit("full"))
+            .otherwise(lit("partial")))
+        .orderBy(col("file_id"))
+    }),
+
     // F1+A1: stores with >1 file → (count, Σsize) per store
     // (QHBaseCompact.java:151-156); customer=region, orders=files analog.
     "q_filter_compactable" -> ((s, d) => {
@@ -266,6 +295,18 @@ object MetaQueries extends QueryPack {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN '2024-01-05' AND '2024-01-07'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_zonemap_prune" ->
+      """WITH f AS (SELECT epoch_us(date_trunc('month', l_shipdate)) AS file_id,
+        |                  epoch_us(l_shipdate) AS sus
+        |           FROM lineitem),
+        |z AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |             min(sus) AS mn_us, max(sus) AS mx_us
+        |      FROM f GROUP BY 1)
+        |SELECT file_id, n_rows, mn_us, mx_us,
+        |       CASE WHEN mx_us < 858470400000000 OR mn_us > 905385600000000 THEN 'pruned'
+        |            WHEN mn_us >= 858470400000000 AND mx_us <= 905385600000000 THEN 'full'
+        |            ELSE 'partial' END AS status
+        |FROM z ORDER BY file_id""".stripMargin,
     "q_filter_compactable" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_files,
         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_size
