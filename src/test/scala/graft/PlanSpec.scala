@@ -275,4 +275,48 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("hashpartitioning"), p) // only the final presentation sort
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
+
+  test("q_sessionize: window + session rollup share ONE user_id hash exchange") {
+    val p = plan("q_sessionize")
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_scd2_history: change-detect, version and close ride one user_id shuffle") {
+    val p = plan("q_scd2_history")
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_time_ewma: all eight lags collapse into a single Window on one shuffle") {
+    val p = plan("q_time_ewma")
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_alloc_prorata: at scale the SMJ's l_orderkey partitioning feeds grain groupBy and all windows") {
+    // Same discipline as q_report_multijoin: at sf0.001 the orders side
+    // auto-broadcasts (fine for toy inputs); the 100 TB property is that
+    // with size-based broadcast off, the ONLY hash exchanges are the two
+    // SMJ inputs — hash(l_orderkey) clusters every finer key, so the
+    // line-grain aggregate and both window specs add none.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = SparkEntry.queries("q_alloc_prorata")(s2, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert("hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q_text_ppl_buckets: quartile boundaries rejoin by broadcast — token stream never shuffles for scoring") {
+    val df = SparkEntry.queries("q_text_ppl_buckets")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+  }
+
+  test("q_zonemap_prune: metadata-scale plan — one groupBy on the file key, no join, no window") {
+    val p = plan("q_zonemap_prune")
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
 }
