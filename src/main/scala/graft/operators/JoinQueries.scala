@@ -142,42 +142,20 @@ object JoinQueries extends QueryPack {
     // and the join keys on (key, salt) — S-way parallelism per hot key.
     // Cold keys take the plain sort-merge path; union, then aggregate.
     // Result is row-identical to the plain join, so the oracle IS the plain
-    // join. The hot-key table is exact-counted here (deterministic, tiny,
-    // localCheckpoint'ed once and broadcast to all four consumers);
-    // production would sample or read AQE runtime stats.
-    "q_join_skew_salted" -> ((s, d) => {
-      val S = 8
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-      val hotKeys = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("k_n"))
-        .filter(col("k_n") >= 8).select(col("l_orderkey").as("hk"))
-        .localCheckpoint()
-      // Salt must key on a HIGH-ENTROPY per-row value or the hot key's rows
-      // all land in one salt and the skew survives; (price, discount) is
-      // near-unique per lineitem row. A table with no such column would
-      // salt on monotonically_increasing_id (fine here: the salt never
-      // crosses the oracle boundary — only row routing depends on it).
-      val liHot = li.join(broadcast(hotKeys), col("l_orderkey") === col("hk"))
-        .drop("hk")
-        .withColumn("salt", pmod(hash(col("l_extendedprice"), col("l_discount")), lit(S)))
-      val ordHot = ord.join(broadcast(hotKeys), col("o_orderkey") === col("hk"))
-        .drop("hk")
-        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-      val hot = liHot.join(ordHot,
-        liHot("l_orderkey") === ordHot("o_orderkey") && liHot("salt") === ordHot("salt"))
-      val cold = li.join(broadcast(hotKeys), col("l_orderkey") === col("hk"), "left_anti")
-        .join(ord.join(broadcast(hotKeys), col("o_orderkey") === col("hk"), "left_anti"),
-          col("l_orderkey") === col("o_orderkey"))
-      val cols = Seq(col("o_orderpriority"), col("l_extendedprice"), col("l_discount"))
-      hot.select(cols: _*).unionByName(cold.select(cols: _*))
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("o_orderpriority"))
-    }),
+    // join — and that identity holds for ANY hot-key set (every key lands
+    // on exactly one path, both paths compute the same join), which is
+    // what lets hot-key DETECTION be approximate without touching results.
+    //
+    // Knob: spark.graft.skew.sampleDetect=true switches detection from the
+    // exact full count (fixture default — deterministic, tiny) to the
+    // production path: a seeded deterministic ~10% sample of the fact
+    // rows, per-key counts scaled by 1/rate, hot if the estimate clears
+    // the same threshold. At 100 TB the full count is a second shuffle of
+    // the fact table; the sample reads the same scan but aggregates 10%
+    // of rows, and a miss only costs routing (a hot key on the cold path),
+    // never correctness. SkewJoinSpec proves both paths row-identical to
+    // the plain join on fixtures.
+    "q_join_skew_salted" -> ((s, d) => skewSaltedJoin(s, d)),
 
     // J9: runtime bloom-filter pushdown — the selective-dimension shuffle
     // join where Spark's InjectRuntimeFilter builds a bloom filter from the
@@ -271,8 +249,126 @@ object JoinQueries extends QueryPack {
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // J12: correlated scalar subquery — the TPC-H Q17 SHAPE: line items
+    // whose quantity is below 20% of their part's average quantity, i.e.
+    // the "small-order revenue" report every analyst writes with a
+    // correlated subquery. Written as SQL so Catalyst's decorrelation
+    // pipeline (PullupCorrelatedPredicates → RewriteCorrelatedScalarSubquery)
+    // is actually exercised: each correlated aggregate (count, sum over the
+    // correlation key) decorrelates into a bounded per-part aggregate that
+    // joins back on l_partkey — part-dim-sized broadcast joins, never a
+    // per-row subquery loop (no Subquery node survives to the physical plan).
+    // The 20%-of-average threshold is compared in EXACT integer space
+    // (l_quantity is integral 1..50 in this schema):
+    //   qty < 0.2 * sum/cnt  ⟺  5 * qty * cnt < sum
+    // so no engine ever materializes the average as a double and the
+    // boundary rows can't flip on FP rounding. PlanSpec pins the
+    // decorrelated shape (aggregates + equi joins, no nested loop).
+    "q_subquery_corr" -> ((s, d) => {
+      val s2 = s.newSession()
+      Tables.lineitem(s2, d).createOrReplaceTempView("lineitem")
+      Tables.part(s2, d).createOrReplaceTempView("part")
+      s2.sql(
+        """SELECT p_brand,
+          |       CAST(count(*) AS BIGINT) AS n_below,
+          |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE 5 * CAST(l_quantity AS BIGINT)
+          |        * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+          |      < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+          |GROUP BY p_brand
+          |ORDER BY p_brand""".stripMargin)
+    }),
+
+    // J13: the TPC-H Q21 SHAPE — "suppliers who kept orders waiting":
+    // late line items (shipped > 365 days after the order date — this
+    // schema has no receipt/commit dates) on multi-supplier orders where
+    // NO other supplier was late. One semi and one anti join composed on
+    // the SAME fact inside a single plan: the semi proves another supplier
+    // touched the order, the anti proves none of them was late. Both
+    // residual predicates (l_suppkey <> ...) ride the l_orderkey equi key,
+    // so each is a hash/SMJ with a residual filter — never a cartesian —
+    // and all three fact legs shuffle on the same l_orderkey key, which
+    // AQE/ReuseExchange can share. Supplier is a dim: broadcast for the
+    // name lookup after the fact-side reduction.
+    "q_report_suppwait" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def late = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("interval 365 days"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      late
+        .join(li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     })
   )
+
+  /** The two-path skew join behind `q_join_skew_salted` (J8 — see the map
+    * entry's comment for the full design). Hot-key detection honors the
+    * `spark.graft.skew.sampleDetect` session conf: `false` (default) counts
+    * every key exactly; `true` estimates frequencies from a seeded
+    * deterministic hash-sample of the fact rows — the 100 TB path, where a
+    * detection miss costs only routing, never rows.
+    */
+  private[graft] def skewSaltedJoin(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val S = 8
+    val sampled =
+      s.conf.getOption("spark.graft.skew.sampleDetect").exists(_.toBoolean)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    val hotThreshold = 8L
+    val hotKeys = (if (!sampled) {
+      li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("k_n"))
+        .filter(col("k_n") >= hotThreshold)
+    } else {
+      // Deterministic ~1/10 row sample: hash near-unique row attributes
+      // (seeded — NOT rand(), so retries and both spec arms see the same
+      // sample), count per key, scale by the sampling rate. The estimate
+      // only gates ROUTING; the oracle boundary never sees it.
+      val rate = 10
+      li.filter(pmod(xxhash64(lit(42), col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")), lit(rate)) === 0)
+        .groupBy(col("l_orderkey")).agg((count(lit(1)) * rate).as("k_n"))
+        .filter(col("k_n") >= hotThreshold)
+    }).select(col("l_orderkey").as("hk"))
+      .localCheckpoint()
+    // Salt must key on a HIGH-ENTROPY per-row value or the hot key's rows
+    // all land in one salt and the skew survives; (price, discount) is
+    // near-unique per lineitem row. A table with no such column would
+    // salt on monotonically_increasing_id (fine here: the salt never
+    // crosses the oracle boundary — only row routing depends on it).
+    val liHot = li.join(broadcast(hotKeys), col("l_orderkey") === col("hk"))
+      .drop("hk")
+      .withColumn("salt", pmod(hash(col("l_extendedprice"), col("l_discount")), lit(S)))
+    val ordHot = ord.join(broadcast(hotKeys), col("o_orderkey") === col("hk"))
+      .drop("hk")
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    val hot = liHot.join(ordHot,
+      liHot("l_orderkey") === ordHot("o_orderkey") && liHot("salt") === ordHot("salt"))
+    val cold = li.join(broadcast(hotKeys), col("l_orderkey") === col("hk"), "left_anti")
+      .join(ord.join(broadcast(hotKeys), col("o_orderkey") === col("hk"), "left_anti"),
+        col("l_orderkey") === col("o_orderkey"))
+    val cols = Seq(col("o_orderpriority"), col("l_extendedprice"), col("l_discount"))
+    hot.select(cols: _*).unionByName(cold.select(cols: _*))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_join_broadcast" ->
@@ -363,6 +459,29 @@ object JoinQueries extends QueryPack {
         |WHERE o_orderstatus = 'F' AND o_orderdate >= TIMESTAMP '1998-01-01'
         |  AND l_returnflag = 'R'
         |GROUP BY 1, 2, 3
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_subquery_corr" ->
+      """SELECT p_brand,
+        |       CAST(count(*) AS BIGINT) AS n_below,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE 5 * CAST(l_quantity AS BIGINT)
+        |        * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+        |      < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q_report_suppwait" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin
   )
 }

@@ -319,4 +319,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
+
+  test("q_subquery_corr: correlated scalar subqueries fully decorrelate — aggregates + equi joins, no per-row subquery") {
+    val df = SparkEntry.queries("q_subquery_corr")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // Decorrelation must leave NO scalar-subquery execution node: the
+    // correlated count/sum become per-part aggregates joined back on
+    // l_partkey (part-dim-sized — broadcastable at any fact scale).
+    assert(!p.contains("Subquery"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // two decorrelated per-part aggregates + the final p_brand rollup,
+    // each partial+final
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p)
+    val joins = "BroadcastHashJoin".r.findAllIn(p).size +
+      "SortMergeJoin".r.findAllIn(p).size + "ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins >= 3, s"expected >=3 equi joins (2 decorrelated + part dim), got $joins\n$p")
+  }
+
+  test("q_report_suppwait: semi and anti compose on the same fact, no cartesian, supplier stays broadcast at scale") {
+    // 100 TB shape: with size-based broadcast off, the semi and anti legs
+    // become shuffle joins on l_orderkey while the supplier name lookup
+    // stays broadcast because the query hints it explicitly.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = SparkEntry.queries("q_report_suppwait")(s2, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // supplier dim: explicit hint
+  }
 }
