@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * and run decode / feature-extract / frame-sample as partition-batched
   * transforms.
   *
-  * The container ships no media codecs, so [[decodeStub]] is a clearly-marked
-  * deterministic fake — but everything Spark-side is real and tested: the
-  * schema (binary + struct metadata), the `Dataset[MediaRecord]` encoder, the
-  * mapPartitions batch shape (decode amortized per-partition, never
-  * per-row-lambda-with-init), and the partitioning story (records are
-  * repartitioned by byte-size budget so one executor never holds a skewed
-  * set of large blobs).
+  * Decode has two arms. Uncompressed raster payloads decode for REAL:
+  * [[PpmDecode]] parses binary PPM (P6) headers and emits the integer
+  * luminance plane, which is what the perceptual-hash dedup family runs on
+  * (q_dedup_phash). The container ships no compressed-media codecs, so for
+  * those formats [[decodeStub]] is a clearly-marked deterministic fake — but
+  * everything Spark-side is real and tested: the schema (binary + struct
+  * metadata), the `Dataset[MediaRecord]` encoder, the mapPartitions batch
+  * shape (decode amortized per-partition, never per-row-lambda-with-init),
+  * and the partitioning story (records are repartitioned by byte-size budget
+  * so one executor never holds a skewed set of large blobs).
   */
 object MediaPipeline {
 
@@ -79,13 +82,28 @@ object MediaPipeline {
   /** Perceptual gradient hash over an opaque binary payload column — the
     * dHash-style signature ([[graft.functions.expr.ByteGradientHash]])
     * that extends the dedup family to media columns: band it and pair by
-    * Hamming distance exactly like SimHash on text (q_dedup_phash). With a
-    * real decoder in place, the same expression runs over the decoded
-    * grayscale bytes instead of the raw payload.
+    * Hamming distance exactly like SimHash on text (q_dedup_phash).
     */
   def phash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftshim.GraftColumn.lift1(
       graft.functions.expr.ByteGradientHash.apply)(payload)
+
+  /** Luminance plane of a binary P6 PPM payload, NULL when it doesn't parse
+    * ([[graft.functions.expr.PpmLuma]] / [[PpmDecode]]) — the REAL decode
+    * arm of the media column: uncompressed raster formats are pure
+    * header-parse + integer math, so the result is bit-exact and
+    * oracle-able. Compressed codecs (JPEG/MP4) would slot in beside it as
+    * another expression; the fallback idiom below is unchanged either way.
+    */
+  def ppmLuma(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.GraftColumn.lift1(
+      graft.functions.expr.PpmLuma.apply)(payload)
+
+  /** The decode-or-opaque idiom: pixel data for payloads that parse as P6,
+    * raw payload bytes otherwise — so one plan serves mixed media tables.
+    */
+  def lumaOrRaw(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.coalesce(ppmLuma(payload), payload)
 
   /** Exact-integer PCM stats for "audio" payloads: decode the byte stream as
     * little-endian int16 samples (trailing odd byte dropped, the WAV data

@@ -741,21 +741,36 @@ object VectorQueries extends QueryPack {
 
     // X5c: perceptual-hash dedup over the MEDIA column — the third modality
     // of the dedup family (after text MinHash/SimHash and embedding
-    // sign-LSH): each opaque payload gets a 32-bit byte-gradient dHash
-    // ([[graft.multimodal.MediaPipeline.phash]], integer-exact, one codegen
-    // pass), candidates come from byte-banding the hash (4 bands of 8 bits,
-    // pigeonhole: hamming ≤ 3 guarantees a shared band), and exact Hamming
-    // via bit_count(xor) runs on candidates only — the q_dedup_simhash_pairs
-    // shape verbatim, same 2–100 bucket cap so a hot band value is dropped,
-    // never expanded quadratically. Text bytes stand in for image payloads
-    // (no codecs in the container); with a real decoder the identical plan
-    // runs over decoded grayscale bytes.
-    "q_dedup_phash" -> ((s, d) =>
+    // sign-LSH), now running on DECODED PIXELS: each document's bytes are
+    // wrapped into a genuine binary PPM (P6) image (header + first 12·⌊n/12⌋
+    // bytes as 4-wide RGB rows — the fixture stand-in for an image table;
+    // every doc ≥ 44 bytes at all SFs, so every payload parses),
+    // [[graft.multimodal.MediaPipeline.lumaOrRaw]] header-parses it and
+    // emits the integer Rec.601 luminance plane (REAL decode — see
+    // [[graft.multimodal.PpmDecode]]; non-parsing payloads fall back to
+    // opaque bytes, MediaPipelineSpec pins both arms), and the luma plane
+    // gets the 32-bit byte-gradient dHash ([[MediaPipeline.phash]],
+    // integer-exact, one codegen pass). Candidates come from byte-banding
+    // the hash (4 bands of 8 bits — pigeonhole: hamming ≤ 3 GUARANTEES a
+    // shared band, so maxHamming = 3 makes banding exact, not best-effort),
+    // and exact Hamming via bit_count(xor) runs on candidates only — the
+    // q_dedup_simhash_pairs shape verbatim, same 2–100 bucket cap so a hot
+    // band value is dropped, never expanded quadratically. The whole
+    // craft→decode→hash chain is one codegen'd projection; the DuckDB
+    // oracle reproduces the luminance math with integer `//` arithmetic.
+    "q_dedup_phash" -> ((s, d) => {
+      val bin = encode(col("text"), "utf-8")
+      val hRows = (length(bin) / lit(12)).cast("int") // image height; width = 4
+      val payload = concat(
+        encode(concat(lit("P6\n4 "), hRows.cast("string"), lit("\n255\n")), "utf-8"),
+        bin.substr(lit(1), hRows * lit(12)))
       TextQueries.bandedHammingPairs(
         Tables.documents(s, d).select(
           col("doc_id"),
-          graft.multimodal.MediaPipeline.phash(encode(col("text"), "utf-8")).as("phash")),
-        "phash", nBands = 4, maxHamming = 6)),
+          graft.multimodal.MediaPipeline.phash(
+            graft.multimodal.MediaPipeline.lumaOrRaw(payload)).as("phash")),
+        "phash", nBands = 4, maxHamming = 3)
+    }),
 
     // X5d: FRAME-level perceptual dedup — the video near-dup shape: two
     // "videos" are near-dups when they share frames, so the dedup unit is
@@ -1208,16 +1223,23 @@ object VectorQueries extends QueryPack {
         |       CAST(length(frame_hex) // 2 AS BIGINT) AS frame_bytes,
         |       substr(frame_hex, 1, 8) AS header8
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
-    // Byte values come from the hex encoding (2 hex chars per byte, the
-    // same byte-addressable form as the frames oracle); the mean compare is
-    // integer cross-multiplication, so the hash is FP-free end to end. The
-    // dense 33-row grid with coalesce(0) mirrors the expression's zeroed
-    // block arrays for payloads shorter than 33 bytes.
+    // Mirrors the craft→decode→hash chain: the PPM wrap puts the first
+    // 12·⌊nb/12⌋ text bytes behind a P6 header as 4-wide RGB rows, the
+    // decode reduces pixel k's triple (bytes 3k,3k+1,3k+2) to the Rec.601
+    // integer luminance (299R+587G+114B)//1000, and the gradient hash runs
+    // over that luma plane (length 4·⌊nb/12⌋). Byte values come from the
+    // hex encoding (2 hex chars per byte); the mean compare is integer
+    // cross-multiplication, so the chain is FP-free end to end. The dense
+    // 33-row grid with coalesce(0) mirrors the expression's zeroed block
+    // arrays for planes shorter than 33 bytes.
     "q_dedup_phash" ->
       s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
-        |                  length(hex(encode(text))) // 2 AS nb
+        |                  (length(hex(encode(text))) // 2 // 12) * 4 AS nb
         |           FROM documents),
-        |bytes AS (SELECT doc_id, nb, r.i AS i, ${byteSql("hx", "r.i")} AS v
+        |bytes AS (SELECT doc_id, nb, r.i AS i,
+        |                 (299 * ${byteSql("hx", "3*r.i")}
+        |                  + 587 * ${byteSql("hx", "3*r.i+1")}
+        |                  + 114 * ${byteSql("hx", "3*r.i+2")}) // 1000 AS v
         |          FROM t, LATERAL (SELECT unnest(range(0, nb)) AS i) r),
         |blk0 AS (SELECT doc_id, (i * 33) // nb AS b, sum(v) AS s, count(*) AS c
         |         FROM bytes GROUP BY 1, 2),
@@ -1240,7 +1262,7 @@ object VectorQueries extends QueryPack {
         |                CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
         |         FROM sized x JOIN sized y
         |           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
-        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 6
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
         |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
     // Frame slicing matches the frames oracle (64 hex chars = 32 bytes,
     // partial tail frame dropped in both engines); the hash/banding chain

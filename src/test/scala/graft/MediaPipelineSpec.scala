@@ -81,6 +81,56 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!stats.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("PpmDecode: well-formed P6 (with header comments) decodes to the exact integer luma plane") {
+    // 2×2 image, known pixels; comment between fields exercises the header
+    // grammar beyond the minimal form the queries craft.
+    val header = "P6\n# a comment\n2 2\n# another\n255\n".getBytes("UTF-8")
+    val rgb = Array[Int](
+      255, 0, 0,   0, 255, 0,  // red, green
+      0, 0, 255,   10, 20, 30  // blue, dark
+    ).map(_.toByte)
+    val luma = graft.multimodal.PpmDecode.lumaOrNull(header ++ rgb)
+    assert(luma != null)
+    // (299R + 587G + 114B) / 1000, truncating
+    assert(luma.map(_ & 0xff).toSeq == Seq(
+      299 * 255 / 1000, 587 * 255 / 1000, 114 * 255 / 1000,
+      (299 * 10 + 587 * 20 + 114 * 30) / 1000))
+  }
+
+  test("PpmDecode rejects malformed payloads: wrong magic, short data, long data, bad maxval, zero dims") {
+    import graft.multimodal.PpmDecode.lumaOrNull
+    val good = "P6\n2 1\n255\n".getBytes("UTF-8") ++ Array.fill[Byte](6)(7)
+    assert(lumaOrNull(good) != null)
+    assert(lumaOrNull("P5\n2 1\n255\n".getBytes("UTF-8") ++ Array.fill[Byte](6)(7)) == null)
+    assert(lumaOrNull(good.dropRight(1)) == null)           // truncated raster
+    assert(lumaOrNull(good :+ 0.toByte) == null)            // trailing junk
+    assert(lumaOrNull("P6\n2 1\n65535\n".getBytes("UTF-8") ++ Array.fill[Byte](6)(7)) == null)
+    assert(lumaOrNull("P6\n0 1\n255\n".getBytes("UTF-8")) == null)
+    assert(lumaOrNull("P6#no ws before comment\n2 1\n255\n".getBytes("UTF-8") ++ Array.fill[Byte](6)(7)) == null)
+    assert(lumaOrNull(Array.emptyByteArray) == null)
+    assert(lumaOrNull("P6\n2 1\n255".getBytes("UTF-8")) == null) // header ends at maxval
+  }
+
+  test("lumaOrRaw: parsing payloads hash their decoded pixels, non-parsing fall back to opaque bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ppm = "P6\n2 1\n255\n".getBytes("UTF-8") ++ Array[Byte](1, 2, 3, 40, 50, 60)
+    val notPpm = "just some opaque bytes, long enough to hash".getBytes("UTF-8")
+    val df = Seq((1L, ppm), (2L, notPpm)).toDF("id", "payload")
+      .select(col("id"),
+        MediaPipeline.phash(MediaPipeline.lumaOrRaw(col("payload"))).as("h"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def refPhash(bytes: Array[Byte]): Long = {
+      val df2 = Seq((0L, bytes)).toDF("id", "b")
+        .select(MediaPipeline.phash(col("b"))).head()
+      df2.getLong(0)
+    }
+    val expectedLuma = graft.multimodal.PpmDecode.lumaOrNull(ppm)
+    assert(expectedLuma != null)
+    assert(got(1L) == refPhash(expectedLuma)) // decoded arm
+    assert(got(2L) == refPhash(notPpm))       // fallback arm
+  }
+
   test("sampleFrames slices every k-th fixed-size frame") {
     val payload = Array.tabulate(100)(_.toByte)
     import spark.implicits._
