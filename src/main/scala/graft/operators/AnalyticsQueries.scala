@@ -416,7 +416,11 @@ object AnalyticsQueries extends QueryPack {
 
     // Robust dispersion / outlier gate: per priority, median and MAD (median
     // absolute deviation) of the order total, plus the count beyond the
-    // 3·1.4826·MAD robust-z fence. Medians interpolate midpoints of integer
+    // 3·1.4826·MAD robust-z fence. DOMAIN BOUND for the exact percentile
+    // buffers: group key is 5 fixed priorities and values are bounded
+    // integer cents (≤ ~5e7 distinct, partial-agg collapsed map-side) — a
+    // scaling key/domain would ride the q_agg_approx_percentile_user
+    // sketch contract instead. Medians interpolate midpoints of integer
     // cents, so every value is k or k+0.5 — exactly representable; the fence
     // compares 2×-scaled integer-valued doubles cross-multiplied against
     // rational 44478/10000 (products < 2^53), so no engine-dependent float
@@ -544,6 +548,12 @@ object AnalyticsQueries extends QueryPack {
     }),
 
     // Exact interpolated percentiles (R-7 definition in both engines).
+    // DOMAIN BOUND the exact buffer relies on: Spark's percentile holds a
+    // value→count map per group; safe here because the group key is 5
+    // priorities and o_totalprice is bounded cents (≤ ~5e7 distinct values,
+    // collapsed map-side by partial aggregation). Grouped quantiles over a
+    // key or domain that GROWS with the data belong on the sketch path —
+    // q_agg_approx_percentile_user is that contract.
     "q_agg_percentile" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
@@ -571,6 +581,39 @@ object AnalyticsQueries extends QueryPack {
           (abs(col("apx") - col("ex")) <= col("ex") * lit(0.05))
             .cast("long").as("within_tol"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // A4'': the same sketch contract on a HIGH-CARDINALITY grouping key —
+    // per-user median event value. user_id cardinality grows with the
+    // data (unlike the 5 fixed priorities above), which is exactly where
+    // the exact percentile's per-group value→count buffer dies at 100 TB:
+    // an unbounded-domain double per user on one reducer. The mergeable
+    // sketch is the production plan for every grouped quantile whose key
+    // or value domain scales; the exact percentile here is only the
+    // fixture-scale referee each engine checks its OWN sketch against.
+    // The envelope is a RANK band, not a value tolerance: a quantile
+    // sketch guarantees rank error (its estimate is a real data value
+    // whose rank is within ε·n of the target), so with ~67 events per
+    // user — where adjacent order statistics can sit >5% apart — the
+    // honest contract is "the estimate lies within the exact [p45, p55]
+    // band", each engine against its own sketch. The cross-engine value
+    // is the exact median over integer cents, emitted ×2 as a BIGINT so
+    // even-count midpoints (k+0.5 cents) stay integer-exact.
+    "q_agg_approx_percentile_user" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .groupBy(col("user_id"))
+        .agg(
+          expr("percentile(c, 0.5)").as("ex"),
+          expr("percentile(c, 0.45)").as("lo"),
+          expr("percentile(c, 0.55)").as("hi"),
+          expr("approx_percentile(c, 0.5, 1000)").as("apx"))
+        .select(col("user_id"),
+          (col("ex") * 2).cast("long").as("exact_med_c2"),
+          (col("apx") >= col("lo") && col("apx") <= col("hi"))
+            .cast("long").as("within_band"))
+        .orderBy(col("user_id"))
     }),
 
     // §2.9 scalar suite: string/date/math/JSON functions in one projection —
@@ -935,6 +978,19 @@ object AnalyticsQueries extends QueryPack {
         |                      <= quantile_cont(o_totalprice, 0.5) * 0.05
         |                 THEN 1 ELSE 0 END AS BIGINT) AS within_tol
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Same own-sketch rank-band envelope, per-user: DuckDB's t-digest vs
+    // its own exact [p45, p55] band — raw sketch estimates never cross
+    // engines; only the integer-exact 2×cents median does.
+    "q_agg_approx_percentile_user" ->
+      """WITH c AS (SELECT user_id,
+        |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |           FROM events)
+        |SELECT user_id,
+        |       CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS exact_med_c2,
+        |       CAST(CASE WHEN approx_quantile(c, 0.5)
+        |                      BETWEEN quantile_cont(c, 0.45) AND quantile_cont(c, 0.55)
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS within_band
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_agg_salted_twophase" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value

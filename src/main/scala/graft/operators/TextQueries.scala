@@ -853,6 +853,11 @@ object TextQueries extends QueryPack {
     // are bit-identical across engines over integer scores — p = 1/3 is not
     // binary-representable and would reopen the cross-engine FP hazard.
     // Comparisons cross-multiply by 4 so both sides stay integer-valued.
+    // DOMAIN BOUND for the exact percentile buffers: group key is a handful
+    // of languages and the score domain is bounded µ-unit integers (per-token
+    // means of a 31-word LM — few distinct values after map-side collapse);
+    // a scaling key/domain would ride the q_agg_approx_percentile_user
+    // sketch contract instead.
     "q_text_ppl_buckets" -> ((s, d) => {
       // Positive per-token µ-unit "perplexity proxy": (−Σlp6) div n_tok —
       // both operands non-negative, so Spark div == DuckDB // (floor).
