@@ -74,7 +74,8 @@ object Bench {
         if (java.nio.file.Files.exists(minimaPath)) {
           val txt = java.nio.file.Files.readString(minimaPath)
           val body = txt.dropWhile(_ != '{').drop(1).takeWhile(_ != '}')
-          body.split(",").iterator.flatMap { kv =>
+          val entries = body.split(",").iterator.filter(_.nonEmpty).toSeq
+          val parsed = entries.flatMap { kv =>
             kv.split(":") match {
               case Array(k, v) =>
                 val key = k.trim.stripPrefix("\"").stripSuffix("\"")
@@ -82,6 +83,12 @@ object Bench {
               case _ => None
             }
           }.toMap
+          // The floors file is consumed MECHANICALLY by the judge; an entry
+          // silently dropped by this hand-rolled parser would erase a floor
+          // without a trace, so any parse loss warns on stderr.
+          if (parsed.size != entries.size)
+            System.err.println(s"[bench] WARN: bench_minima.json: ${entries.size - parsed.size}/${entries.size} entries unparseable, dropped from the merge")
+          parsed
         } else Map.empty
       // last non-empty path segment: a trailing slash must not collapse the
       // namespace to "" (which would merge every sf into one floor set)
@@ -96,7 +103,10 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(minimaPath, minimaJson + "\n")
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARN: bench_minima.json update failed (${e.getClass.getSimpleName}: ${e.getMessage}); floors NOT updated this run")
+    }
     spark.stop()
     // Emitted LAST, after Spark shutdown noise, so a tail-limited capture of
     // stdout always contains the totals: first the full per-query line, then

@@ -334,11 +334,17 @@ object AnalyticsQueries extends QueryPack {
     // smoother behind rate monitors and anomaly baselines. α = 1/2 with the
     // kernel truncated at 8 lags, so every weight is a power of two and the
     // whole smoother is INTEGER arithmetic on µ-unit values: ewma6 =
-    // (Σ_{k=0..7} x_{t-k}·2^(7-k)) div 256 — bit-identical across engines,
+    // ⌊(Σ_{k=0..7} x_{t-k}·2^(7-k)) / 256⌋ — bit-identical across engines,
     // no float power/exp anywhere (the usual EWMA recursion is
-    // order-dependent FP). The 8 lags share one window spec → a single
-    // WindowExec on the lone user_id shuffle; truncation error is ≤ 2^-8 of
-    // the oldest mass, the documented contract of the dyadic kernel.
+    // order-dependent FP). The division is FLOOR-safe for either sign via
+    // the positive-offset trick (add 2^48 = 2^40·256 before dividing,
+    // subtract 2^40 after): Spark's `div` truncates toward zero while
+    // DuckDB's `//` floors, so a negative wsum — legal if the fixture ever
+    // grows negative values; |wsum| < 2^48 for any |value| ≤ 1e6 — would
+    // otherwise diverge between engines. The 8 lags share one window spec →
+    // a single WindowExec on the lone user_id shuffle; truncation error is
+    // ≤ 2^-8 of the oldest mass, the documented contract of the dyadic
+    // kernel.
     "q_time_ewma" -> ((s, d) => {
       val byTs = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       val terms = (0 until 8).map(k =>
@@ -348,7 +354,7 @@ object AnalyticsQueries extends QueryPack {
           unix_micros(col("ts")).as("tus"),
           round(col("value") * lit(1e6)).cast("long").as("v6"))
         .withColumn("wsum", terms.reduce(_ + _))
-        .withColumn("ewma6", expr("wsum div 256"))
+        .withColumn("ewma6", expr("(wsum + 281474976710656) div 256 - 1099511627776"))
         .select(col("user_id"), col("event_id"), col("tus"), col("v6"), col("ewma6"))
         .orderBy(col("user_id"), col("tus"), col("event_id"))
     }),
@@ -861,8 +867,9 @@ object AnalyticsQueries extends QueryPack {
         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
         |       CAST((n * 1000000) // tot AS BIGINT) AS p_micro
         |FROM t ORDER BY from_type, to_type""".stripMargin,
-    // Dyadic weights keep every term integer; events.value ≥ 0 in the
-    // fixture so wsum is non-negative and // equals Spark div.
+    // Dyadic weights keep every term integer; the +2^48/−2^40 offset makes
+    // the floor division sign-safe (Spark div truncates, DuckDB // floors —
+    // identical only on non-negative operands, which the offset guarantees).
     "q_time_ewma" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
         |                  CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events)
@@ -874,7 +881,8 @@ object AnalyticsQueries extends QueryPack {
         |             + coalesce(lag(v6, 4) OVER win, 0) * 8
         |             + coalesce(lag(v6, 5) OVER win, 0) * 4
         |             + coalesce(lag(v6, 6) OVER win, 0) * 2
-        |             + coalesce(lag(v6, 7) OVER win, 0)) // 256 AS BIGINT) AS ewma6
+        |             + coalesce(lag(v6, 7) OVER win, 0)
+        |             + 281474976710656) // 256 - 1099511627776 AS BIGINT) AS ewma6
         |FROM e
         |WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)
         |ORDER BY user_id, tus, event_id""".stripMargin,

@@ -87,6 +87,20 @@ object MetaQueries extends QueryPack {
         .orderBy(col("file_id"))
     }),
 
+    // S7: the Z-ORDER KEY itself under the oracle — Morton interleave of
+    // (p_partkey, p_size) low 16 bits via [[graft.sources.ZOrder.zvalue]],
+    // the exact integer the S7 layout range-partitions and sorts files by
+    // (ZOrderSpec proves the pruning win; this pins the curve's VALUES
+    // against independent bit arithmetic in DuckDB). Pure codegen'd
+    // shifts/masks, zero shuffles before the output sort — at 100 TB this
+    // is the projection the OPTIMIZE write prepends, costing one map pass.
+    "q_zorder_key" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size"),
+          graft.sources.ZOrder.zvalue(col("p_partkey"), col("p_size"), 16).as("zval"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // F1+A1: stores with >1 file → (count, Σsize) per store
     // (QHBaseCompact.java:151-156); customer=region, orders=files analog.
     "q_filter_compactable" -> ((s, d) => {
@@ -307,6 +321,16 @@ object MetaQueries extends QueryPack {
         |            WHEN mn_us >= 858470400000000 AND mx_us <= 905385600000000 THEN 'full'
         |            ELSE 'partial' END AS status
         |FROM z ORDER BY file_id""".stripMargin,
+    // Independent bit arithmetic: bit i of each key lands at positions 2i
+    // (partkey) and 2i+1 (size); disjoint bit positions make sum == OR.
+    "q_zorder_key" ->
+      """SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(sum(((p_partkey >> CAST(r.i AS INT)) & 1) << CAST(2*r.i AS INT))
+        |            + sum(((CAST(p_size AS BIGINT) >> CAST(r.i AS INT)) & 1) << CAST(2*r.i+1 AS INT))
+        |            AS BIGINT) AS zval
+        |FROM part, LATERAL (SELECT unnest(range(0, 16)) AS i) r
+        |GROUP BY p_partkey, p_size
+        |ORDER BY p_partkey""".stripMargin,
     "q_filter_compactable" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_files,
         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_size

@@ -232,8 +232,14 @@ object StreamingDaemon {
               val hot = stored.groupBy(col("ekey"))
                 .agg(count(lit(1)).as("esz"))
                 .filter(col("esz") > 100).select(col("ekey"))
+              // Dedup (batch doc, stored embedding) candidates ACROSS bands
+              // before the cosine — up to 8 band collisions per pair must
+              // pay the exact-cosine confirm once, the same groupBy+first
+              // discipline as the intra-batch arm below.
               val vsStored = bs.join(hot, Seq("ekey"), "left_anti")
                 .join(stored, "ekey")
+                .groupBy(col("doc_id"), col("stored_emb"))
+                .agg(first(col("embedding")).as("embedding"))
                 .filter(graft.functions.VectorFns.cosine(
                   col("embedding"), col("stored_emb")) >= semanticCos)
                 .select(col("doc_id"))

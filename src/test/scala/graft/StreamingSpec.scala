@@ -348,6 +348,55 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("late-data accounting: batch-2 rows older than the watermark are dropped, counts pinned vs batch truth") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // Batch 1: 3 rows in window 10:00 + 2 in 10:30 → watermark advances to
+    // max(10:35) − 1h = 09:35 for the NEXT batch.
+    val batch1 = Seq(ts("10:05:00") -> 1.0, ts("10:06:00") -> 2.0,
+      ts("10:07:00") -> 3.0, ts("10:35:00") -> 4.0, ts("10:36:00") -> 5.0)
+    // Batch 2: 2 on-time rows (10:15 ≥ watermark) + 2 LATE rows at 08:00,
+    // 95 minutes beyond the 1h tolerance → exactly these two must drop.
+    val onTime2 = Seq(ts("10:15:00") -> 6.0, ts("10:16:00") -> 7.0)
+    val late2 = Seq(ts("08:00:00") -> 98.0, ts("08:01:00") -> 99.0)
+
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = StreamingDaemon.windowedCounts(
+      input.toDS().toDF("ts", "value").withColumn("event_type", lit("x")))
+    val q = agg.writeStream.format("memory").queryName("late_acct")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(onTime2 ++ late2: _*)
+      q.processAllAvailable()
+
+      // final state per window = last update emitted (n grows monotonically)
+      val streamed = spark.table("late_acct")
+        .groupBy(col("window.start").as("w"))
+        .agg(max(col("n")).as("n"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+
+      // batch truth over ONLY the accepted rows — the stream must equal it...
+      val acceptedTruth = StreamingDaemon.windowedCounts(
+        (batch1 ++ onTime2).toDF("ts", "value").withColumn("event_type", lit("x")))
+        .select(col("window.start").as("w"), col("n"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(streamed == acceptedTruth, s"streamed=$streamed truth=$acceptedTruth")
+
+      // ...and the accounting closes exactly: 9 in, 7 accepted, 2 dropped.
+      val totalIn = (batch1 ++ onTime2 ++ late2).size
+      val accepted = streamed.values.sum
+      assert(accepted == 7L)
+      assert(totalIn - accepted == late2.size, s"dropped=${totalIn - accepted}")
+      // the late rows' own window never materialized
+      assert(!streamed.keySet.exists(_.startsWith("2024-01-01 08:")), streamed.toString)
+    } finally q.stop()
+  }
+
   test("windowedCounts aggregates event-time windows with a watermark") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     // batch execution of the same expression tree validates the plan shape
