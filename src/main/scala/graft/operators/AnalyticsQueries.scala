@@ -530,6 +530,27 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // PIVOT's inverse — native UNPIVOT (Dataset.unpivot, Spark's melt):
+    // the per-flag wide measure table relaid long as (flag, measure, val),
+    // the wide→long reshape every metrics export needs. Measures aggregate
+    // in DECIMAL before the round (the money discipline), and the unpivot
+    // itself is a zero-shuffle Expand over the 3-row aggregate — at any
+    // scale the reshape cost is the aggregate's, never the unpivot's.
+    "q_unpivot_wide" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity").cast("decimal(18,6)")), 2).cast("double").as("qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").as("price"),
+          round(sum(col("l_discount").cast("decimal(18,6)")), 2).cast("double").as("disc"),
+          round(sum(col("l_tax").cast("decimal(18,6)")), 2).cast("double").as("tax"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc"), col("tax")),
+          "measure", "val")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
     // Agg-to-array: per-user distinct event types as a canonical (sorted,
     // joined) string — collect_set order is nondeterministic, array_sort
     // makes it reproducible.
@@ -961,6 +982,16 @@ object AnalyticsQueries extends QueryPack {
         |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_unpivot_wide" ->
+      """WITH w AS (SELECT l_returnflag,
+        |                  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty,
+        |                  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS price,
+        |                  CAST(round(sum(CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS disc,
+        |                  CAST(round(sum(CAST(l_tax AS DECIMAL(18,6))), 2) AS DOUBLE) AS tax
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, val
+        |FROM (UNPIVOT w ON qty, price, disc, tax INTO NAME measure VALUE val)
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q_agg_collect" ->
       """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -311,6 +311,47 @@ object JoinQueries extends QueryPack {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // J14: LATERAL correlated subquery — top-2 customers per nation by
+    // balance written as `FROM nation, LATERAL (... WHERE correlated ORDER
+    // BY ... LIMIT 2)`, the SQL idiom for per-group top-k that every
+    // analyst reaches for before learning window functions. Exercises
+    // Catalyst's LateralJoin decorrelation end to end: Spark rewrites the
+    // per-row subquery into WindowGroupLimit (MAP-SIDE partial top-k per
+    // key, then final after one c_nationkey exchange) + a row_number
+    // filter + one equi join — the same physical plan a hand-written
+    // salted-window top-k gets, with zero per-row subquery execution.
+    // PlanSpec pins WindowGroupLimit + no nested loop. Balance is a
+    // passthrough column (no aggregation), so no FP hazard.
+    "q_join_lateral" -> ((s, d) => {
+      val s2 = s.newSession()
+      Tables.nation(s2, d).createOrReplaceTempView("nation")
+      Tables.customer(s2, d).createOrReplaceTempView("customer")
+      s2.sql(
+        """SELECT n_name, c.c_custkey, c.c_acctbal
+          |FROM nation, LATERAL (SELECT c_custkey, c_acctbal FROM customer
+          |                      WHERE c_nationkey = n_nationkey
+          |                      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+          |ORDER BY n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin)
+    }),
+
+    // J15: the TPC-H Q13 SHAPE — customer distribution by order count
+    // ("how many customers placed k orders", zeros included): LEFT OUTER
+    // join so order-less customers land in the k=0 bucket, then TWO
+    // aggregations — per-customer count on the high-cardinality key, then
+    // the tiny histogram rollup. Scale shape: the first groupBy rides the
+    // join's c_custkey partitioning (no extra exchange), the second
+    // reduces per-customer rows to ≤ a few dozen buckets — the classic
+    // count-of-counts report whose naive window form would sort the world.
+    "q_report_custdist" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     })
   )
 
@@ -482,6 +523,19 @@ object JoinQueries extends QueryPack {
         |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY)
         |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name""".stripMargin
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q_join_lateral" ->
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation, LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |                      WHERE c_nationkey = n_nationkey
+        |                      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin,
+    "q_report_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin
   )
 }

@@ -336,6 +336,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(joins >= 3, s"expected >=3 equi joins (2 decorrelated + part dim), got $joins\n$p")
   }
 
+  test("q_join_lateral: LATERAL subquery decorrelates to map-side WindowGroupLimit, no per-row subquery") {
+    val df = SparkEntry.queries("q_join_lateral")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // the per-group LIMIT became a partial (map-side) + final group-limit
+    // around ONE exchange — per-key top-k reduces before the shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+    assert(!p.contains("Subquery"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_unpivot_wide: unpivot is a zero-shuffle Expand over the aggregate — one exchange total") {
+    val df = SparkEntry.queries("q_unpivot_wide")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p)
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q_report_custdist: per-customer count rides the join partitioning; only the histogram adds an exchange") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = SparkEntry.queries("q_report_custdist")(s2, d)
+    val p = df.queryExecution.executedPlan.toString
+    // two SMJ inputs + one c_count rollup = exactly 3 hash exchanges; the
+    // c_custkey groupBy must NOT re-shuffle after the join
+    assert("hashpartitioning".r.findAllIn(p).size == 3, p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q_report_suppwait: semi and anti compose on the same fact, no cartesian, supplier stays broadcast at scale") {
     // 100 TB shape: with size-based broadcast off, the semi and anti legs
     // become shuffle joins on l_orderkey while the supplier name lookup
