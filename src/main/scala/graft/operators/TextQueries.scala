@@ -841,6 +841,60 @@ object TextQueries extends QueryPack {
           col("n_tok"))
         .orderBy(col("doc_id"))),
 
+    // X4g2: BIGRAM LM with Stupid Backoff — the next rung of the LM-scoring
+    // ladder after the capped unigram (KenLM-style context scoring, the
+    // CCNet upgrade path): each bigram (w1,w2) scores log(C(w1,w2)/C(w1))
+    // when it sits in the top-K2(=30) bigram table, else backs off to
+    // α·P_unigram(w2) with α=0.4 — the Brants et al. "Stupid Backoff"
+    // score, exactly the large-corpus recipe (no discounting to tune, one
+    // count table per order). Both tables are CAPPED broadcasts (top-K2
+    // bigrams joined with their context counts at train time; the same
+    // top-K/UNK unigram as q_text_unigram_lp), so the token stream never
+    // shuffles to score — at 100 TB the only corpus-sized work is the two
+    // count aggregations. Every per-token score is an exact µ-unit long
+    // (round(ln·1e6); backoff constant round(ln 0.4·1e6) = −916291
+    // hardcoded in BOTH dialects), so the per-doc sum is order-independent
+    // integer arithmetic. Bigrams via the one-pass [[TokenShingles]]
+    // expression — never a HOF recompute trap.
+    "q_text_bigram_lp" -> ((s, d) => {
+      val K = 20; val K2 = 30
+      val tok = docTokens(s, d)
+      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint()
+      val topk = uni.orderBy(col("c").desc, col("w")).limit(K).localCheckpoint()
+      val scal = uni.agg(sum(col("c")).as("n_total"))
+        .crossJoin(topk.agg(sum(col("c")).as("n_vocab")))
+      val ulm = topk.crossJoin(broadcast(scal))
+        .select(col("w").as("w2"),
+          round(log((col("c") + lit(1.0)) / (col("n_total") + lit(K + 1))) * lit(1e6))
+            .cast("long").as("ulp6"))
+      val unk = scal.select(
+        round(log((col("n_total") - col("n_vocab") + lit(1.0)) / (col("n_total") + lit(K + 1))) * lit(1e6))
+          .cast("long").as("unk_lp6"))
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFns.shinglesFromText(col("text"), 2)).as("bg"))
+      val blm = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+        .orderBy(col("cb").desc, col("bg")).limit(K2)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .select(col("bg"),
+          round(log(col("cb") / col("c1")) * lit(1e6)).cast("long").as("blp6"))
+        .localCheckpoint()
+      bg
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+        .join(broadcast(blm), Seq("bg"), "left_outer")
+        .join(broadcast(ulm), Seq("w2"), "left_outer")
+        .crossJoin(broadcast(unk))
+        .select(col("doc_id"),
+          coalesce(col("blp6"),
+            lit(-916291L) + coalesce(col("ulp6"), col("unk_lp6"))).as("lp6"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_big"), sum(col("lp6")).as("sum_lp6"))
+        .select(col("doc_id"), col("n_big"), col("sum_lp6"),
+          round((col("sum_lp6") / col("n_big")) / lit(1e6), 6).as("mean_lp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X4h2: CCNet-style PERPLEXITY BUCKETING — split the corpus per language
     // into head/mid/tail quality buckets by unigram-LM perplexity (shared
     // [[unigramDocLp]] scoring). Boundaries are per-lang QUARTILES of the
@@ -1771,6 +1825,37 @@ object TextQueries extends QueryPack {
         |       CAST(count(*) AS BIGINT) AS n_tok
         |FROM tok LEFT JOIN lm USING (w), unk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Bigram backoff mirror: 1-based list indexing, range(1, len) yields
+    // len-1 ordered bigrams (duplicates kept — LM counts, not shingle
+    // sets); −916291 = round(ln(0.4)·1e6), the shared backoff constant.
+    "q_text_bigram_lp" ->
+      """WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS w FROM ts),
+        |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |topk AS (SELECT w, c FROM uni ORDER BY c DESC, w LIMIT 20),
+        |s AS (SELECT (SELECT sum(c) FROM uni) AS n_total,
+        |             (SELECT sum(c) FROM topk) AS n_vocab),
+        |ulm AS (SELECT w AS w2, CAST(round(ln((c + 1.0) / (n_total + 21)) * 1e6) AS BIGINT) AS ulp6
+        |        FROM topk, s),
+        |unk AS (SELECT CAST(round(ln((n_total - n_vocab + 1.0) / (n_total + 21)) * 1e6) AS BIGINT)
+        |               AS unk_lp6 FROM s),
+        |bg AS (SELECT doc_id,
+        |              unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+        |       FROM ts WHERE len(ts) >= 2),
+        |bgc AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1),
+        |topbg AS (SELECT bg, cb FROM bgc ORDER BY cb DESC, bg LIMIT 30),
+        |blm AS (SELECT t.bg, CAST(round(ln(t.cb * 1.0 / u.c) * 1e6) AS BIGINT) AS blp6
+        |        FROM topbg t JOIN uni u ON u.w = string_split(t.bg, ' ')[1]),
+        |sc AS (SELECT b.doc_id,
+        |              coalesce(blm.blp6, -916291 + coalesce(ulm.ulp6, unk.unk_lp6)) AS lp6
+        |       FROM bg b
+        |       LEFT JOIN blm ON blm.bg = b.bg
+        |       LEFT JOIN ulm ON ulm.w2 = string_split(b.bg, ' ')[2]
+        |       CROSS JOIN unk)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big,
+        |       CAST(sum(lp6) AS BIGINT) AS sum_lp6,
+        |       round((sum(lp6) / count(*)) / 1e6, 6) AS mean_lp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same capped LM as q_text_unigram_lp; quartile boundaries are exact
     // (p = 1/4, 3/4 are binary-representable; integer scores), and the
     // bucket compare cross-multiplies by 4 so both sides stay

@@ -336,6 +336,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(joins >= 3, s"expected >=3 equi joins (2 decorrelated + part dim), got $joins\n$p")
   }
 
+  test("q_text_bigram_lp: both LM tables broadcast onto the bigram stream — no shuffle join in scoring") {
+    val df = SparkEntry.queries("q_text_bigram_lp")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p) // unk is a broadcast NLJ of 1 row, never cartesian
+  }
+
   test("q_join_lateral: LATERAL subquery decorrelates to map-side WindowGroupLimit, no per-row subquery") {
     val df = SparkEntry.queries("q_join_lateral")(spark, d)
     val p = df.queryExecution.executedPlan.toString
