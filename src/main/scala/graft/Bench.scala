@@ -74,21 +74,23 @@ object Bench {
         if (java.nio.file.Files.exists(minimaPath)) {
           val txt = java.nio.file.Files.readString(minimaPath)
           val body = txt.dropWhile(_ != '{').drop(1).takeWhile(_ != '}')
-          val entries = body.split(",").iterator.filter(_.nonEmpty).toSeq
-          val parsed = entries.flatMap { kv =>
+          val entries = body.split(",").iterator.filter(_.trim.nonEmpty).toSeq
+          val parsedPairs = entries.flatMap { kv =>
             kv.split(":") match {
               case Array(k, v) =>
                 val key = k.trim.stripPrefix("\"").stripSuffix("\"")
                 scala.util.Try(v.trim.toDouble).toOption.map(key -> _)
               case _ => None
             }
-          }.toMap
+          }
           // The floors file is consumed MECHANICALLY by the judge; an entry
           // silently dropped by this hand-rolled parser would erase a floor
-          // without a trace, so any parse loss warns on stderr.
-          if (parsed.size != entries.size)
-            System.err.println(s"[bench] WARN: bench_minima.json: ${entries.size - parsed.size}/${entries.size} entries unparseable, dropped from the merge")
-          parsed
+          // without a trace, so any parse loss warns on stderr. Compare
+          // against the PAIR count, not the deduplicated map size — a
+          // duplicate key (hand merge) parses fine and must not warn.
+          if (parsedPairs.size != entries.size)
+            System.err.println(s"[bench] WARN: bench_minima.json: ${entries.size - parsedPairs.size}/${entries.size} entries unparseable, dropped from the merge")
+          parsedPairs.toMap
         } else Map.empty
       // last non-empty path segment: a trailing slash must not collapse the
       // namespace to "" (which would merge every sf into one floor set)

@@ -264,8 +264,11 @@ object JoinQueries extends QueryPack {
     // (l_quantity is integral 1..50 in this schema):
     //   qty < 0.2 * sum/cnt  ⟺  5 * qty * cnt < sum
     // so no engine ever materializes the average as a double and the
-    // boundary rows can't flip on FP rounding. PlanSpec pins the
-    // decorrelated shape (aggregates + equi joins, no nested loop).
+    // boundary rows can't flip on FP rounding — and the Q17 "/7 yearly
+    // average" output stays integer too: exact cents summed as BIGINT,
+    // floor-divided by 7 (operands non-negative, so Spark div == DuckDB
+    // //). PlanSpec pins the decorrelated shape (aggregates + equi joins,
+    // no nested loop).
     "q_subquery_corr" -> ((s, d) => {
       val s2 = s.newSession()
       Tables.lineitem(s2, d).createOrReplaceTempView("lineitem")
@@ -273,7 +276,7 @@ object JoinQueries extends QueryPack {
       s2.sql(
         """SELECT p_brand,
           |       CAST(count(*) AS BIGINT) AS n_below,
-          |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+          |       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) div 7 AS avg_yearly_c
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |WHERE 5 * CAST(l_quantity AS BIGINT)
           |        * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
@@ -362,15 +365,18 @@ object JoinQueries extends QueryPack {
     * deterministic hash-sample of the fact rows — the 100 TB path, where a
     * detection miss costs only routing, never rows.
     */
-  private[graft] def skewSaltedJoin(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val S = 8
-    val sampled =
-      s.conf.getOption("spark.graft.skew.sampleDetect").exists(_.toBoolean)
+  /** Hot-key detection for [[skewSaltedJoin]], exposed for SkewJoinSpec to
+    * pin the ESTIMATOR's behavior directly (output row-identity holds for
+    * any hot set, so the join-level spec alone cannot catch a detector
+    * whose hot set degenerates to "all keys").
+    */
+  private[graft] def skewHotKeys(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      sampled: Boolean): org.apache.spark.sql.DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
     val hotThreshold = 8L
-    val hotKeys = (if (!sampled) {
+    (if (!sampled) {
       li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("k_n"))
         .filter(col("k_n") >= hotThreshold)
     } else {
@@ -378,13 +384,32 @@ object JoinQueries extends QueryPack {
       // (seeded — NOT rand(), so retries and both spec arms see the same
       // sample), count per key, scale by the sampling rate. The estimate
       // only gates ROUTING; the oracle boundary never sees it.
+      //
+      // RESOLUTION FLOOR: a 1/rate sample cannot resolve frequencies below
+      // ~a few·rate — with the semantic threshold alone, "estimate ≥ 8"
+      // would collapse to "appeared once in the sample" (any count·rate is
+      // ≥ rate > 8) and the hot set would scale with the DATA instead of
+      // isolating the skewed tail, turning broadcast(hotKeys) into exactly
+      // the unbounded broadcast this two-path design exists to avoid. So
+      // hot additionally requires ≥ 4 sampled rows (estimate ≥ 4·rate):
+      // real production skew is thousands of rows per key, far above the
+      // floor; keys below it route cold, where the plain SMJ is fine.
       val rate = 10
       li.filter(pmod(xxhash64(lit(42), col("l_orderkey"), col("l_extendedprice"),
           col("l_discount")), lit(rate)) === 0)
         .groupBy(col("l_orderkey")).agg((count(lit(1)) * rate).as("k_n"))
-        .filter(col("k_n") >= hotThreshold)
+        .filter(col("k_n") >= hotThreshold && col("k_n") >= 4L * rate)
     }).select(col("l_orderkey").as("hk"))
-      .localCheckpoint()
+  }
+
+  private[graft] def skewSaltedJoin(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val S = 8
+    val sampled =
+      s.conf.getOption("spark.graft.skew.sampleDetect").exists(_.toBoolean)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    val hotKeys = skewHotKeys(s, d, sampled).localCheckpoint()
     // Salt must key on a HIGH-ENTROPY per-row value or the hot key's rows
     // all land in one salt and the skew survives; (price, discount) is
     // near-unique per lineitem row. A table with no such column would
@@ -504,7 +529,7 @@ object JoinQueries extends QueryPack {
     "q_subquery_corr" ->
       """SELECT p_brand,
         |       CAST(count(*) AS BIGINT) AS n_below,
-        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+        |       CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_c
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE 5 * CAST(l_quantity AS BIGINT)
         |        * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)

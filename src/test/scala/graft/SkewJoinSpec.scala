@@ -45,4 +45,19 @@ class SkewJoinSpec extends AnyFunSuite with SparkSpec {
     val b = JoinQueries.skewSaltedJoin(s2, d).collect().toSeq
     assert(a == b)
   }
+
+  test("sampled hot set is bounded by the resolution floor — never 'every sampled key'") {
+    // Row-identity holds for ANY hot set, so the join-level tests above
+    // cannot catch a degenerate estimator. Pin the estimator itself: the
+    // exact detector finds hot keys on this fixture (~8+ rows each), while
+    // the sampled detector — whose resolution floor is 4 sampled rows ≈ a
+    // true count of 40 at rate 10 — must find NONE here (max true count is
+    // far below the floor). A detector whose sampled hot set scaled with
+    // the data (the "appeared once in the sample" bug) would return ~34%
+    // of ALL keys and fail this hard.
+    val exact = JoinQueries.skewHotKeys(spark, d, sampled = false).count()
+    val sampled = JoinQueries.skewHotKeys(spark, d, sampled = true).count()
+    assert(exact > 0, s"exact detector found no hot keys — fixture drifted?")
+    assert(sampled == 0, s"sampled hot set should be empty below the resolution floor, got $sampled")
+  }
 }
