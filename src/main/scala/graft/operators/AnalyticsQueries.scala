@@ -530,6 +530,32 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Seasonal baseline + anomaly gate — the hour-of-day decomposition
+    // behind rate monitors: per hour-of-day, the seasonal mean of the
+    // event value (exact integer cents, floor-divided — operands
+    // non-negative so div == //) and the count of rows above 2× their
+    // hour's seasonal mean, compared by integer cross-multiplication
+    // (c·n > 2·Σc) so no engine ever materializes the mean as a double.
+    // Same two-pass shape as q_text_outliers: corpus-sized aggregation to
+    // a 24-row seasonal table, broadcast back onto the stream for the
+    // residual gate — at 100 TB both passes are map-side-combined scans,
+    // and the join never shuffles the fact side.
+    "q_time_seasonal" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(hour(col("ts")).cast("long").as("hr"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val season = e.groupBy(col("hr"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).cast("long").as("sum_c"))
+      e.join(broadcast(season), Seq("hr"))
+        .groupBy(col("hr"), col("n"), col("sum_c"))
+        .agg(sum(when(col("c") * col("n") > col("sum_c") * 2, 1L).otherwise(0L))
+          .as("n_above2x"))
+        .select(col("hr"), col("n"),
+          expr("sum_c div n").cast("long").as("seasonal_mean_c"),
+          col("n_above2x"))
+        .orderBy(col("hr"))
+    }),
+
     // PIVOT's inverse — native UNPIVOT (Dataset.unpivot, Spark's melt):
     // the per-flag wide measure table relaid long as (flag, measure, val),
     // the wide→long reshape every metrics export needs. Measures aggregate
@@ -982,6 +1008,16 @@ object AnalyticsQueries extends QueryPack {
         |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_time_seasonal" ->
+      """WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS hr,
+        |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |           FROM events),
+        |s AS (SELECT hr, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_c
+        |      FROM e GROUP BY hr)
+        |SELECT s.hr, s.n, CAST(sum_c // n AS BIGINT) AS seasonal_mean_c,
+        |       CAST(sum(CASE WHEN e.c * s.n > 2 * s.sum_c THEN 1 ELSE 0 END) AS BIGINT) AS n_above2x
+        |FROM e JOIN s ON e.hr = s.hr
+        |GROUP BY s.hr, s.n, s.sum_c ORDER BY s.hr""".stripMargin,
     "q_unpivot_wide" ->
       """WITH w AS (SELECT l_returnflag,
         |                  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty,
