@@ -530,6 +530,36 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Winsorization — clip each order total to its priority's [q1, q3]
+    // band, the robust data-prep clamp before any mean-based model sees a
+    // heavy tail. EXACT end to end: values ride integer cents, quartiles
+    // interpolate at f ∈ {0, ¼, ½, ¾} (p·(n−1) has a dyadic fraction), so
+    // 4·quartile is an integer — all compares and the winsorized sum run
+    // in quarter-cent longs, no double ever materializes (the
+    // q_text_ppl_buckets cross-multiply discipline). DOMAIN BOUND for the
+    // exact percentile: 5 fixed priorities × bounded cents — a scaling
+    // key/domain rides the q_agg_approx_percentile_user sketch contract.
+    // Same two-pass broadcast shape as q_stats_mad: 5-row quartile table
+    // back onto the stream, fact side never shuffles for the clamp.
+    "q_stats_winsorize" -> ((s, d) => {
+      val c = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val q = c.groupBy(col("o_orderpriority"))
+        .agg((percentile(col("c"), lit(0.25)) * 4).cast("long").as("q1_4"),
+          (percentile(col("c"), lit(0.75)) * 4).cast("long").as("q3_4"))
+      c.join(broadcast(q), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("c") * 4 < col("q1_4"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("c") * 4 > col("q3_4"), 1L).otherwise(0L)).as("n_hi"),
+          sum(when(col("c") * 4 < col("q1_4"), col("q1_4"))
+            .when(col("c") * 4 > col("q3_4"), col("q3_4"))
+            .otherwise(col("c") * 4)).cast("long").as("wsum_qc"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Seasonal baseline + anomaly gate — the hour-of-day decomposition
     // behind rate monitors: per hour-of-day, the seasonal mean of the
     // event value (exact integer cents, floor-divided — operands
@@ -1008,6 +1038,23 @@ object AnalyticsQueries extends QueryPack {
         |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stats_winsorize" ->
+      """WITH c AS (SELECT o_orderpriority,
+        |                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |           FROM orders),
+        |q AS (SELECT o_orderpriority,
+        |             CAST(4 * quantile_cont(c, 0.25) AS BIGINT) AS q1_4,
+        |             CAST(4 * quantile_cont(c, 0.75) AS BIGINT) AS q3_4
+        |      FROM c GROUP BY 1)
+        |SELECT c.o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN 4*c.c < q.q1_4 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |       CAST(sum(CASE WHEN 4*c.c > q.q3_4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |       CAST(sum(CASE WHEN 4*c.c < q.q1_4 THEN q.q1_4
+        |                     WHEN 4*c.c > q.q3_4 THEN q.q3_4
+        |                     ELSE 4*c.c END) AS BIGINT) AS wsum_qc
+        |FROM c JOIN q USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_time_seasonal" ->
       """WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS hr,
         |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
