@@ -8,13 +8,16 @@ import graft.functions.expr.{DotProductF32, SqL2DistF32}
 /** SparkSessionExtensions entry point: registers graft's custom expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works and
   * spark-submit users can opt in with
-  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  * `--conf spark.sql.extensions=graft.GraftExtensions`, plus the
+  * [[graft.plans.BandedHammingJoinRule]] optimizer rule that turns naive
+  * `bit_count(a ^ b) <= k` joins into exact banded equi joins.
   *
-  * DataFrame-API callers don't need this — [[graft.functions.VectorFns]]
+  * DataFrame-API callers don't need the functions — [[graft.functions.VectorFns]]
   * builds the expressions directly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.BandedHammingJoinRule)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(

@@ -683,6 +683,40 @@ object TextQueries extends QueryPack {
     // hamming ≤ 1 guarantees a shared band, low hamming makes one likely),
     // exact Hamming distance via bit_count(xor) on candidates only, top-100
     // closest pairs reported — the shared [[bandedHammingPairs]] pipeline.
+    // X2f2: the NAIVE Hamming join, rescued by the optimizer — a 60-bit
+    // SimHash (two independent 30-bit rolling hashes voting on disjoint
+    // bit planes, the Manku/Charikar web-dedup signature width) self-joined
+    // exactly the way an analyst writes it first:
+    //   ON bit_count(sig_a ^ sig_b) <= 2 AND doc_a < doc_b
+    // With no equi key, Catalyst alone plans this as a nested-loop over
+    // all pairs — the shape that melts at any scale. The registered
+    // [[graft.plans.BandedHammingJoinRule]] (SparkSessionExtensions rung
+    // (c) of §2.12) rewrites it into the exact banded equi join (k+1
+    // disjoint bit-bands, pigeonhole-complete, first-match dedup), so the
+    // naive spelling gets the hand-tuned bandedHammingPairs plan for free
+    // — PlanSpec pins the rewrite (2 Generates, no BNLJ). The oracle is
+    // the same naive join in DuckDB: the rewrite must be row-invisible.
+    "q_dedup_hamming_join" -> ((s, d) => {
+      val sig = docTokens(s, d)
+        .withColumn("h1", TextFns.rollingHash(col("w")))
+        .withColumn("h2", TextFns.rollingHash(upper(col("w"))))
+        .withColumn("j", explode(sequence(lit(0), lit(59))))
+        .withColumn("contrib",
+          when(expr("(CASE WHEN j < 30 THEN shiftright(h1, j) ELSE shiftright(h2, j - 30) END) % 2") === 1,
+            lit(1)).otherwise(lit(-1)))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("contrib")).as("v"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+          .otherwise(lit(0L))).as("sig"))
+      val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      a.join(b, expr("bit_count(sig_a ^ sig_b) <= 2") && col("doc_a") < col("doc_b"))
+        .groupBy(expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming"))
+    }),
+
     "q_dedup_simhash_pairs" -> ((s, d) =>
       bandedHammingPairs(simhashSigs(s, d), "simhash", nBands = 2, maxHamming = 3)),
 
@@ -1787,6 +1821,25 @@ object TextQueries extends QueryPack {
          |           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
          |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
+    // The naive join spelled naively in DuckDB too — the Spark side's
+    // banded rewrite must be row-invisible.
+    "q_dedup_hamming_join" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, ${rhSql("w")} AS h1, ${rhSql("upper(w)")} AS h2 FROM tok),
+         |b AS (SELECT doc_id, r.j AS j,
+         |             sum(CASE WHEN ((CASE WHEN r.j < 30
+         |                                  THEN h1 // (CAST(1 AS BIGINT) << CAST(r.j AS INT))
+         |                                  ELSE h2 // (CAST(1 AS BIGINT) << CAST(r.j - 30 AS INT)) END) % 2) = 1
+         |                      THEN 1 ELSE -1 END) AS v
+         |      FROM h CROSS JOIN range(60) r(j) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sig
+         |        FROM b GROUP BY 1)
+         |SELECT CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM sig a JOIN sig b
+         |  ON bit_count(xor(a.sig, b.sig)) <= 2 AND a.doc_id < b.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_editdist" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.plans.BandedHammingJoinRule]]: the naive `bit_count(a ^ b) <= k`
+  * join must (1) stop planning as a nested-loop/cartesian join, (2) stay
+  * row-identical to the un-rewritten form for every k, including duplicate
+  * rows and NULL signatures, and (3) leave non-matching shapes untouched.
+  */
+class BandedHammingRuleSpec extends AnyFunSuite with SparkSpec {
+
+  private def sigs(n: Int, seed: Long) = {
+    import spark.implicits._
+    // deterministic pseudo-random 64-bit signatures (no RNG)
+    (0 until n).map { i =>
+      val x = i.toLong * 0x9e3779b97f4a7c15L + seed
+      (i.toLong, x ^ (x >>> 31))
+    }.toDF("id", "sig")
+  }
+
+  private def naiveJoin(k: Int, disableRule: Boolean) = {
+    val s2 = spark.newSession()
+    if (disableRule) s2.conf.set("spark.graft.rewrite.hammingJoin", "false")
+    import s2.implicits._
+    val a = sigs(120, 7L).withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+    val b = sigs(120, 7L).withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+    a.join(b, expr(s"bit_count(sig_a ^ sig_b) <= $k"))
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  test("rewritten plan joins on band keys — no cartesian, no nested loop, a Generate per side") {
+    val df = naiveJoin(3, disableRule = false)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Generate".r.findAllIn(p).size == 2, p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("rewrite is row-identical to the naive join for k = 0, 3, 7") {
+    for (k <- Seq(0, 3, 7)) {
+      val got = naiveJoin(k, disableRule = false).collect().toSeq
+      val want = naiveJoin(k, disableRule = true).collect().toSeq
+      assert(got == want, s"k=$k: ${got.size} vs ${want.size} rows")
+      assert(want.nonEmpty, s"k=$k produced an empty fixture — identical seeds must self-match")
+    }
+  }
+
+  test("duplicate rows and NULL signatures behave exactly like the naive join") {
+    import spark.implicits._
+    val a = Seq((1L, Some(0L)), (1L, Some(0L)), (2L, None), (3L, Some(3L)))
+      .toDF("id_a", "sig_a")
+    val b = Seq((10L, Some(1L)), (20L, None)).toDF("id_b", "sig_b")
+    def run(disable: Boolean) = {
+      val s2 = spark.newSession()
+      if (disable) s2.conf.set("spark.graft.rewrite.hammingJoin", "false")
+      val a2 = s2.createDataFrame(java.util.Arrays.asList(a.collect(): _*), a.schema)
+      val b2 = s2.createDataFrame(java.util.Arrays.asList(b.collect(): _*), b.schema)
+      a2.join(b2, expr("bit_count(sig_a ^ sig_b) <= 1"))
+        .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
+        .collect().toSeq
+    }
+    val got = run(false)
+    val want = run(true)
+    assert(got == want)
+    // sanity: the duplicate (1L, 0) row pairs twice with sig 1 (hamming 1);
+    // NULL sigs never match anything
+    assert(want.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 10L), (1L, 10L), (3L, 10L)))
+  }
+
+  test("the ubiquitous pair-ordering tiebreak rides along: hamming AND id_a < id_b still rewrites") {
+    import spark.implicits._
+    // even/odd id pairs share a base signature one bit apart → guaranteed
+    // cross-id matches at hamming 1 (pure-random sigs only ever self-match)
+    val paired = (0 until 120).map { i =>
+      val x = (i / 2).toLong * 0x9e3779b97f4a7c15L + 7L
+      (i.toLong, (x ^ (x >>> 31)) ^ (i % 2).toLong)
+    }.toDF("id", "sig")
+    val a = paired.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+    val b = paired.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+    val df = a.join(b, expr("bit_count(sig_a ^ sig_b) <= 3") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
+    val p = df.queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // and the residual tiebreak still applies
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.nonEmpty)
+  }
+
+  test("non-matching shapes are untouched: a condition with an extra equi conjunct keeps its plan") {
+    import spark.implicits._
+    val a = sigs(50, 1L).withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+      .withColumn("grp", col("id_a") % 5)
+    val b = sigs(50, 2L).withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+      .withColumn("grp_b", col("id_b") % 5)
+    val df = a.join(b, col("grp") === col("grp_b") && expr("bit_count(sig_a ^ sig_b) <= 3"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), p) // rule did not fire; grp key already carries the join
+  }
+}

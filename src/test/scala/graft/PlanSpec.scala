@@ -336,6 +336,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(joins >= 3, s"expected >=3 equi joins (2 decorrelated + part dim), got $joins\n$p")
   }
 
+  test("q_dedup_hamming_join: the naive hamming join is rewritten to a banded equi join by the optimizer rule") {
+    val df = SparkEntry.queries("q_dedup_hamming_join")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // one band posexplode per side (the signature build uses plain explode)
+    assert("posexplode".r.findAllIn(p).size == 2, p)
+    assert(p.contains("__graft_bval"), p) // the join keys ARE the band columns
+  }
+
   test("q_text_bigram_lp: both LM tables broadcast onto the bigram stream — no shuffle join in scoring") {
     val df = SparkEntry.queries("q_text_bigram_lp")(spark, d)
     val p = df.queryExecution.executedPlan.toString
