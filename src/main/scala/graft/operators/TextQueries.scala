@@ -709,6 +709,9 @@ object TextQueries extends QueryPack {
         .groupBy(col("doc_id"))
         .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
           .otherwise(lit(0L))).as("sig"))
+        // materialize once — the self-join's two legs must not rebuild the
+        // 60-plane signature aggregation twice (the join stays naive)
+        .localCheckpoint()
       val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
       a.join(b, expr("bit_count(sig_a ^ sig_b) <= 2") && col("doc_a") < col("doc_b"))
