@@ -87,10 +87,17 @@ object Bench {
           // silently dropped by this hand-rolled parser would erase a floor
           // without a trace, so any parse loss warns on stderr. Compare
           // against the PAIR count, not the deduplicated map size — a
-          // duplicate key (hand merge) parses fine and must not warn.
+          // duplicate key (hand merge) parses fine and must not warn as a
+          // parse loss; conflicting duplicates MIN-merge (a floor can only
+          // be lowered) with their own warning, never silent last-wins.
           if (parsedPairs.size != entries.size)
             System.err.println(s"[bench] WARN: bench_minima.json: ${entries.size - parsedPairs.size}/${entries.size} entries unparseable, dropped from the merge")
-          parsedPairs.toMap
+          parsedPairs.groupBy(_._1).map { case (key, vs) =>
+            val values = vs.map(_._2)
+            if (values.distinct.size > 1)
+              System.err.println(s"[bench] WARN: bench_minima.json: duplicate key $key with conflicting values ${values.mkString(", ")}; keeping the minimum")
+            key -> values.min
+          }
         } else Map.empty
       // last non-empty path segment: a trailing slash must not collapse the
       // namespace to "" (which would merge every sf into one floor set)

@@ -198,21 +198,37 @@ object TextQueries extends QueryPack {
       .limit(100)
   }
 
-  /** 16-bit SimHash signature per doc (token-hash bit votes), shared by the
-    * signature dump (q_dedup_simhash) and the pairing pass
-    * (q_dedup_simhash_pairs).
+  /** n-bit SimHash signature per doc (token-hash bit votes): bit j's vote
+    * comes from bit j of rollingHash(w) for j < 30 and bit j−30 of
+    * rollingHash(upper(w)) above — two independent 30-bit hash planes, so
+    * nBits ≤ 60. ONE builder so the vote/tie semantics (ties break to 0)
+    * and the bit extraction live in a single place for the 16-bit dedup
+    * family and the 60-bit naive-join demo alike; the second hash column
+    * is only added when a plane above bit 29 is actually used.
     */
-  private def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    docTokens(s, d).withColumn("h", TextFns.rollingHash(col("w")))
-      .withColumn("j", explode(sequence(lit(0), lit(15))))
-      .withColumn("contrib",
-        when(expr("(h div CAST(pow(2, j) AS BIGINT)) % 2") === 1, lit(1)).otherwise(lit(-1)))
+  private def simhashSigsN(s: org.apache.spark.sql.SparkSession, d: String,
+      nBits: Int, out: String) = {
+    require(nBits >= 1 && nBits <= 60, s"nBits must be in [1,60], got $nBits")
+    val base = docTokens(s, d).withColumn("h1", TextFns.rollingHash(col("w")))
+    val (withPlanes, bitExpr) =
+      if (nBits <= 30) (base, "shiftright(h1, j) % 2")
+      else (base.withColumn("h2", TextFns.rollingHash(upper(col("w")))),
+        "(CASE WHEN j < 30 THEN shiftright(h1, j) ELSE shiftright(h2, j - 30) END) % 2")
+    withPlanes
+      .withColumn("j", explode(sequence(lit(0), lit(nBits - 1))))
+      .withColumn("contrib", when(expr(bitExpr) === 1, lit(1)).otherwise(lit(-1)))
       .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("s"))
+      .agg(sum(col("contrib")).as("v"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(lit(0L)))
-        .as("simhash"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+        .otherwise(lit(0L))).as(out))
   }
+
+  /** 16-bit SimHash, shared by the signature dump (q_dedup_simhash) and the
+    * pairing pass (q_dedup_simhash_pairs).
+    */
+  private def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String) =
+    simhashSigsN(s, d, 16, "simhash")
 
   /** Converged near-dup cluster labels (doc_id, cluster_id = component min)
     * over the LSH candidate graph — star contraction via [[Components]].
@@ -697,21 +713,9 @@ object TextQueries extends QueryPack {
     // — PlanSpec pins the rewrite (2 Generates, no BNLJ). The oracle is
     // the same naive join in DuckDB: the rewrite must be row-invisible.
     "q_dedup_hamming_join" -> ((s, d) => {
-      val sig = docTokens(s, d)
-        .withColumn("h1", TextFns.rollingHash(col("w")))
-        .withColumn("h2", TextFns.rollingHash(upper(col("w"))))
-        .withColumn("j", explode(sequence(lit(0), lit(59))))
-        .withColumn("contrib",
-          when(expr("(CASE WHEN j < 30 THEN shiftright(h1, j) ELSE shiftright(h2, j - 30) END) % 2") === 1,
-            lit(1)).otherwise(lit(-1)))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(col("contrib")).as("v"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-          .otherwise(lit(0L))).as("sig"))
-        // materialize once — the self-join's two legs must not rebuild the
-        // 60-plane signature aggregation twice (the join stays naive)
-        .localCheckpoint()
+      // materialize once — the self-join's two legs must not rebuild the
+      // 60-plane signature aggregation twice (the join stays naive)
+      val sig = simhashSigsN(s, d, 60, "sig").localCheckpoint()
       val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
       a.join(b, expr("bit_count(sig_a ^ sig_b) <= 2") && col("doc_a") < col("doc_b"))

@@ -10,9 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BandedHammingRuleSpec extends AnyFunSuite with SparkSpec {
 
-  private def sigs(n: Int, seed: Long) = {
-    import spark.implicits._
-    // deterministic pseudo-random 64-bit signatures (no RNG)
+  // deterministic pseudo-random 64-bit signatures (no RNG). Built on an
+  // EXPLICIT session: the rule reads the conf of the session that EXECUTES
+  // the join, so the kill-switch arm must construct its DataFrames on the
+  // disabled session or both arms silently run rewritten (vacuous compare).
+  private def sigs(s: org.apache.spark.sql.SparkSession, n: Int, seed: Long) = {
+    import s.implicits._
     (0 until n).map { i =>
       val x = i.toLong * 0x9e3779b97f4a7c15L + seed
       (i.toLong, x ^ (x >>> 31))
@@ -22,12 +25,18 @@ class BandedHammingRuleSpec extends AnyFunSuite with SparkSpec {
   private def naiveJoin(k: Int, disableRule: Boolean) = {
     val s2 = spark.newSession()
     if (disableRule) s2.conf.set("spark.graft.rewrite.hammingJoin", "false")
-    import s2.implicits._
-    val a = sigs(120, 7L).withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
-    val b = sigs(120, 7L).withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+    val a = sigs(s2, 120, 7L).withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+    val b = sigs(s2, 120, 7L).withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
     a.join(b, expr(s"bit_count(sig_a ^ sig_b) <= $k"))
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  test("kill switch actually disables the rewrite (guards the identity test against a vacuous compare)") {
+    val off = naiveJoin(3, disableRule = true).queryExecution.executedPlan.toString
+    assert(!off.contains("__graft_bval"), off)
+    val on = naiveJoin(3, disableRule = false).queryExecution.executedPlan.toString
+    assert(on.contains("__graft_bval"), on)
   }
 
   test("rewritten plan joins on band keys — no cartesian, no nested loop, a Generate per side") {
@@ -76,7 +85,7 @@ class BandedHammingRuleSpec extends AnyFunSuite with SparkSpec {
     val paired = (0 until 120).map { i =>
       val x = (i / 2).toLong * 0x9e3779b97f4a7c15L + 7L
       (i.toLong, (x ^ (x >>> 31)) ^ (i % 2).toLong)
-    }.toDF("id", "sig")
+    }.toDF("id", "sig") // parent session: this test only pins the ON plan + residual
     val a = paired.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
     val b = paired.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
     val df = a.join(b, expr("bit_count(sig_a ^ sig_b) <= 3") && col("id_a") < col("id_b"))
@@ -92,9 +101,9 @@ class BandedHammingRuleSpec extends AnyFunSuite with SparkSpec {
 
   test("non-matching shapes are untouched: a condition with an extra equi conjunct keeps its plan") {
     import spark.implicits._
-    val a = sigs(50, 1L).withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+    val a = sigs(spark, 50, 1L).withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
       .withColumn("grp", col("id_a") % 5)
-    val b = sigs(50, 2L).withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+    val b = sigs(spark, 50, 2L).withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
       .withColumn("grp_b", col("id_b") % 5)
     val df = a.join(b, col("grp") === col("grp_b") && expr("bit_count(sig_a ^ sig_b) <= 3"))
     val p = df.queryExecution.executedPlan.toString

@@ -111,17 +111,21 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(lumaOrNull("P6\n2 1\n255".getBytes("UTF-8")) == null) // header ends at maxval
   }
 
+  // little-endian byte builders + the 54-byte BMP header, shared by the
+  // BMP tests (2×2 image: fileSize = 54 + 16 raster bytes + extra junk)
+  private def leU32(v: Long) = Array[Byte](
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def leU16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def bmpHeader2x2(bpp: Int, comp: Long, extra: Int) =
+    Array[Byte]('B', 'M') ++ leU32(54 + 16 + extra) ++ leU32(0) ++ leU32(54) ++
+    leU32(40) ++ leU32(2) ++ leU32(2) ++ leU16(1) ++ leU16(bpp) ++
+    leU32(comp) ++ leU32(16) ++ leU32(0) ++ leU32(0) ++ leU32(0) ++ leU32(0)
+
   test("BmpDecode: bottom-up 24bpp BMP decodes to the same top-down luma plane as the equivalent PPM") {
     // The PPM test image (2×2: red, green / blue, dark), as a bottom-up BMP:
     // rows stored last-first in BGR with 2 pad bytes (rowBytes 8).
-    def leU32(v: Long) = Array[Byte](
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def leU16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    val header =
-      Array[Byte]('B', 'M') ++ leU32(54 + 16) ++ leU32(0) ++ leU32(54) ++ // file header
-      leU32(40) ++ leU32(2) ++ leU32(2) ++ leU16(1) ++ leU16(24) ++        // DIB: 2×2, 24bpp
-      leU32(0) ++ leU32(16) ++ leU32(0) ++ leU32(0) ++ leU32(0) ++ leU32(0)
+    val header = bmpHeader2x2(24, 0, 0)
     val bgrBottomUp = Array[Byte](
       // bottom row first: blue(0,0,255)→BGR(255,0,0), dark(10,20,30)→BGR(30,20,10)
       255.toByte, 0, 0,  30, 20, 10,  0, 0, // + 2 pad
@@ -139,15 +143,8 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
 
   test("BmpDecode rejects unsupported BMPs: wrong bpp, compressed, size mismatch, tiny header") {
     import graft.multimodal.PpmDecode.bmpLumaOrNull
-    def leU32(v: Long) = Array[Byte](
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def leU16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def bmp(bpp: Int, comp: Long, extra: Int) =
-      Array[Byte]('B', 'M') ++ leU32(54 + 16 + extra) ++ leU32(0) ++ leU32(54) ++
-      leU32(40) ++ leU32(2) ++ leU32(2) ++ leU16(1) ++ leU16(bpp) ++
-      leU32(comp) ++ leU32(16) ++ leU32(0) ++ leU32(0) ++ leU32(0) ++ leU32(0) ++
-      Array.fill[Byte](16 + extra)(7)
+      bmpHeader2x2(bpp, comp, extra) ++ Array.fill[Byte](16 + extra)(7)
     assert(bmpLumaOrNull(bmp(24, 0, 0)) != null)     // control: valid
     assert(bmpLumaOrNull(bmp(32, 0, 0)) == null)     // 32bpp unsupported
     assert(bmpLumaOrNull(bmp(24, 1, 0)) == null)     // BI_RLE8 compressed
