@@ -789,6 +789,49 @@ object AnalyticsQueries extends QueryPack {
             map_keys(map(lit("label"), col("label"),
                          lit("id"), col("vec_id").cast("string"))), ",").as("mkeys"))
         .orderBy(col("vec_id"))
+    }),
+
+    // §2.11 RECURSIVE CTE (WITH RECURSIVE → UnionLoop): the per-customer
+    // lifetime-value walk — each customer's orders are consumed in date
+    // order, accumulating spend in exact cents, until the 450k threshold
+    // is crossed or the 8-order chain cap ends the walk. FRONTIER
+    // recursion: level k holds every customer still walking after k
+    // orders, and ONE equi join per level (on o_custkey, against the
+    // rn-indexed order table) advances all of them in parallel — the
+    // UnionLoop analog of Components' star-contraction loop, and the
+    // shape windows cannot express when the step depends on the
+    // accumulated state (here the stop condition consumes the running
+    // sum mid-walk). The rn table is materialized ONCE (localCheckpoint)
+    // so the loop does not recompute the row_number window per level.
+    // Depth is doubly bounded — the rn < 8 chain cap and the data bound
+    // (≤ 25 orders/customer) both sit far under Spark's default
+    // 100-level limit — and the frontier shrinks monotonically (a row
+    // leaves as soon as cum_c crosses), so at 100 TB each level is one
+    // shrinking equi join on a high-cardinality key, never a cartesian.
+    // Built on a newSession: the temp view must not leak across queries.
+    "q_recursive_chain" -> ((s, d) => {
+      val s2 = s.newSession()
+      Tables.orders(s2, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"),
+          row_number().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))
+        .localCheckpoint()
+        .createOrReplaceTempView("rec_ord")
+      s2.sql(
+        """WITH RECURSIVE walk(custkey, rn, okey, cum_c) AS (
+          |  SELECT o_custkey, rn, o_orderkey, price_c FROM rec_ord WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.o_custkey, o.rn, o.o_orderkey, w.cum_c + o.price_c
+          |  FROM walk w JOIN rec_ord o
+          |    ON o.o_custkey = w.custkey AND o.rn = w.rn + 1
+          |  WHERE w.cum_c < 45000000 AND w.rn < 8
+          |)
+          |SELECT custkey, CAST(max(rn) AS BIGINT) AS hops,
+          |       max_by(okey, rn) AS last_okey,
+          |       max_by(cum_c, rn) AS cum_c,
+          |       CAST(CASE WHEN max_by(cum_c, rn) >= 45000000 THEN 1 ELSE 0 END AS BIGINT) AS crossed
+          |FROM walk GROUP BY custkey ORDER BY custkey""".stripMargin)
     })
   )
 
@@ -1188,6 +1231,27 @@ object AnalyticsQueries extends QueryPack {
         |       round(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
         |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS rev_dot,
         |       'label,id' AS mkeys
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // Same recursion both dialects (DuckDB's RECURSIVE scopes the whole
+    // WITH list, so rec_ord can sit beside walk); arg_max = Spark max_by.
+    "q_recursive_chain" ->
+      """WITH RECURSIVE rec_ord AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |walk(custkey, rn, okey, cum_c) AS (
+        |  SELECT o_custkey, rn, o_orderkey, price_c FROM rec_ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.o_custkey, o.rn, o.o_orderkey, w.cum_c + o.price_c
+        |  FROM walk w JOIN rec_ord o
+        |    ON o.o_custkey = w.custkey AND o.rn = w.rn + 1
+        |  WHERE w.cum_c < 45000000 AND w.rn < 8)
+        |SELECT custkey, CAST(max(rn) AS BIGINT) AS hops,
+        |       arg_max(okey, rn) AS last_okey,
+        |       arg_max(cum_c, rn) AS cum_c,
+        |       CAST(CASE WHEN arg_max(cum_c, rn) >= 45000000 THEN 1 ELSE 0 END AS BIGINT) AS crossed
+        |FROM walk GROUP BY custkey ORDER BY custkey""".stripMargin
   )
 }

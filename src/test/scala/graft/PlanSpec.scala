@@ -397,4 +397,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p) // supplier dim: explicit hint
   }
+
+  test("q_recursive_chain: WITH RECURSIVE plans as UnionLoop — equi-join steps, materialized rn table, no cartesian") {
+    val df = SparkEntry.queries("q_recursive_chain")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop"), p)
+    // each recursion level advances the frontier by an equi join against
+    // the ONE materialized rn table (LogicalRDD from localCheckpoint) —
+    // a per-level window recompute or a nested loop would show here
+    assert(p.contains("LogicalRDD"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
 }
