@@ -160,6 +160,20 @@ object TextQueries extends QueryPack {
           explode(TextFns.shinglesFromText(col("text"), 10)).as("gram"))
         .localCheckpoint())
 
+  /** Distinct rolling 8-gram membership table (doc_id, gram) for the
+    * decontamination query — DISTINCT because contamination is a set
+    * overlap (a gram repeated inside one doc is one exposure), unlike the
+    * occurrence-counting 10-gram table above. Materialized once per
+    * snapshot: q_text_contamination consumes it from three branches.
+    */
+  private def docGrams8(s: org.apache.spark.sql.SparkSession, d: String) =
+    gramCache.get(graft.sources.Memo.key(s, d, "documents") + "#grams8")(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFns.shinglesFromText(col("text"), 8)).as("gram"))
+        .distinct()
+        .localCheckpoint())
+
   /** Byte-banded Hamming pairing over an integer signature column — ONE
     * pipeline shared by q_dedup_simhash_pairs (16-bit SimHash, 2 bands)
     * and q_dedup_phash (32-bit gradient hash, 4 bands): candidates from
@@ -1423,6 +1437,38 @@ object TextQueries extends QueryPack {
         .limit(100)
     }),
 
+    // X6c: train/eval DECONTAMINATION (the PaLM/GPT-3 pre-training hygiene
+    // step): flag training documents that share an 8-token gram with the
+    // held-out eval split (doc_id % 11 = 0 stands in for the benchmark
+    // suite). Grams occurring in > 20 distinct eval docs are stop-grams —
+    // ubiquitous boilerplate is excluded before matching, the standard
+    // df-cap every production decontamination pipeline applies so one
+    // common phrase does not flag the whole corpus.
+    //
+    // Shape: the distinct 8-gram membership table ([[docGrams8]],
+    // materialized once) feeds the eval gram set (df-capped), per-train-doc
+    // totals, and the gram-keyed hit join. Every shuffle keys on the gram
+    // or the doc id; the eval set is benchmark-sized in production (and
+    // df-capped here), so nothing grows quadratically — the plan is the
+    // same flat gram-join as q_dedup_substring_frac at 100 TB.
+    "q_text_contamination" -> ((s, d) => {
+      val g = docGrams8(s, d)
+      val evalSet = g.filter(col("doc_id") % 11 === 0)
+        .groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("edf"))
+        .filter(col("edf") <= 20).select(col("gram"))
+      val train = g.filter(col("doc_id") % 11 =!= 0)
+      val tot = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_gram"))
+      val hits = train.join(evalSet, "gram")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      tot.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_gram"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("hit_frac", round(col("n_hit") / col("n_gram"), 4))
+        .withColumn("flagged", (col("n_hit") > 0).cast("long"))
+        .orderBy(col("hit_frac").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // X6b: the doc-level filter signal derived from passage mining — per
     // document, the fraction of its rolling 10-grams that also occur in at
     // least one OTHER document. This is the number the Lee et al. pipeline
@@ -2207,6 +2253,21 @@ object TextQueries extends QueryPack {
         |      FROM g GROUP BY 1)
         |SELECT gram, n_occ, n_docs, first_doc FROM d WHERE n_docs > 1
         |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 100""".stripMargin,
+    "q_text_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) r),
+        |ev AS (SELECT gram FROM g WHERE doc_id % 11 = 0
+        |       GROUP BY 1 HAVING count(DISTINCT doc_id) <= 20),
+        |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 11 <> 0),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_gram FROM tr GROUP BY 1),
+        |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |        FROM tr JOIN ev USING (gram) GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_gram, coalesce(hit.n_hit, 0) AS n_hit,
+        |       round(coalesce(hit.n_hit, 0) / tot.n_gram, 4) AS hit_frac,
+        |       CAST(coalesce(hit.n_hit, 0) > 0 AS BIGINT) AS flagged
+        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+        |ORDER BY hit_frac DESC, tot.doc_id LIMIT 100""".stripMargin,
     "q_dedup_substring_frac" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |g AS (SELECT doc_id, array_to_string(ts[i:i+9], ' ') AS gram
