@@ -355,6 +355,34 @@ object JoinQueries extends QueryPack {
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // J16: the TPC-H Q11 SHAPE — "important stock": parts whose total
+    // lineitem value exceeds 1.5× the mean part value, the HAVING-against-
+    // a-GLOBAL-scalar-subquery idiom (Q11's only relational novelty —
+    // uncorrelated scalar subqueries gating an aggregate). Revenue rides
+    // exact cents; the threshold is the integer cross-multiplication
+    // 2·value·n > 3·total (safe while value·n < 2^62 — beyond that the
+    // comparison moves to DECIMAL(38,0), same plan). The grouped table is
+    // materialized ONCE (localCheckpoint) and all three consumers — the
+    // main filter branch and both scalar subqueries — read it, so the
+    // fact table is scanned exactly once at any scale and the scalars
+    // aggregate a part-cardinality table, not the corpus.
+    "q_report_partvalue" -> ((s, d) => {
+      val s2 = s.newSession()
+      Tables.lineitem(s2, d)
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("rev_c"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("rev_c")).as("value_c"), count(lit(1)).as("n_items"))
+        .localCheckpoint()
+        .createOrReplaceTempView("pv_g")
+      s2.sql(
+        """SELECT l_partkey, value_c, CAST(n_items AS BIGINT) AS n_items
+          |FROM pv_g
+          |WHERE 2 * value_c * (SELECT count(*) FROM pv_g)
+          |      > 3 * (SELECT sum(value_c) FROM pv_g)
+          |ORDER BY value_c DESC, l_partkey""".stripMargin)
     })
   )
 
@@ -561,6 +589,20 @@ object JoinQueries extends QueryPack {
         |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |      GROUP BY c_custkey)
         |GROUP BY c_count
-        |ORDER BY custdist DESC, c_count DESC""".stripMargin
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // DuckDB sums promote to HUGEINT — value_c is pinned back to BIGINT so
+    // the emitted schema matches Spark's long sums.
+    "q_report_partvalue" ->
+      """WITH li AS (SELECT l_partkey,
+        |                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c
+        |            FROM lineitem),
+        |pv_g AS (SELECT l_partkey, CAST(sum(rev_c) AS BIGINT) AS value_c,
+        |                CAST(count(*) AS BIGINT) AS n_items
+        |         FROM li GROUP BY l_partkey)
+        |SELECT l_partkey, value_c, n_items
+        |FROM pv_g
+        |WHERE 2 * value_c * (SELECT count(*) FROM pv_g)
+        |      > 3 * (SELECT sum(value_c) FROM pv_g)
+        |ORDER BY value_c DESC, l_partkey""".stripMargin
   )
 }

@@ -398,6 +398,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // supplier dim: explicit hint
   }
 
+  test("q_report_partvalue: global scalar subqueries aggregate the materialized part-cardinality table — no join, no fact rescans") {
+    val df = SparkEntry.queries("q_report_partvalue")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Subquery"), p)            // the HAVING gate stays a scalar subquery
+    assert(!p.contains("Join"), p)               // never decorrelates into a join — it's uncorrelated
+    assert(!p.contains("FileScan"), p)           // every branch reads the ONE checkpointed grouped table
+    assert(p.contains("Scan ExistingRDD"), p)
+    // MergeScalarSubqueries folds count(*) and sum(value_c) into ONE
+    // aggregation pass (the named_struct mergedValue) — pin it so the two
+    // scalars never regress into two passes over the grouped table
+    assert(p.contains("mergedValue"), p)
+  }
+
   test("q_recursive_chain: WITH RECURSIVE plans as UnionLoop — equi-join steps, materialized rn table, no cartesian") {
     val df = SparkEntry.queries("q_recursive_chain")(spark, d)
     val p = df.queryExecution.executedPlan.toString
