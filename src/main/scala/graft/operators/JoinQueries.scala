@@ -383,6 +383,36 @@ object JoinQueries extends QueryPack {
           |WHERE 2 * value_c * (SELECT count(*) FROM pv_g)
           |      > 3 * (SELECT sum(value_c) FROM pv_g)
           |ORDER BY value_c DESC, l_partkey""".stripMargin)
+    }),
+
+    // J17: NOT IN over a NULLABLE key — the three-valued-logic join. A
+    // NULL probe key never qualifies (x IN ... is NULL, NOT NULL is not
+    // true), and one NULL on the inner side empties the result entirely —
+    // semantics a plain anti join gets WRONG, which is why Catalyst plans
+    // this as a null-aware anti join (SPARK-32290: single-column NAAJ
+    // builds the inner as a broadcast hash set + null flag) rather than
+    // rewriting to q_join_anti's shape. Every 29th customer key is
+    // nullified to keep the null path live in the fixture.
+    //
+    // SCALE CONSTRAINT (and why this stays a COVERAGE query): NAAJ
+    // requires the inner side broadcast; a non-broadcastable inner
+    // degrades to BroadcastNestedLoopJoin. The 100 TB spelling, when the
+    // key is provably non-null, is the plain anti join (q_join_anti); when
+    // it is not, pre-aggregate the inner to (distinct keys + has_null
+    // flag) — order-count-sized here — before the NOT IN. The inner below
+    // is exactly that reduced form.
+    "q_join_notin_null" -> ((s, d) => {
+      val s2 = s.newSession()
+      Tables.customer(s2, d).createOrReplaceTempView("customer")
+      Tables.orders(s2, d).createOrReplaceTempView("orders")
+      s2.sql(
+        """SELECT k AS c_custkey, c_name, c_mktsegment
+          |FROM (SELECT CASE WHEN c_custkey % 29 = 0 THEN NULL
+          |                  ELSE c_custkey END AS k,
+          |             c_name, c_mktsegment FROM customer)
+          |WHERE k NOT IN (SELECT DISTINCT o_custkey FROM orders
+          |                WHERE o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
     })
   )
 
@@ -603,6 +633,14 @@ object JoinQueries extends QueryPack {
         |FROM pv_g
         |WHERE 2 * value_c * (SELECT count(*) FROM pv_g)
         |      > 3 * (SELECT sum(value_c) FROM pv_g)
-        |ORDER BY value_c DESC, l_partkey""".stripMargin
+        |ORDER BY value_c DESC, l_partkey""".stripMargin,
+    "q_join_notin_null" ->
+      """SELECT k AS c_custkey, c_name, c_mktsegment
+        |FROM (SELECT CASE WHEN c_custkey % 29 = 0 THEN NULL
+        |                  ELSE c_custkey END AS k,
+        |             c_name, c_mktsegment FROM customer)
+        |WHERE k NOT IN (SELECT DISTINCT o_custkey FROM orders
+        |                WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin
   )
 }

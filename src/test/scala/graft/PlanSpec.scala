@@ -411,6 +411,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("mergedValue"), p)
   }
 
+  test("q_join_notin_null: NOT IN on a nullable key plans as a null-aware anti join, not a nested loop") {
+    val df = SparkEntry.queries("q_join_notin_null")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // isNullAware renders as the trailing `true` on the BHJ line
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_recursive_chain: WITH RECURSIVE plans as UnionLoop — equi-join steps, materialized rn table, no cartesian") {
     val df = SparkEntry.queries("q_recursive_chain")(spark, d)
     val p = df.queryExecution.executedPlan.toString
