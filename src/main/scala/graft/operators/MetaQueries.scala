@@ -228,6 +228,32 @@ object MetaQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // A4b: heavy hitters under a COUNT-MIN SKETCH bounded-error contract —
+    // the third classic sketch beside HLL (q_agg_approx_distinct) and the
+    // quantile sketch (q_agg_approx_percentile). The sketch is built in ONE
+    // streaming pass (fixed depth×width counter grid, merged commutatively
+    // across partitions — the 1000-executor shape; seed pinned so runs are
+    // reproducible), and CMS's one-sided guarantee is the contract: for any
+    // key, exact ≤ estimate ≤ exact + ε·N. The exact top-20 branch is the
+    // HARNESS yardstick (production reports estimates alone); DuckDB has no
+    // CMS, so its oracle side supplies the exact counts and the contract
+    // column — the gate fails iff Spark's sketch leaves its bound. The
+    // 20-row probe runs as a closure over the broadcast-sized sketch; the
+    // corpus itself is never collected.
+    "q_agg_heavyhitters" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"))
+      val cms = li.stat.countMinSketch("l_partkey", 0.0005, 0.99, 42)
+      val slack = math.ceil(0.0005 * cms.totalCount).toLong
+      val est = udf((k: Long) => cms.estimateCount(k))
+      li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("l_partkey")).limit(20)
+        .withColumn("est", est(col("l_partkey")))
+        .select(col("l_partkey"), col("exact_n"),
+          (col("est") >= col("exact_n") && col("est") <= col("exact_n") + lit(slack))
+            .cast("long").as("within_tol"))
+        .orderBy(col("exact_n").desc, col("l_partkey"))
+    }),
+
     // A5 flagship: major-compaction LWW semantics (QHBaseCompact.java:167).
     "q_compact_lww" -> ((s, d) => {
       Compaction
@@ -396,6 +422,14 @@ object MetaQueries extends QueryPack {
         |                      <= count(DISTINCT user_id) * 0.05
         |                 THEN 1 ELSE 0 END AS BIGINT) AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // DuckDB has no count-min sketch: the oracle supplies the exact top-20
+    // and the contract literal — hash-equality then asserts Spark's sketch
+    // stayed inside its ε·N bound (within_tol flips to 0 on violation).
+    "q_agg_heavyhitters" ->
+      """WITH g AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_n
+        |           FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, exact_n, CAST(1 AS BIGINT) AS within_tol
+        |FROM g ORDER BY exact_n DESC, l_partkey LIMIT 20""".stripMargin,
     "q_compact_lww" ->
       """SELECT user_id, event_type, event_id AS last_event_id,
         |       epoch_us(ts) AS ts_us, value AS last_value
