@@ -394,4 +394,68 @@ object StreamingDaemon {
           else Iterator.empty
       }
   }
+
+  // ---- custom state with EVENT-TIME TIMEOUT: gap-closed sessions ----
+
+  /** Open-session state: bounds + counters, O(1) per live user. */
+  case class SessState(startUs: Long, endUs: Long, n: Long, purchases: Long)
+
+  case class SessionClosed(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, n_purchases: Long, closed_by: String)
+
+  /** Gap-closed sessions via flatMapGroupsWithState + EventTimeTimeout —
+    * the streaming twin of the batch 30-minute gap rule (q_sessionize).
+    * Two close paths, both exercised by StreamingSpec:
+    *  - "gap": a new event lands more than `gapUs` after the open session's
+    *    end — the old session closes in the data callback and a fresh one
+    *    opens from that event;
+    *  - "timeout": the watermark passes end + gap with no new data — the
+    *    state store fires the timeout callback, the session is emitted and
+    *    the state REMOVED (this is what bounds state to live users; without
+    *    event-time timeout an idle user's state lives forever).
+    * State is O(live users) regardless of history length; emitted rows are
+    * final (Append mode) because a closed session can never reopen — the
+    * watermark guarantees no event at or before its end is still in flight.
+    */
+  def sessionCloseStream(events: Dataset[EventIn], gapUs: Long): Dataset[SessionClosed] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 minutes")
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionClosed](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, batchIt, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionClosed(uid, s.startUs, s.endUs, s.n, s.purchases, "timeout"))
+          } else {
+            // fold the micro-batch in event order (bounded per key+batch)
+            val batch = batchIt.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val closed = Seq.newBuilder[SessionClosed]
+            var open = state.getOption
+            batch.foreach { e =>
+              open match {
+                case Some(s) if e.ts_us - s.endUs > gapUs =>
+                  closed += SessionClosed(uid, s.startUs, s.endUs, s.n, s.purchases, "gap")
+                  open = Some(SessState(e.ts_us, e.ts_us, 1L,
+                    if (e.event_type == "purchase") 1L else 0L))
+                case Some(s) =>
+                  open = Some(SessState(s.startUs, math.max(s.endUs, e.ts_us), s.n + 1L,
+                    s.purchases + (if (e.event_type == "purchase") 1L else 0L)))
+                case None =>
+                  open = Some(SessState(e.ts_us, e.ts_us, 1L,
+                    if (e.event_type == "purchase") 1L else 0L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

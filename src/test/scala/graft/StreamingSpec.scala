@@ -300,6 +300,59 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCloseStream: gap closes in the data callback, idle users close by event-time timeout, state removed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDaemon.{EventIn, SessionClosed}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val M = 60L * 1000000L // one minute in µs
+    val gap = 30L * M
+    val B = 1000 * M // base offset: a ts equal to the initial watermark (0) is dropped as late
+    val input = MemoryStream[EventIn]
+    val q = StreamingDaemon.sessionCloseStream(input.toDS(), gap)
+      .writeStream.format("memory").queryName("sess_closed")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: user 1 has a 2-event session; user 2 a 1-event session
+      input.addData(
+        EventIn(1L, B, 1L, "view", 0.0),
+        EventIn(2L, B + 5 * M, 1L, "purchase", 1.0),
+        EventIn(3L, B, 2L, "view", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_closed").count() == 0) // nothing closed yet
+
+      // batch 2: user 1 returns 85 min after their session end — the open
+      // session closes in the DATA callback ("gap") and a new one opens.
+      // The same event advances the watermark to B+80m (90m − 10m delay),
+      // past user 2's timeout (B+30m): processAllAvailable runs the
+      // follow-up no-data micro-batch where user 2's TIMEOUT callback
+      // fires and its state is removed.
+      input.addData(EventIn(4L, B + 90 * M, 1L, "view", 0.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess_closed").as[SessionClosed].collect().toSet
+      assert(afterGap == Set(
+        SessionClosed(1L, B, B + 5 * M, 2L, 1L, "gap"),
+        SessionClosed(2L, B, B, 1L, 0L, "timeout")))
+
+      // batch 3: an unrelated user far ahead pushes the watermark past
+      // user 1's SECOND session's timeout (B+90m end + 30m gap = B+120m) —
+      // it closes by timeout too, so no session is ever silently stuck.
+      input.addData(EventIn(5L, B + 200 * M, 3L, "view", 0.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sess_closed").as[SessionClosed].collect().toSet
+      assert(afterTimeout ==
+        afterGap + SessionClosed(1L, B + 90 * M, B + 90 * M, 1L, 0L, "timeout"))
+
+      // a re-appearing timed-out user starts FRESH — no resurrected state
+      input.addData(EventIn(6L, B + 210 * M, 2L, "view", 0.0))
+      q.processAllAvailable()
+      val s4 = spark.table("sess_closed").as[SessionClosed].collect()
+      assert(s4.count(_.user_id == 2L) == 1) // still only the timed-out close
+    } finally q.stop()
+  }
+
   test("changeStream emits only when the newest version changes (flatMapGroupsWithState)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingDaemon.{EventIn, LwwUpdate}
