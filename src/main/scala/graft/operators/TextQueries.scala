@@ -1413,6 +1413,41 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // X8b: SYSTEMATIC PPS (probability-proportional-to-size) sampling —
+    // the weighted companion to q_sample_stratified's fixed per-stratum
+    // rates. Per lang, a doc is taken whenever the cumulative token-count
+    // weight crosses one of n=20 evenly spaced skip boundaries — the
+    // classic systematic PPS design (inclusion p_i = n·w_i/W_lang for
+    // w_i < W/n), here ordered by doc_id so the whole query is PURE
+    // INTEGER (prefix sums + floor division) and bit-equal across engines
+    // — the deterministic frame every textbook derives the scheme on. In
+    // production the frame order is randomized by a strong 64-bit hash
+    // (xxhash64) before the scan; that hash is not portable to the DuckDB
+    // oracle, and the weak portable polynomial hash measurably biases
+    // inclusion on short keys, so the oracle pins the systematic scheme
+    // itself. Scale: the per-lang prefix sum is one partitioned window —
+    // with few giant strata you'd two-phase it (per-partition partials +
+    // broadcast offsets), same arithmetic.
+    "q_sample_pps" -> ((s, d) => {
+      val byLang = Window.partitionBy(col("lang"))
+      val pfx = byLang.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+        .withColumn("cum", sum(col("w")).over(pfx))
+        .withColumn("big_w", sum(col("w")).over(byLang))
+        .withColumn("admit",
+          (expr("(cum * 20) div big_w") > expr("((cum - w) * 20) div big_w")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(col("admit")).as("n_sampled"),
+          sum(col("w")).as("w_total"),
+          sum(when(col("admit") === 1L, col("w")).otherwise(lit(0L))).as("w_sampled"))
+        .orderBy(col("lang"))
+    }),
+
     // X6: duplicated-passage mining (the exact-substring-dedup signal of
     // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     // Better"): every rolling 10-token gram per doc (one O(|text|)
@@ -2243,6 +2278,25 @@ object TextQueries extends QueryPack {
          |       CAST(sum(admit) AS BIGINT) AS n_sampled,
          |       round(sum(admit) * 100.0 / count(*), 4) AS achieved_pct
          |FROM m GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Non-negative operands, so DuckDB // equals Spark div.
+    "q_sample_pps" ->
+      """WITH docs AS (SELECT doc_id, lang,
+        |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |              FROM documents),
+        |c AS (SELECT lang, w,
+        |             sum(w) OVER (PARTITION BY lang ORDER BY doc_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |             sum(w) OVER (PARTITION BY lang) AS big_w
+        |      FROM docs),
+        |m AS (SELECT lang, w,
+        |             CASE WHEN (cum * 20) // big_w > ((cum - w) * 20) // big_w
+        |                  THEN 1 ELSE 0 END AS admit
+        |      FROM c)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(admit) AS BIGINT) AS n_sampled,
+        |       CAST(sum(w) AS BIGINT) AS w_total,
+        |       CAST(sum(CASE WHEN admit = 1 THEN w ELSE 0 END) AS BIGINT) AS w_sampled
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_substring" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |g AS (SELECT doc_id, array_to_string(ts[i:i+9], ' ') AS gram
