@@ -164,7 +164,7 @@ object TextQueries extends QueryPack {
     * decontamination query — DISTINCT because contamination is a set
     * overlap (a gram repeated inside one doc is one exposure), unlike the
     * occurrence-counting 10-gram table above. Materialized once per
-    * snapshot: q_text_contamination consumes it from three branches.
+    * snapshot: q_text_decontam consumes it from three branches.
     */
   private def docGrams8(s: org.apache.spark.sql.SparkSession, d: String) =
     gramCache.get(graft.sources.Memo.key(s, d, "documents") + "#grams8")(
@@ -1472,8 +1472,9 @@ object TextQueries extends QueryPack {
         .limit(100)
     }),
 
-    // X6c: train/eval DECONTAMINATION (the PaLM/GPT-3 pre-training hygiene
-    // step): flag training documents that share an 8-token gram with the
+    // X6c: train/eval DECONTAMINATION at the 8-gram level — the
+    // flag-and-drop companion to q_text_contamination's 3-shingle overlap
+    // RATIO: flag training documents that share an 8-token gram with the
     // held-out eval split (doc_id % 11 = 0 stands in for the benchmark
     // suite). Grams occurring in > 20 distinct eval docs are stop-grams —
     // ubiquitous boilerplate is excluded before matching, the standard
@@ -1486,7 +1487,7 @@ object TextQueries extends QueryPack {
     // or the doc id; the eval set is benchmark-sized in production (and
     // df-capped here), so nothing grows quadratically — the plan is the
     // same flat gram-join as q_dedup_substring_frac at 100 TB.
-    "q_text_contamination" -> ((s, d) => {
+    "q_text_decontam" -> ((s, d) => {
       val g = docGrams8(s, d)
       val evalSet = g.filter(col("doc_id") % 11 === 0)
         .groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("edf"))
@@ -2307,7 +2308,7 @@ object TextQueries extends QueryPack {
         |      FROM g GROUP BY 1)
         |SELECT gram, n_occ, n_docs, first_doc FROM d WHERE n_docs > 1
         |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 100""".stripMargin,
-    "q_text_contamination" ->
+    "q_text_decontam" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
         |      FROM t, LATERAL (SELECT unnest(range(1, len(ts) - 6)) AS i) r),
