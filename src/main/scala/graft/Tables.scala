@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated star schema + event +
   * LLM-pipeline tables (see /root/repo/FIXTURES.md). Every query in
@@ -20,17 +20,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is nanosecond parquet; Spark 4 only reads it as INT64 via
-    * spark.sql.legacy.parquet.nanosAsLong (set by [[Sessions.tuned]]). Convert
-    * to µs TimestampType with integer `div` — a double divide would lose
-    * precision on epoch-nanos (~1.7e18 > 2^53). Matches DuckDB's ns→µs
-    * truncation in epoch_us().
+  /** `events.ts` has shipped in several parquet encodings across testdata
+    * generations; normalize every one to µs TimestampType (LTZ) so
+    * unix_micros & friends resolve downstream:
+    *  - ns-precision INT64 (read as LongType under
+    *    spark.sql.legacy.parquet.nanosAsLong, set by [[Sessions.tuned]]):
+    *    integer `div` 1000 — a double divide would lose precision on
+    *    epoch-nanos (~1.7e18 > 2^53). Matches DuckDB's ns→µs truncation.
+    *  - µs timestamp without timezone (TIMESTAMP_NTZ): cast to TIMESTAMP.
+    *    The session timezone is pinned UTC, so the cast is a pure
+    *    reinterpretation of the same micros — exactly DuckDB's epoch_us()
+    *    on a naive timestamp.
+    *  - µs TIMESTAMP: already the target type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

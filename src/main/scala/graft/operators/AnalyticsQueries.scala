@@ -607,6 +607,35 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("l_returnflag"), col("measure"))
     }),
 
+    // A-family: equi-width HISTOGRAM over a fixed declared domain — the
+    // distribution profile every monitoring dashboard draws. 20 bins of
+    // width 25 over value∈[0,500); out-of-range clamps to the edge bins so
+    // the bin domain is closed (no silent row loss). One partial-aggregated
+    // groupBy(bin) — the per-bin combine happens map-side, so the shuffle
+    // carries ≤ 20 rows per task at ANY corpus size. Empty bins are
+    // restored by a broadcast join against a generated 20-row bin spine
+    // (the gapfill discipline of q_time_gapfill): a histogram with holes
+    // where counts are zero reads as a different distribution. The value
+    // sum rides exact µ-unit longs (sum of doubles is partition-order
+    // dependent — the cross-engine FP hazard).
+    "q_histogram" -> ((s, d) => {
+      val binned = Tables.events(s, d)
+        .select(greatest(lit(0L),
+          least(lit(19L), floor(col("value") / 25.0).cast("long"))).as("bin"),
+          col("value"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * lit(1e6)).cast("long")).as("s6"))
+      val spine = s.range(0, 20).select(col("id").as("bin"))
+      spine.join(binned, Seq("bin"), "left")
+        .select(col("bin"),
+          (col("bin") * 25.0).as("lo"),
+          ((col("bin") + 1) * 25.0).as("hi"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          round(coalesce(col("s6"), lit(0L)) / lit(1e6), 4).as("sum_v"))
+        .orderBy(col("bin"))
+    }),
+
     // Agg-to-array: per-user distinct event types as a canonical (sorted,
     // joined) string — collect_set order is nondeterministic, array_sort
     // makes it reproducible.
@@ -860,6 +889,17 @@ object AnalyticsQueries extends QueryPack {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |QUALIFY o_orderkey % 100 = 0
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_histogram" ->
+      """WITH binned AS (
+        |  SELECT greatest(0, least(19, CAST(floor(value / 25.0) AS BIGINT))) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS s6
+        |  FROM events GROUP BY 1)
+        |SELECT r.bin, r.bin * 25.0 AS lo, (r.bin + 1) * 25.0 AS hi,
+        |       coalesce(n, 0) AS n, round(coalesce(s6, 0) / 1e6, 4) AS sum_v
+        |FROM (SELECT CAST(range AS BIGINT) AS bin FROM range(20)) r
+        |LEFT JOIN binned USING (bin)
+        |ORDER BY bin""".stripMargin,
     "q_groupingsets_report" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,

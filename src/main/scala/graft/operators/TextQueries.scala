@@ -591,6 +591,97 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // X2x: PREFIX-FILTERING set-similarity join (the AllPairs/PPJoin
+    // family, Bayardo et al. 2007 / Xiao et al. 2008) — exact Jaccard ≥
+    // θ=0.6 over word-token SETS, with candidate generation by PREFIX
+    // instead of MinHash banding: order each doc's tokens rarest-first
+    // (global df asc, token asc), and two docs can only reach θ if they
+    // share at least one token in their first L = n − ceil(θn) + 1 tokens
+    // (pigeonhole on the ≥ θ·n overlap a match requires). Deterministic
+    // and EXACT — no LSH false negatives — the complementary algorithm to
+    // q_dedup_near's probabilistic banding. All threshold math is integer
+    // (ceil(6n/10) = (6n+9) div 10; Jaccard test inter·10 ≥ 6·union), so
+    // both engines decide identically. Scale shape: tokenize → one df
+    // aggregation → per-doc sort (map-side after the df join's shuffle) →
+    // prefix explode → in-bucket pair expansion with the standard 2–100
+    // bucket cap (rarest-first ordering makes prefix buckets naturally
+    // sparse — stopwords never enter a prefix unless a doc is nearly all
+    // stopwords); length filter 10·min(na,nb) ≥ 6·max before the exact
+    // verify. Never all-pairs.
+    "q_dedup_prefix" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n"), explode(col("ts")).as("w"))
+      val dfTbl = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val sorted = toks.join(dfTbl, "w")
+        .groupBy(col("doc_id"), col("n"))
+        .agg(transform(sort_array(collect_list(struct(col("df"), col("w")))),
+          p => p.getField("w")).as("ws"))
+      val pref = sorted
+        .withColumn("pl", (col("n") - expr("(6*n + 9) div 10") + 1).cast("int"))
+        .select(col("doc_id"), col("n"), col("ws"),
+          explode(slice(col("ws"), lit(1), col("pl"))).as("w"))
+      val buckets = pref.groupBy(col("w"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n"), col("ws")))).as("ds"))
+        .filter(size(col("ds")).between(2, 100))
+      buckets
+        .select(explode(flatten(transform(col("ds"), (a, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
+            b => struct(a.getField("doc_id").as("doc_a"), a.getField("n").as("na"),
+              a.getField("ws").as("wsa"), b.getField("doc_id").as("doc_b"),
+              b.getField("n").as("nb"), b.getField("ws").as("wsb")))))).as("p"))
+        .select(col("p.*"))
+        .filter(least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 6)
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("inter", size(array_intersect(col("wsa"), col("wsb"))).cast("long"))
+        .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 6)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // X13b: TRIANGLE COUNTING over the near-dup similarity graph — the
+    // local-clustering signal (a doc in many triangles sits in a DENSE
+    // near-dup neighborhood — template/boilerplate families — where a
+    // mere high degree can be hub noise). Algorithm is the MapReduce
+    // classic (Suri & Vassilvitskii 2011 "Counting Triangles and the
+    // Curse of the Last Reducer"): orient every edge from its lower
+    // (degree, id) endpoint — an acyclic total order, so each triangle
+    // has EXACTLY ONE apex with out-edges to the other two — then join
+    // out-edge pairs (wedges) against the undirected edge set. The
+    // orientation is the scale move: a degree-D hub generates C(D,2)
+    // wedges unoriented, but its out-degree under lowest-degree-first
+    // orientation is O(sqrt(|E|)), bounding the wedge explosion at the
+    // skewed vertices every real similarity graph has. The per-vertex
+    // count is orientation-invariant, so the oracle verifies with the
+    // naive a<b<c three-way self-join. Edges are the memoized LSH
+    // candidate set ([[candidateEdges]]) — bounded by banding, never
+    // all-pairs.
+    "q_graph_triangles" -> ((s, d) => {
+      val und = candidateEdges(s, d) // (doc_a < doc_b), distinct
+      val sym = und.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(und.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val o = und
+        .join(deg.select(col("u").as("doc_a"), col("deg").as("da")), "doc_a")
+        .join(deg.select(col("u").as("doc_b"), col("deg").as("db")), "doc_b")
+        .select(
+          when(struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b")),
+            struct(col("doc_a").as("src"), col("doc_b").as("dst")))
+            .otherwise(struct(col("doc_b").as("src"), col("doc_a").as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .localCheckpoint() // oriented edge list: one row per candidate edge
+      val wedges = o.as("x").join(o.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.src").as("apex"), col("x.dst").as("a"), col("y.dst").as("b"))
+      val tri = wedges
+        .join(und, wedges("a") === und("doc_a") && wedges("b") === und("doc_b"), "left_semi")
+      tri.select(explode(array(col("apex"), col("a"), col("b"))).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X2f: duplicate CLUSTERS — connected components over the MinHash
     // candidate graph, the pass that turns pairwise near-dup hits into
     // keep/drop groups (cluster_id = min doc_id of the component, the
@@ -1448,6 +1539,88 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // X8c: DATA-MIXING APPORTIONMENT — the "how many samples of each
+    // source fill the training budget" step that sits between corpus stats
+    // and the dataloader (the static-weights half of DoReMi-style mixing).
+    // A budget of T=100000 training slots is split across sources
+    // proportionally to their total chars by the largest-remainder
+    // (Hamilton) method: base_s = floor(T·w_s/W), then the R = T − Σbase
+    // leftover slots go to the largest remainders (T·w_s mod W, source asc
+    // tiebreak). PURE INTEGER end-to-end — floor division and mod on
+    // longs — so Σ alloc_s == T exactly, bit-equal in both engines; a
+    // float-quota version drifts off the budget by rounding and is the
+    // classic apportionment bug. Shape: one partial-aggregated groupBy
+    // (source) collapses the corpus map-side; everything after runs on the
+    // source-cardinality table (~20 rows — metadata scale), so the
+    // unpartitioned ranking window is a deliberate small-table pass, not a
+    // funnel. epochs_ppm reports alloc relative to the source's doc count
+    // (how many times the source is traversed, in parts-per-million).
+    "q_mix_epochs" -> ((s, d) => {
+      val T = 100000L
+      val bySrc = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("w"))
+      // Grand total W as a window over the ALREADY-AGGREGATED ~20-row source
+      // table — a crossJoin(agg) scalar here would recompute the lineage and
+      // scan the corpus a second time for one number.
+      val leftover = Window.partitionBy(lit(1))
+      val quota = bySrc
+        .withColumn("big_w", sum(col("w")).over(leftover))
+        .withColumn("base", expr(s"(w * ${T}L) div big_w"))
+        .withColumn("rem", expr(s"(w * ${T}L) % big_w"))
+      val remRank = Window.orderBy(col("rem").desc, col("source"))
+      quota
+        .withColumn("rrk", row_number().over(remRank))
+        .withColumn("r_total", (lit(T) - sum(col("base")).over(leftover)))
+        .withColumn("alloc", col("base") + when(col("rrk") <= col("r_total"), 1L).otherwise(0L))
+        .select(col("source"), col("n_docs"), col("w"), col("alloc"),
+          expr("(alloc * 1000000L) div n_docs").as("epochs_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // X8d: DISTRIBUTION DRIFT between two corpus snapshots — the
+    // monitoring gate that catches a crawl whose length/quality profile
+    // shifted before it poisons a training mix. Population Stability Index
+    // over the n_chars distribution, snapshot A = even doc_ids vs B = odd
+    // (the fixture's stand-in for crawl t vs t+1): 10 equi-width bins on
+    // the declared [0,640) domain with edge clamping, add-one (Laplace)
+    // smoothing so empty bins contribute finite terms, PSI = Σ (p−q)·
+    // ln(p/q). Each bin's term is computed from exact integer counts and
+    // rounded to µ-units BEFORE the 10-term sum (the q_text_entropy ln
+    // discipline — the sum is integer, immune to merge order). Shape: one
+    // partial-aggregated groupBy(bin, side) over the corpus, then
+    // metadata-scale arithmetic on ≤ 20 rows. PSI > 0.2 flags "action".
+    "q_drift_psi" -> ((s, d) => {
+      val B = 10
+      val binned = Tables.documents(s, d)
+        .select(
+          least(lit(B - 1), expr("n_chars div 64")).cast("long").as("bin"),
+          when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")).as("side"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+      val spine = s.range(0, B).select(col("id").as("bin"))
+      val cells = spine.join(binned, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      // Side totals as windows over the 10-row cell table (same one-scan
+      // discipline as q_mix_epochs — a crossJoin(agg) would re-scan the
+      // corpus for two scalars).
+      val all = Window.partitionBy(lit(1))
+      cells
+        .withColumn("na", sum(col("ca")).over(all))
+        .withColumn("nb", sum(col("cb")).over(all))
+        .withColumn("p", (col("ca") + 1).cast("double") / (col("na") + B))
+        .withColumn("q", (col("cb") + 1).cast("double") / (col("nb") + B))
+        .withColumn("term6",
+          round((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e6)).cast("long"))
+        .groupBy()
+        .agg(round(sum(col("term6")) / lit(1e6), 6).as("psi"),
+          count(lit(1)).as("n_bins"))
+        .withColumn("action", (col("psi") > 0.2).cast("string"))
+        .select(col("psi"), col("n_bins"), col("action"))
+    }),
+
     // X6: duplicated-passage mining (the exact-substring-dedup signal of
     // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     // Better"): every rolling 10-token gram per doc (one O(|text|)
@@ -1611,11 +1784,11 @@ object TextQueries extends QueryPack {
       |                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
       |       FROM t)""".stripMargin
 
-  /** Shared CTE chain: LSH candidate edges → exact transitive closure
-    * (`reach`), the ground truth q_dedup_components / q_dedup_keep verify
-    * the star-contraction labels against.
+  /** CTE chain up to the LSH candidate edge set `cand(a < b)` — the
+    * oracle-side mirror of [[candidateEdges]], shared by the closure and
+    * triangle oracles.
     */
-  private lazy val reachCtes: String =
+  private lazy val candCtes: String =
     s"""$shCte,
        |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
        |mh AS (SELECT doc_id, r.i AS i,
@@ -1628,7 +1801,14 @@ object TextQueries extends QueryPack {
        |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |         FROM sized x JOIN sized y
-       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Shared CTE chain: LSH candidate edges → exact transitive closure
+    * (`reach`), the ground truth q_dedup_components / q_dedup_keep verify
+    * the star-contraction labels against.
+    */
+  private lazy val reachCtes: String =
+    s"""$candCtes,
        |e AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
        |reach(v, u) AS (
        |  SELECT x, x FROM e
@@ -1684,6 +1864,39 @@ object TextQueries extends QueryPack {
       s"""WITH RECURSIVE $reachCtes
          |SELECT v AS doc_id, min(u) AS cluster_id
          |FROM reach GROUP BY v ORDER BY v""".stripMargin,
+    // Naive a<b<c three-way self-join: orientation-invariant, so it is the
+    // ground truth for the Spark side's degree-oriented wedge counting.
+    "q_graph_triangles" ->
+      s"""WITH $candCtes,
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM cand e1 JOIN cand e2 ON e2.a = e1.b
+         |             JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |v AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_prefix" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+        |           FROM documents),
+        |tok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, unnest(ts) AS w FROM t),
+        |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+        |srt AS (SELECT doc_id, n, list(w ORDER BY df, w) AS ws
+        |        FROM tok JOIN dfq USING (w) GROUP BY doc_id, n),
+        |pr AS (SELECT doc_id, n, ws,
+        |              unnest(ws[1:CAST(n - (6*n + 9)//10 + 1 AS INT)]) AS w
+        |       FROM srt),
+        |sized AS (SELECT * FROM pr
+        |          QUALIFY count(*) OVER (PARTITION BY w) BETWEEN 2 AND 100),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.n AS na, x.ws AS wsa,
+        |                y.doc_id AS doc_b, y.n AS nb, y.ws AS wsb
+        |         FROM sized x JOIN sized y ON x.w = y.w AND x.doc_id < y.doc_id
+        |         WHERE least(x.n, y.n) * 10 >= greatest(x.n, y.n) * 6),
+        |v AS (SELECT doc_a, doc_b, na, nb,
+        |             CAST(len(list_intersect(wsa, wsb)) AS BIGINT) AS inter
+        |      FROM cand)
+        |SELECT doc_a, doc_b, inter,
+        |       round(inter / (na + nb - inter), 6) AS jac
+        |FROM v WHERE inter * 10 >= (na + nb - inter) * 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Integer division both sides (numerators positive, so DuckDB's floor
     // // and Spark's truncating div agree) — weight_u is exact.
     "q_dedup_weights" ->
@@ -2298,6 +2511,44 @@ object TextQueries extends QueryPack {
         |       CAST(sum(w) AS BIGINT) AS w_total,
         |       CAST(sum(CASE WHEN admit = 1 THEN w ELSE 0 END) AS BIGINT) AS w_sampled
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // Non-negative operands, so DuckDB // and % match Spark div / %.
+    "q_mix_epochs" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(n_chars) AS BIGINT) AS w
+        |           FROM documents GROUP BY 1),
+        |q AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS big_w FROM s),
+        |b AS (SELECT source, n_docs, w,
+        |             (w * 100000) // big_w AS base,
+        |             (w * 100000) % big_w AS rem
+        |      FROM q),
+        |r AS (SELECT *,
+        |             row_number() OVER (ORDER BY rem DESC, source) AS rrk,
+        |             100000 - sum(base) OVER () AS r_total
+        |      FROM b)
+        |SELECT source, n_docs, w,
+        |       CAST(base + CASE WHEN rrk <= r_total THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+        |       CAST(((base + CASE WHEN rrk <= r_total THEN 1 ELSE 0 END) * 1000000)
+        |            // n_docs AS BIGINT) AS epochs_ppm
+        |FROM r ORDER BY source""".stripMargin,
+    "q_drift_psi" ->
+      """WITH cells AS (
+        |  SELECT r.bin,
+        |         CAST(coalesce(sum(CASE WHEN doc_id % 2 = 0 THEN 1 END), 0) AS BIGINT) AS ca,
+        |         CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN 1 END), 0) AS BIGINT) AS cb
+        |  FROM (SELECT CAST(range AS BIGINT) AS bin FROM range(10)) r
+        |  LEFT JOIN (SELECT least(9, n_chars // 64) AS bin, doc_id FROM documents) d
+        |    USING (bin)
+        |  GROUP BY 1),
+        |t AS (SELECT *, sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM cells),
+        |terms AS (SELECT
+        |    CAST(round((CAST(ca + 1 AS DOUBLE) / (na + 10) - CAST(cb + 1 AS DOUBLE) / (nb + 10))
+        |         * ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) / (CAST(cb + 1 AS DOUBLE) / (nb + 10)))
+        |         * 1e6) AS BIGINT) AS term6
+        |  FROM t)
+        |SELECT round(sum(term6) / 1e6, 6) AS psi,
+        |       CAST(count(*) AS BIGINT) AS n_bins,
+        |       CAST(round(sum(term6) / 1e6, 6) > 0.2 AS VARCHAR) AS action
+        |FROM terms""".stripMargin,
     "q_dedup_substring" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |g AS (SELECT doc_id, array_to_string(ts[i:i+9], ' ') AS gram

@@ -430,4 +430,50 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("WindowExec"), p)
   }
+
+  test("q_histogram: one corpus exchange — per-bin combine is map-side, bin spine joins by broadcast") {
+    val p = plan("q_histogram")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // ≤20 distinct bins ⇒ partial aggregation collapses each task's rows
+    // before the ONE hash exchange; the shuffle carries bins, not events
+    assert(p.contains("partial_count"), p)
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_mix_epochs / q_drift_psi: ONE corpus scan — totals ride windows over the aggregated table") {
+    // The grand-total scalar must NOT be a crossJoin(agg) that re-derives
+    // the lineage: that plans a second full corpus scan for one number.
+    for (n <- Seq("q_mix_epochs", "q_drift_psi")) {
+      val leaves = SparkEntry.queries(n)(spark, d)
+        .queryExecution.executedPlan.collectLeaves()
+      assert(leaves.count(_.toString.contains("FileScan")) == 1, s"$n: $leaves")
+    }
+  }
+
+  test("q_mix_epochs: corpus collapses through ONE hash exchange; apportionment runs at source cardinality") {
+    val p = plan("q_mix_epochs")
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q_dedup_prefix: pairs expand inside prefix buckets — exactly one join (the df lookup), no cartesian") {
+    val p = plan("q_dedup_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate pairs come from in-bucket array expansion (Generate), not a
+    // doc↔doc self-join; the only relational join is token → global df
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("q_graph_triangles: wedges close via LeftSemi on the memoized edge list — no cartesian, no corpus re-scan") {
+    val p = plan("q_graph_triangles")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // all three join inputs are the checkpointed candidate-edge RDD — the
+    // document corpus is never re-tokenized for the wedge or closure pass
+    val leaves = SparkEntry.queries("q_graph_triangles")(spark, d)
+      .queryExecution.executedPlan.collectLeaves()
+    assert(leaves.count(_.toString.contains("FileScan")) == 0, leaves.mkString("\n"))
+  }
 }
