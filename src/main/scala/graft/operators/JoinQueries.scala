@@ -413,6 +413,40 @@ object JoinQueries extends QueryPack {
           |WHERE k NOT IN (SELECT DISTINCT o_custkey FROM orders
           |                WHERE o_orderstatus = 'F')
           |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // J6b: POINT-IN-INTERVAL dimension lookup via BUCKET DECOMPOSITION — the
+    // geo-IP / price-tier shape: probe a fact value into a large table of
+    // non-overlapping [lo, hi] ranges. Catalyst can only plan the naive
+    // BETWEEN join as a nested loop (fine for 20 tiers, fatal for the
+    // millions of ranges a real IP→location dim has). The scalable form
+    // decomposes BOTH sides onto a fixed bucket grid of width W=256: each
+    // interval explodes into the ≤3 buckets it touches (`sequence(lo div W,
+    // hi div W)`), each point maps to exactly ONE bucket (`point div W`),
+    // and the join becomes a plain EQUI join on the bucket id with the
+    // containment predicate as a cheap residual filter. No duplicate
+    // matches possible: a point has one bucket and an interval appears in
+    // that bucket at most once. The 2000-interval dim here is generated
+    // deterministically (stride 300, widths 50..299 ⇒ non-overlapping with
+    // gaps — unmatched points drop, the IP-without-a-range case); at real
+    // scale the exploded dim shuffles like any fact⋈fact equi join and the
+    // decomposition is unchanged. PlanSpec pins equi-join/no-BNLJ.
+    "q_join_pointrange" -> ((s, d) => {
+      val n = 2000L; val stride = 300L; val w = 256L
+      val tiers = s.range(0, n).select(
+        col("id").as("tier_id"),
+        (col("id") * stride).as("lo"),
+        (col("id") * stride + 50 + pmod(col("id") * 37, lit(250))).as("hi"))
+      val tierBuckets = tiers.select(col("tier_id"), col("lo"), col("hi"),
+        explode(sequence(expr(s"lo div ${w}L"), expr(s"hi div ${w}L"))).as("bkt"))
+      val pts = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        pmod(round(col("o_totalprice") * 100).cast("long"), lit(n * stride)).as("point"))
+      pts.withColumn("bkt", expr(s"point div ${w}L"))
+        .join(tierBuckets, "bkt")
+        .filter(col("point") >= col("lo") && col("point") <= col("hi"))
+        .select(col("o_orderkey"), col("point"), col("tier_id"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -641,6 +675,19 @@ object JoinQueries extends QueryPack {
         |             c_name, c_mktsegment FROM customer)
         |WHERE k NOT IN (SELECT DISTINCT o_custkey FROM orders
         |                WHERE o_orderstatus = 'F')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    // The oracle spells the join the natural way (BETWEEN); DuckDB's IEJoin
+    // handles it. All operands non-negative ⇒ DuckDB % == Spark pmod.
+    "q_join_pointrange" ->
+      """WITH tiers AS (SELECT CAST(range AS BIGINT) AS tier_id,
+        |                      CAST(range * 300 AS BIGINT) AS lo,
+        |                      CAST(range * 300 + 50 + (range * 37) % 250 AS BIGINT) AS hi
+        |               FROM range(2000)),
+        |p AS (SELECT o_orderkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) % 600000 AS point
+        |      FROM orders)
+        |SELECT o_orderkey, point, tier_id
+        |FROM p JOIN tiers ON point BETWEEN lo AND hi
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -254,6 +254,45 @@ object MetaQueries extends QueryPack {
         .orderBy(col("exact_n").desc, col("l_partkey"))
     }),
 
+    // A4c: SKETCH SET ALGEBRA — distinct-count set operations over MERGED
+    // HLL sketches (DataSketches HllSketch, the mergeable-summary design of
+    // Agarwal et al. "Mergeable Summaries"). The 100 TB story: per-segment
+    // sketches are built independently in ONE corpus pass (per day / per
+    // partition in production), then |A∪B| comes from hll_union of the two
+    // sketch binaries and |A∩B| from inclusion–exclusion — NO rescan of the
+    // raw data to answer a new set combination, which is exactly what a
+    // sketch store buys over count(DISTINCT). Bounded-error contract (the
+    // q_agg_approx_distinct closure): each engine checks its own estimates
+    // against its own exact values — segments and union within ±5%
+    // (lgK=12 rse ≈ 1.6%), the derived intersection within the compounded
+    // ±10% of the union size + 8 absolute (three estimate errors stack
+    // and the fixture intersection is small). Exact columns hash-match
+    // across engines; a flag flips to 0 iff a sketch leaves its envelope.
+    "q_agg_sketch_setops" -> ((s, d) => {
+      Tables.events(s, d)
+        .agg(
+          countDistinct(when(col("event_type") === "click", col("user_id"))).as("exact_a"),
+          countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("exact_b"),
+          countDistinct(when(col("event_type").isin("click", "purchase"), col("user_id")))
+            .as("exact_u"),
+          hll_sketch_agg(when(col("event_type") === "click", col("user_id"))).as("ska"),
+          hll_sketch_agg(when(col("event_type") === "purchase", col("user_id"))).as("skb"))
+        .select(col("exact_a"), col("exact_b"), col("exact_u"),
+          (col("exact_a") + col("exact_b") - col("exact_u")).as("exact_i"),
+          hll_sketch_estimate(col("ska")).as("est_a"),
+          hll_sketch_estimate(col("skb")).as("est_b"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_u"))
+        .select(col("exact_a"), col("exact_b"), col("exact_u"), col("exact_i"),
+          (abs(col("est_a") - col("exact_a")) <= col("exact_a") * lit(0.05))
+            .cast("long").as("ok_a"),
+          (abs(col("est_b") - col("exact_b")) <= col("exact_b") * lit(0.05))
+            .cast("long").as("ok_b"),
+          (abs(col("est_u") - col("exact_u")) <= col("exact_u") * lit(0.05))
+            .cast("long").as("ok_u"),
+          (abs((col("est_a") + col("est_b") - col("est_u")) - col("exact_i"))
+            <= col("exact_u") * lit(0.10) + lit(8)).cast("long").as("ok_i"))
+    }),
+
     // A5 flagship: major-compaction LWW semantics (QHBaseCompact.java:167).
     "q_compact_lww" -> ((s, d) => {
       Compaction
@@ -430,6 +469,24 @@ object MetaQueries extends QueryPack {
         |           FROM lineitem GROUP BY l_partkey)
         |SELECT l_partkey, exact_n, CAST(1 AS BIGINT) AS within_tol
         |FROM g ORDER BY exact_n DESC, l_partkey LIMIT 20""".stripMargin,
+    // DuckDB has no mergeable sketch type: its side runs approx_count_distinct
+    // per set expression and checks the same envelopes against its own exacts.
+    "q_agg_sketch_setops" ->
+      """WITH g AS (SELECT
+        |    CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS exact_a,
+        |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS exact_b,
+        |    CAST(count(DISTINCT CASE WHEN event_type IN ('click','purchase') THEN user_id END) AS BIGINT) AS exact_u,
+        |    CAST(approx_count_distinct(CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS est_a,
+        |    CAST(approx_count_distinct(CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS est_b,
+        |    CAST(approx_count_distinct(CASE WHEN event_type IN ('click','purchase') THEN user_id END) AS BIGINT) AS est_u
+        |  FROM events)
+        |SELECT exact_a, exact_b, exact_u, exact_a + exact_b - exact_u AS exact_i,
+        |       CAST(abs(est_a - exact_a) <= exact_a * 0.05 AS BIGINT) AS ok_a,
+        |       CAST(abs(est_b - exact_b) <= exact_b * 0.05 AS BIGINT) AS ok_b,
+        |       CAST(abs(est_u - exact_u) <= exact_u * 0.05 AS BIGINT) AS ok_u,
+        |       CAST(abs((est_a + est_b - est_u) - (exact_a + exact_b - exact_u))
+        |            <= exact_u * 0.10 + 8 AS BIGINT) AS ok_i
+        |FROM g""".stripMargin,
     "q_compact_lww" ->
       """SELECT user_id, event_type, event_id AS last_event_id,
         |       epoch_us(ts) AS ts_us, value AS last_value

@@ -1768,8 +1768,90 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("rn").cast("long").as("rn"),
           col("w").as("term"), col("score"))
         .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // X4f: INVERTED-INDEX BUILD with CHAMPION LISTS — per term: full
+    // df/cf stats plus the top-12 postings by (tf DESC, doc_id ASC), the
+    // impact-ordered truncation real engines use so a stopword's
+    // million-doc posting list never materializes. The champion list rides
+    // [[graft.functions.TopKAggregator]]: k-entry BOUNDED state merged
+    // map-side, so the shuffle carries ≤12 entries per (term, map
+    // partition) regardless of df — no collect_list whose state grows
+    // with group size, no per-term sort of the full posting set. Postings
+    // serialize as the canonical "doc:tf" joined string (the
+    // q_agg_collect discipline); ordering is total (doc ids unique), so
+    // the DuckDB row_number oracle reproduces the kept set exactly. One
+    // corpus tokenization (same materialization rationale as
+    // q_text_tfidf); tf values are small integers, exact in the
+    // aggregator's double slot.
+    "q_index_postings" -> ((s, d) => {
+      import s.implicits._
+      val tf = tfWithLen(s, d)
+      val dfT = tf.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      val champions = tf
+        .select(col("w"), col("tf").cast("double"), col("doc_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopKAggregator(12).toColumn.name("top"))
+        .toDF("w", "top")
+      dfT.join(champions, "w")
+        .select(col("w").as("term"), col("df"), col("cf"),
+          concat_ws(",", transform(col("top"),
+            p => concat(p.getField("_2").cast("string"), lit(":"),
+              p.getField("_1").cast("long").cast("string")))).as("postings"))
+        .orderBy(col("term"))
+    }),
+
+    // X4g: BM25 RETRIEVAL (Robertson/Okapi, k1=1.2, b=0.75, Lucene's
+    // +1-floored idf) — score the corpus against a PROBE TERM SET and
+    // return the top-20 docs: the "pull training docs matching this topic"
+    // mining query. The probe is data-derived and deterministic (top-8
+    // mid-df terms, df∈[3,100], df desc / term asc — a TakeOrdered over
+    // the vocab-sized df table), so the query is self-contained at any
+    // scale. All global stats (N, Σdl) come from the materialized tf table
+    // — the corpus is tokenized ONCE; the 8-row probe (with idf inputs)
+    // broadcasts onto the tf stream, which never shuffles to score: the
+    // per-(doc,term) score is rounded to µ-unit longs (identical integer-
+    // input expression tree both engines) and the per-doc sum is
+    // order-independent integer math. Top-20 via TakeOrdered with doc_id
+    // tiebreak, never a global sort.
+    "q_text_bm25" -> ((s, d) => {
+      val tf = tfWithLen(s, d)
+      val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val scal = tf.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val probe = dfT.filter(col("df").between(3, 100))
+        .orderBy(col("df").desc, col("w")).limit(8)
+        .crossJoin(broadcast(scal))
+      tf.join(broadcast(probe), Seq("w"))
+        .withColumn("score6", round(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") * col("n_docs")) / col("sum_dl")))
+            * lit(1e6)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("score6")).as("s6"))
+        .orderBy(col("s6").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_terms"), round(col("s6") / lit(1e6), 6).as("bm25"))
     })
   )
+
+  /** Per-(doc, term) tf with the doc's token length riding every row —
+    * ONE corpus tokenization, materialized (localCheckpoint) because both
+    * retrieval queries derive several aggregates from it and Catalyst's
+    * column pruning would otherwise break exchange reuse and re-tokenize
+    * the corpus per branch (the q_text_tfidf lesson). In production this
+    * is the persisted index-build intermediate.
+    */
+  private def tfWithLen(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"), explode(col("ts")).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
 
   /** DuckDB fragment reproducing [[TextFns.rollingHash]] exactly. */
   private def rhSql(e: String): String =
@@ -2618,6 +2700,42 @@ object TextQueries extends QueryPack {
         |                                     ORDER BY score DESC, w) AS rn
         |           FROM scored)
         |SELECT doc_id, CAST(rn AS BIGINT) AS rn, w AS term, score
-        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_index_postings" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS w FROM t),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |        FROM tf GROUP BY 1),
+        |ch AS (SELECT w, doc_id, tf,
+        |              row_number() OVER (PARTITION BY w
+        |                                 ORDER BY tf DESC, doc_id) AS rn
+        |       FROM tf)
+        |SELECT w AS term, df, cf,
+        |       string_agg(doc_id || ':' || tf, ',' ORDER BY rn) AS postings
+        |FROM ch JOIN dfq USING (w)
+        |WHERE rn <= 12
+        |GROUP BY w, df, cf ORDER BY term""".stripMargin,
+    // Identical integer-input expression tree as the Spark side, rounded to
+    // µ-units per (doc, term) before the integer per-doc sum.
+    "q_text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, unnest(ts) AS w FROM t),
+        |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2, 3),
+        |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |         FROM (SELECT doc_id, any_value(dl) AS dl FROM tf GROUP BY 1)),
+        |probe AS (SELECT w, df FROM dfq WHERE df BETWEEN 3 AND 100
+        |          ORDER BY df DESC, w LIMIT 8),
+        |sc AS (SELECT doc_id,
+        |              CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |                   * (tf * 2.2)
+        |                   / (tf + 1.2 * (0.25 + 0.75 * (dl * n_docs) / sum_dl))
+        |                   * 1e6) AS BIGINT) AS score6
+        |       FROM tf JOIN probe USING (w), scal)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |       round(sum(score6) / 1e6, 6) AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY sum(score6) DESC, doc_id LIMIT 20""".stripMargin
   )
 }

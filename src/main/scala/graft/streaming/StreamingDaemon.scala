@@ -40,6 +40,26 @@ object StreamingDaemon {
   def admissionGate(df: DataFrame, start: String, end: String): DataFrame =
     df.filter(date_format(col("ts"), "HH:mm:ss").between(start, end))
 
+  /** Ingest drift histogram — the STREAMING arm of the batch q_drift_psi
+    * gate: the same 10 clamped equi-width n_chars bins with the even/odd
+    * doc_id side split, maintained incrementally across micro-batches
+    * (complete-mode grouped counts; ≤10 groups, so the state is metadata-
+    * scale no matter the corpus). A monitoring daemon reads the current
+    * histogram each trigger and applies the PSI arithmetic (integer
+    * µ-unit terms, as in the batch query) over the ≤10-row result —
+    * detecting a shifted crawl WHILE it streams in, instead of after the
+    * batch lands. StreamingSpec pins the incremental histogram equal to
+    * the batch aggregation of the same files.
+    */
+  def driftHistogram(docs: DataFrame): DataFrame =
+    docs.select(
+        least(lit(9L), expr("n_chars div 64")).cast("long").as("bin"),
+        when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")).as("side"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+
   /** Event-time windowed aggregation with watermark (coverage the reference
     * lacks, SURVEY.md §2.10): 10-minute tumbling counts per event_type,
     * tolerating 1 hour of lateness.

@@ -466,6 +466,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("q_join_pointrange: interval lookup decomposes onto the bucket grid — equi join, never a nested loop") {
+    val p = plan("q_join_pointrange")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the containment predicate rides the bkt equi key as a residual —
+    // which side broadcasts is AQE's call, the join KIND is the invariant
+    assert(p.contains("bkt"), p)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_text_bm25: one tokenization — scoring joins the broadcast probe, top-20 via TakeOrdered") {
+    val df = SparkEntry.queries("q_text_bm25")(spark, d)
+    val plan0 = df.queryExecution.executedPlan
+    // all branches read the materialized tf table, never the corpus again
+    assert(plan0.collectLeaves().count(_.toString.contains("FileScan")) == 0, plan0.toString)
+    val p = plan0.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_index_postings: champion lists merge map-side with bounded state — no corpus re-scan") {
+    val df = SparkEntry.queries("q_index_postings")(spark, d)
+    val plan0 = df.queryExecution.executedPlan
+    assert(plan0.collectLeaves().count(_.toString.contains("FileScan")) == 0, plan0.toString)
+    val p = plan0.toString
+    // partial_topkaggregator = the k-entry buffer combining BEFORE the
+    // term shuffle; a collect_list here would ship every posting
+    assert(p.contains("partial_topkaggregator"), p)
+    assert(!p.contains("collect_list"), p)
+  }
+
+  test("q_agg_sketch_setops: segments, union and sketches from ONE corpus pass — single scan, no join") {
+    val df = SparkEntry.queries("q_agg_sketch_setops")(spark, d)
+    val plan0 = df.queryExecution.executedPlan
+    assert(plan0.collectLeaves().size == 1, plan0.toString)
+    val p = plan0.toString
+    assert(p.contains("Expand"), p) // multi-distinct runs as one Expand pass
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_graph_triangles: wedges close via LeftSemi on the memoized edge list — no cartesian, no corpus re-scan") {
     val p = plan("q_graph_triangles")
     assert(p.contains("LeftSemi"), p)

@@ -463,4 +463,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(StreamingDaemon.admissionGate(ev, "23:00:00", "01:00:00").count() == 0)
     assert(StreamingDaemon.admissionGate(ev, "00:00:00", "23:59:59").count() == ev.count())
   }
+
+  test("driftHistogram maintained across micro-batches equals the batch binning (q_drift_psi arm)") {
+    val in = tmp("drift-in")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_chars")
+    // two arrivals → two triggers (maxFilesPerTrigger=1): the complete-mode
+    // histogram must fold batch 2 INTO batch 1's counts, not replace them
+    docs.filter(col("doc_id") % 3 =!= 0).coalesce(1).write.mode("append").parquet(in)
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1).write.mode("append").parquet(in)
+
+    val q = StreamingDaemon
+      .driftHistogram(StreamingDaemon.source(spark, in, spark.read.parquet(in)))
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("drift_out")
+      .orderBy("bin").collect().toSeq
+    val batch = StreamingDaemon.driftHistogram(docs)
+      .orderBy("bin").collect().toSeq
+    assert(streamed == batch)
+    // side totals conserve the corpus — no row lost between triggers
+    val total = spark.table("drift_out")
+      .agg(sum(col("ca") + col("cb"))).head.getLong(0)
+    assert(total == docs.count())
+  }
 }
