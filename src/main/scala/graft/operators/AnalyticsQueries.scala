@@ -560,6 +560,36 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // EQUI-DEPTH histogram — q_histogram's complement: bins hold equal
+    // COUNTS, boundaries move with the data (the shape optimizers use for
+    // selectivity and monitors use for heavy-tailed domains where
+    // equi-width piles everything into one bucket). Classic two-pass:
+    // pass 1 computes per-group quartile boundaries (p ∈ {¼, ½, ¾} —
+    // dyadic interpolation points, so 4×quartile is an integer-exact
+    // quarter-cent; the q_stats_winsorize discipline), pass 2 classifies
+    // by integer cross-compare and aggregates. The 5-row boundary table
+    // broadcasts back; the fact side never shuffles to classify. DOMAIN
+    // BOUND for the exact percentile: 5 fixed priorities × bounded cents —
+    // a scaling key/domain rides the q_agg_approx_percentile_user sketch
+    // contract instead.
+    "q_histogram_eqdepth" -> ((s, d) => {
+      val c = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val q = c.groupBy(col("o_orderpriority"))
+        .agg((percentile(col("c"), lit(0.25)) * 4).cast("long").as("q1_4"),
+          (percentile(col("c"), lit(0.5)) * 4).cast("long").as("q2_4"),
+          (percentile(col("c"), lit(0.75)) * 4).cast("long").as("q3_4"))
+      c.join(broadcast(q), Seq("o_orderpriority"))
+        .withColumn("bin", lit(1L)
+          + (col("c") * 4 > col("q1_4")).cast("long")
+          + (col("c") * 4 > col("q2_4")).cast("long")
+          + (col("c") * 4 > col("q3_4")).cast("long"))
+        .groupBy(col("o_orderpriority"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).cast("long").as("sum_c"))
+        .orderBy(col("o_orderpriority"), col("bin"))
+    }),
+
     // Seasonal baseline + anomaly gate — the hour-of-day decomposition
     // behind rate monitors: per hour-of-day, the seasonal mean of the
     // event value (exact integer cents, floor-divided — operands
@@ -634,6 +664,35 @@ object AnalyticsQueries extends QueryPack {
           coalesce(col("n"), lit(0L)).as("n"),
           round(coalesce(col("s6"), lit(0L)) / lit(1e6), 4).as("sum_v"))
         .orderBy(col("bin"))
+    }),
+
+    // A-family: INCREMENTAL AGGREGATE MAINTENANCE — fold a delta batch
+    // into a STORED aggregate without rescanning the base corpus (the
+    // daily "incremental rollup" of every lakehouse pipeline). count/sum
+    // are algebraic, so new_agg = old_agg ⊎ delta_agg: one FULL OUTER
+    // join on the agg key with coalesced adds. The fixture derives
+    // old_agg from events with event_id % 11 != 0 and MATERIALIZES it
+    // (localCheckpoint — it stands in for the stored aggregate a
+    // production run reads back; the delta is the only branch that
+    // touches the raw table, PlanSpec-pinned). At 100 TB this is the
+    // difference between aggregating a day and aggregating the lake.
+    // The oracle recomputes from scratch over the whole table — the
+    // merge==recompute identity is the contract. Values ride exact
+    // µ-unit longs.
+    "q_agg_incremental" -> ((s, d) => {
+      def v6 = sum(round(col("value") * lit(1e6)).cast("long"))
+      val ev = Tables.events(s, d)
+      val oldAgg = ev.filter(col("event_id") % 11 =!= 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_o"), v6.as("v_o")).localCheckpoint()
+      val deltaAgg = ev.filter(col("event_id") % 11 === 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_d"), v6.as("v_d"))
+      oldAgg.join(deltaAgg, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n_o"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n"),
+          (coalesce(col("v_o"), lit(0L)) + coalesce(col("v_d"), lit(0L))).as("v6"))
+        .orderBy(col("user_id"))
     }),
 
     // Agg-to-array: per-user distinct event types as a canonical (sorted,
@@ -889,6 +948,11 @@ object AnalyticsQueries extends QueryPack {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |QUALIFY o_orderkey % 100 = 0
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    // Full recompute — the identity the incremental merge must reproduce.
+    "q_agg_incremental" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS v6
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_histogram" ->
       """WITH binned AS (
         |  SELECT greatest(0, least(19, CAST(floor(value / 25.0) AS BIGINT))) AS bin,
@@ -1138,6 +1202,23 @@ object AnalyticsQueries extends QueryPack {
         |                     ELSE 4*c.c END) AS BIGINT) AS wsum_qc
         |FROM c JOIN q USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_histogram_eqdepth" ->
+      """WITH c AS (SELECT o_orderpriority,
+        |                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |           FROM orders),
+        |q AS (SELECT o_orderpriority,
+        |             CAST(4 * quantile_cont(c, 0.25) AS BIGINT) AS q1_4,
+        |             CAST(4 * quantile_cont(c, 0.50) AS BIGINT) AS q2_4,
+        |             CAST(4 * quantile_cont(c, 0.75) AS BIGINT) AS q3_4
+        |      FROM c GROUP BY 1)
+        |SELECT c.o_orderpriority,
+        |       CAST(1 + CASE WHEN 4*c.c > q.q1_4 THEN 1 ELSE 0 END
+        |              + CASE WHEN 4*c.c > q.q2_4 THEN 1 ELSE 0 END
+        |              + CASE WHEN 4*c.c > q.q3_4 THEN 1 ELSE 0 END AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(c.c) AS BIGINT) AS sum_c
+        |FROM c JOIN q USING (o_orderpriority)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_time_seasonal" ->
       """WITH e AS (SELECT CAST(hour(ts) AS BIGINT) AS hr,
         |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c

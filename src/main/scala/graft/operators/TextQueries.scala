@@ -145,6 +145,42 @@ object TextQueries extends QueryPack {
     edgeCache.get(graft.sources.Memo.key(s, d, "documents"))(
       bandPairs(s, d).distinct().localCheckpoint())
 
+  /** Per-doc triangle counts over the LSH candidate graph (Suri &
+    * Vassilvitskii 2011): orient each edge from its lower (degree, id)
+    * endpoint — an acyclic total order, so each triangle has EXACTLY ONE
+    * apex with out-edges to the other two — then close wedges against the
+    * undirected edge set. The orientation is the scale move: a degree-D
+    * hub generates C(D,2) wedges unoriented, but its out-degree under
+    * lowest-degree-first orientation is O(√|E|), bounding the wedge
+    * explosion at the skewed vertices every real similarity graph has.
+    * Orientation-invariant, so the oracle verifies with the naive a<b<c
+    * three-way self-join. Shared by q_graph_triangles and
+    * q_graph_clustercoef.
+    */
+  private def triangleCounts(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val und = candidateEdges(s, d) // (doc_a < doc_b), distinct
+    val sym = und.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(und.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val o = und
+      .join(deg.select(col("u").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("u").as("doc_b"), col("deg").as("db")), "doc_b")
+      .select(
+        when(struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b")),
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")))
+          .otherwise(struct(col("doc_b").as("src"), col("doc_a").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint() // oriented edge list: one row per candidate edge
+    val wedges = o.as("x").join(o.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("apex"), col("x.dst").as("a"), col("y.dst").as("b"))
+    val tri = wedges
+      .join(und, wedges("a") === und("doc_a") && wedges("b") === und("doc_b"), "left_semi")
+    tri.select(explode(array(col("apex"), col("a"), col("b"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Rolling 10-gram occurrence table (doc_id, gram) — the shared input of
     * the exact-substring family (q_dedup_substring, q_dedup_substring_frac).
     * Materialized once per (snapshot, fingerprint): the frac query consumes
@@ -657,28 +693,30 @@ object TextQueries extends QueryPack {
     // naive a<b<c three-way self-join. Edges are the memoized LSH
     // candidate set ([[candidateEdges]]) — bounded by banding, never
     // all-pairs.
-    "q_graph_triangles" -> ((s, d) => {
-      val und = candidateEdges(s, d) // (doc_a < doc_b), distinct
+    "q_graph_triangles" -> ((s, d) =>
+      triangleCounts(s, d).orderBy(col("doc_id"))),
+
+    // X13c: LOCAL CLUSTERING COEFFICIENT — cc(v) = 2·tri(v)/(deg(v)·
+    // (deg(v)−1)), the density of a doc's near-dup neighborhood: high cc
+    // marks template/boilerplate families (the neighbors also duplicate
+    // EACH OTHER), where raw degree alone can be hub noise. Reuses the
+    // oriented-wedge triangle counts and the candidate-edge degrees —
+    // both integer tables; the ratio is one double expression with
+    // identical shape in both engines, rounded at 6 dp. Zero-triangle
+    // nodes restore via left join (a missing row reads as "no data",
+    // cc=0 reads as "tree-like neighborhood" — different facts).
+    "q_graph_clustercoef" -> ((s, d) => {
+      val und = candidateEdges(s, d)
       val sym = und.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionAll(und.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val o = und
-        .join(deg.select(col("u").as("doc_a"), col("deg").as("da")), "doc_a")
-        .join(deg.select(col("u").as("doc_b"), col("deg").as("db")), "doc_b")
-        .select(
-          when(struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b")),
-            struct(col("doc_a").as("src"), col("doc_b").as("dst")))
-            .otherwise(struct(col("doc_b").as("src"), col("doc_a").as("dst"))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .localCheckpoint() // oriented edge list: one row per candidate edge
-      val wedges = o.as("x").join(o.as("y"),
-          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-        .select(col("x.src").as("apex"), col("x.dst").as("a"), col("y.dst").as("b"))
-      val tri = wedges
-        .join(und, wedges("a") === und("doc_a") && wedges("b") === und("doc_b"), "left_semi")
-      tri.select(explode(array(col("apex"), col("a"), col("b"))).as("doc_id"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tri"))
+      val deg = sym.groupBy(col("u").as("doc_id")).agg(count(lit(1)).as("deg"))
+      deg.join(triangleCounts(s, d), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("deg") >= 2,
+            round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+              / (col("deg") * (col("deg") - 1)), 6))
+            .otherwise(lit(0.0)).as("cc"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1504,6 +1542,32 @@ object TextQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // X8e: FIXED-SIZE per-stratum sample via BOTTOM-K-BY-HASH — the
+    // distributed answer to reservoir sampling (which is sequential by
+    // construction): rank every doc by a portable keyed hash and keep the
+    // k=20 smallest per lang. Bottom-k-by-hash is mergeable across
+    // partitions ([[graft.functions.TopKAggregator]] on the negated hash:
+    // k-entry bounded state, map-side combine — never a per-lang sort or
+    // window funnel) and CONSISTENT: growing the corpus only swaps
+    // members whose hash displaces a kept one, so successive snapshots
+    // share most of their sample (the bottom-k sketch property). Hash
+    // range < 2^30 is exact in the aggregator's double slot; ties break
+    // by doc_id in both engines.
+    "q_sample_fixedk" -> ((s, d) => {
+      import s.implicits._
+      val h = TextFns.rollingHash(concat(lit("samp:"), col("doc_id").cast("string")))
+      Tables.documents(s, d)
+        .select(col("lang"), (-h.cast("double")).as("nh"), col("doc_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopKAggregator(20).toColumn.name("top"))
+        .toDF("lang", "top")
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as("doc_id"), (-col("col._1")).cast("long").as("h"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // X8b: SYSTEMATIC PPS (probability-proportional-to-size) sampling —
     // the weighted companion to q_sample_stratified's fixed per-stratum
     // rates. Per lang, a doc is taken whenever the cumulative token-count
@@ -1956,6 +2020,22 @@ object TextQueries extends QueryPack {
          |v AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_graph_clustercoef" ->
+      s"""WITH $candCtes,
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM cand e1 JOIN cand e2 ON e2.a = e1.b
+         |             JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |v AS (SELECT unnest([x, y, z]) AS doc_id FROM tri),
+         |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM v GROUP BY 1),
+         |deg AS (SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM (SELECT a AS u FROM cand UNION ALL SELECT b AS u FROM cand)
+         |        GROUP BY 1)
+         |SELECT g.doc_id, deg, coalesce(n_tri, 0) AS n_tri,
+         |       CASE WHEN deg >= 2
+         |            THEN round(2.0 * coalesce(n_tri, 0) / (deg * (deg - 1)), 6)
+         |            ELSE 0.0 END AS cc
+         |FROM deg g LEFT JOIN tc USING (doc_id)
+         |ORDER BY g.doc_id""".stripMargin,
     "q_dedup_prefix" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
         |           FROM documents),
@@ -2574,6 +2654,15 @@ object TextQueries extends QueryPack {
          |       CAST(sum(admit) AS BIGINT) AS n_sampled,
          |       round(sum(admit) * 100.0 / count(*), 4) AS achieved_pct
          |FROM m GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_sample_fixedk" ->
+      s"""WITH hsrc AS (SELECT lang, doc_id,
+         |                     ${rhSql("('samp:' || CAST(doc_id AS VARCHAR))")} AS h
+         |              FROM documents),
+         |r AS (SELECT lang, doc_id, h,
+         |             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rank
+         |      FROM hsrc)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, CAST(h AS BIGINT) AS h
+         |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
     // Non-negative operands, so DuckDB // equals Spark div.
     "q_sample_pps" ->
       """WITH docs AS (SELECT doc_id, lang,

@@ -505,6 +505,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_agg_incremental: only the delta branch reads the raw table — stored aggregate merges via one outer join") {
+    val df = SparkEntry.queries("q_agg_incremental")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.count(_.toString.contains("FileScan")) == 1, leaves.mkString("\n"))
+    assert(leaves.count(_.toString.contains("ExistingRDD")) == 1, leaves.mkString("\n"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("q_graph_clustercoef: degrees and triangles both ride the memoized edge list — no corpus re-scan, no cartesian") {
+    val df = SparkEntry.queries("q_graph_clustercoef")(spark, d)
+    val plan0 = df.queryExecution.executedPlan
+    assert(plan0.collectLeaves().count(_.toString.contains("FileScan")) == 0, plan0.toString)
+    val p = plan0.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_histogram_eqdepth: boundary table broadcasts back — fact side never shuffles to classify, no window") {
+    val p = plan("q_histogram_eqdepth")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_sample_fixedk: bottom-k-by-hash merges map-side with bounded state — no per-lang sort or window") {
+    val df = SparkEntry.queries("q_sample_fixedk")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_topkaggregator"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_graph_triangles: wedges close via LeftSemi on the memoized edge list — no cartesian, no corpus re-scan") {
     val p = plan("q_graph_triangles")
     assert(p.contains("LeftSemi"), p)
