@@ -18,6 +18,7 @@ import graft.functions.expr.{DotProductF32, SqL2DistF32}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.BandedHammingJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.BucketedRangeJoinRule)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(

@@ -447,6 +447,29 @@ object JoinQueries extends QueryPack {
         .filter(col("point") >= col("lo") && col("point") <= col("hi"))
         .select(col("o_orderkey"), col("point"), col("tier_id"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // J6c: the NAIVE spelling of the same point-in-interval lookup, left to
+    // the OPTIMIZER — the bare BETWEEN join every analyst writes first,
+    // which Catalyst alone can only nested-loop. [[graft.plans
+    // .BucketedRangeJoinRule]] rewrites it into the bucket-grid equi join
+    // automatically (the q_join_pointrange decomposition as a Rule
+    // [LogicalPlan]; row-identity proven in BucketedRangeRuleSpec, the
+    // rewrite pinned in PlanSpec, kill switch spark.graft.rewrite
+    // .rangeJoin). Shares q_join_pointrange's oracle-side SQL shape: both
+    // must produce identical rows.
+    "q_join_interval_rule" -> ((s, d) => {
+      val n = 2000L; val stride = 300L
+      val tiers = s.range(0, n).select(
+        col("id").as("tier_id"),
+        (col("id") * stride).as("lo"),
+        (col("id") * stride + 50 + pmod(col("id") * 37, lit(250))).as("hi"))
+      val pts = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        pmod(round(col("o_totalprice") * 100).cast("long"), lit(n * stride)).as("point"))
+      pts.join(tiers, col("point") >= col("lo") && col("point") <= col("hi"))
+        .select(col("o_orderkey"), col("point"), col("tier_id"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -679,6 +702,17 @@ object JoinQueries extends QueryPack {
     // The oracle spells the join the natural way (BETWEEN); DuckDB's IEJoin
     // handles it. All operands non-negative ⇒ DuckDB % == Spark pmod.
     "q_join_pointrange" ->
+      """WITH tiers AS (SELECT CAST(range AS BIGINT) AS tier_id,
+        |                      CAST(range * 300 AS BIGINT) AS lo,
+        |                      CAST(range * 300 + 50 + (range * 37) % 250 AS BIGINT) AS hi
+        |               FROM range(2000)),
+        |p AS (SELECT o_orderkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) % 600000 AS point
+        |      FROM orders)
+        |SELECT o_orderkey, point, tier_id
+        |FROM p JOIN tiers ON point BETWEEN lo AND hi
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_interval_rule" ->
       """WITH tiers AS (SELECT CAST(range AS BIGINT) AS tier_id,
         |                      CAST(range * 300 AS BIGINT) AS lo,
         |                      CAST(range * 300 + 50 + (range * 37) % 250 AS BIGINT) AS hi

@@ -475,6 +475,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_join_interval_rule: the naive BETWEEN join is rewritten to the bucket-grid equi join by the optimizer rule") {
+    val p = plan("q_join_interval_rule")
+    assert(p.contains("__graft_bkt"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_text_bm25: one tokenization — scoring joins the broadcast probe, top-20 via TakeOrdered") {
     val df = SparkEntry.queries("q_text_bm25")(spark, d)
     val plan0 = df.queryExecution.executedPlan
