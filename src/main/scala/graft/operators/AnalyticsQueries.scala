@@ -359,6 +359,37 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("user_id"), col("tus"), col("event_id"))
     }),
 
+    // TIME-WEIGHTED AVERAGE (TWAP) — the telemetry/finance mean that
+    // weights each observed value by how long it HELD, not how often it
+    // was sampled (an unweighted mean over-counts bursty periods). Per
+    // user: Δt to the next event via lead() on the one (user_id, ts)
+    // high-cardinality window — the last (open-ended) observation drops;
+    // weights are EXACT integer cents × Δt-milliseconds (bounded:
+    // |c·Δt_ms| < 2^53 for cents < 10^6 and spans < a decade, documented),
+    // and the reported TWAP floor-divides the integer sums — operands
+    // non-negative, so Spark div == DuckDB //. Users with a single event
+    // have no held interval and drop with the HAVING — a NULL mean would
+    // be the wrong claim.
+    "q_time_twap" -> ((s, d) => {
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .withColumn("dt_us", lead(col("tus"), 1).over(byTs) - col("tus"))
+        .filter(col("dt_us").isNotNull)
+        .withColumn("dt_ms", expr("dt_us div 1000"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("c") * col("dt_ms")).as("wsum"),
+          sum(col("dt_ms")).as("dt_total_ms"))
+        .filter(col("dt_total_ms") > 0)
+        .select(col("user_id"), col("n_intervals"),
+          col("wsum"), col("dt_total_ms"),
+          expr("wsum div dt_total_ms").as("twap_c"))
+        .orderBy(col("user_id"))
+    }),
+
     // Slowly-changing-dimension TYPE 2 history build: collapse each user's
     // event stream into state-change intervals — one row per run of equal
     // event_type, with [valid_from, valid_to) in epoch-µs and a per-user
@@ -1094,6 +1125,22 @@ object AnalyticsQueries extends QueryPack {
     // Dyadic weights keep every term integer; the +2^48/−2^40 offset makes
     // the floor division sign-safe (Spark div truncates, DuckDB // floors —
     // identical only on non-negative operands, which the offset guarantees).
+    // lead() both sides; non-negative operands make // equal Spark's div.
+    "q_time_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |           FROM events),
+        |iv AS (SELECT user_id, c,
+        |              (lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |               - tus) // 1000 AS dt_ms
+        |       FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |       CAST(sum(c * dt_ms) AS BIGINT) AS wsum,
+        |       CAST(sum(dt_ms) AS BIGINT) AS dt_total_ms,
+        |       CAST(sum(c * dt_ms) // sum(dt_ms) AS BIGINT) AS twap_c
+        |FROM iv WHERE dt_ms IS NOT NULL
+        |GROUP BY user_id HAVING sum(dt_ms) > 0
+        |ORDER BY user_id""".stripMargin,
     "q_time_ewma" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
         |                  CAST(round(value * 1e6) AS BIGINT) AS v6 FROM events)

@@ -449,6 +449,35 @@ object JoinQueries extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Jx: NESTED subquery composition — an IN-subquery whose inner query
+    // itself carries two CORRELATED scalar subqueries ("customers with at
+    // least one order above 3× their own average order value"). Exercises
+    // the decorrelation depth beyond q_subquery_corr's flat Q17 shape:
+    // Catalyst decorrelates each scalar into an equi join against a
+    // per-customer aggregate (count-bug handling included — the count
+    // scalar rewrites through a left-outer join with a null→0 projection)
+    // and plans the outer IN as a semi join — rewrites composing in one
+    // statement, zero per-row subquery execution (PlanSpec-pinned; the
+    // two aggregates stay separate plans, MergeScalarSubqueries does not
+    // fire across the differing null semantics — observed, not a bug).
+    // The average compare is integer cross-multiplied cents (price·n >
+    // 3·Σprice), so no engine materializes a mean.
+    "q_subquery_nested" -> ((s, d) => {
+      val s2 = s.newSession()
+      Tables.customer(s2, d).createOrReplaceTempView("customer")
+      Tables.orders(s2, d).createOrReplaceTempView("orders")
+      s2.sql(
+        """SELECT c_custkey, c_name
+          |FROM customer WHERE c_custkey IN (
+          |  SELECT o_custkey FROM orders o1
+          |  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          |        * (SELECT count(*) FROM orders o2
+          |           WHERE o2.o_custkey = o1.o_custkey)
+          |      > 3 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+          |             FROM orders o2 WHERE o2.o_custkey = o1.o_custkey))
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // J6c: the NAIVE spelling of the same point-in-interval lookup, left to
     // the OPTIMIZER — the bare BETWEEN join every analyst writes first,
     // which Catalyst alone can only nested-loop. [[graft.plans
@@ -712,6 +741,16 @@ object JoinQueries extends QueryPack {
         |SELECT o_orderkey, point, tier_id
         |FROM p JOIN tiers ON point BETWEEN lo AND hi
         |ORDER BY o_orderkey""".stripMargin,
+    "q_subquery_nested" ->
+      """SELECT c_custkey, c_name
+        |FROM customer WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders o1
+        |  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        * (SELECT count(*) FROM orders o2
+        |           WHERE o2.o_custkey = o1.o_custkey)
+        |      > 3 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |             FROM orders o2 WHERE o2.o_custkey = o1.o_custkey))
+        |ORDER BY c_custkey""".stripMargin,
     "q_join_interval_rule" ->
       """WITH tiers AS (SELECT CAST(range AS BIGINT) AS tier_id,
         |                      CAST(range * 300 AS BIGINT) AS lo,

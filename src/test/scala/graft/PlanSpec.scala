@@ -475,6 +475,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_subquery_nested: IN + two correlated scalars fully decorrelate — semi join over aggregate joins, no per-row subquery") {
+    val df = SparkEntry.queries("q_subquery_nested")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("subqueryexec"), p) // nothing executes per-row
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // both correlated aggregates, partial+final
+  }
+
+  test("q_time_twap: interval weights and the aggregate share ONE user_id exchange") {
+    val p = plan("q_time_twap")
+    // lead() partitions on user_id; the groupBy(user_id) rides the same
+    // hash partitioning — a second exchange here would be a regression
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert("WindowExec|Window ".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q_join_interval_rule: the naive BETWEEN join is rewritten to the bucket-grid equi join by the optimizer rule") {
     val p = plan("q_join_interval_rule")
     assert(p.contains("__graft_bkt"), p)
