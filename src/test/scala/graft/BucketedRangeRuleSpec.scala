@@ -99,6 +99,18 @@ class BucketedRangeRuleSpec extends AnyFunSuite with SparkSpec {
     assert(rows.toSeq == naive(disableRule = true, "p >= lo AND p <= hi AND pid < tid").collect().toSeq)
   }
 
+  test("identity holds across grid sizes: bucketBits 4, 8 and 13 all reproduce the naive rows") {
+    val want = naive(disableRule = true).collect().toSeq
+    for (bits <- Seq(4, 8, 13)) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.rewrite.rangeJoin.bucketBits", bits.toString)
+      val got = points(s2).join(intervals(s2), expr("p >= lo AND p <= hi"))
+        .select(col("pid"), col("tid")).orderBy(col("pid"), col("tid"))
+      assert(got.queryExecution.executedPlan.toString.contains("__graft_bkt"), s"bits=$bits")
+      assert(got.collect().toSeq == want, s"bits=$bits")
+    }
+  }
+
   test("non-matching shapes are untouched: an extra equi conjunct keeps the hash-join plan") {
     val s2 = spark.newSession()
     val pts = points(s2).withColumn("g", col("pid") % 5)
