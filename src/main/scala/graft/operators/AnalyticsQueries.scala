@@ -835,6 +835,38 @@ object AnalyticsQueries extends QueryPack {
     // 100 TB the exact distincts would ride approx_count_distinct under
     // the q_agg_approx_distinct bounded-error contract instead — the
     // documented swap, same plan shape.
+    // SHUFFLE-SKEW AUDIT — the pre-join diagnostic that decides whether a
+    // key needs the q_join_skew_salted path: hash the join key onto the
+    // shuffle's own bucket space (32 reducers here — portable polynomial
+    // hash so the oracle reproduces the routing) and report the reducer
+    // load distribution as exact integers: max/mean imbalance in percent
+    // and the Gini coefficient in ppm (0 = perfectly level, →1 = one
+    // reducer owns the shuffle). Empty buckets restore via the spine (a
+    // missing reducer is load 0, not "no data" — dropping it understates
+    // skew). ONE corpus exchange (partial-aggregated bucket counts); the
+    // ranking window is a deliberate 32-row metadata-scale pass.
+    "q_profile_skew" -> ((s, d) => {
+      val h = graft.functions.TextFns.rollingHash(
+        concat(lit("skew:"), col("l_partkey").cast("string")))
+      val counts = Tables.lineitem(s, d)
+        .select(pmod(h, lit(32)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val spine = s.range(0, 32).select(col("id").as("bucket"))
+      val b = spine.join(counts, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+      val byN = Window.orderBy(col("n"), col("bucket"))
+      val all = Window.partitionBy(lit(1))
+      b.withColumn("rn", row_number().over(byN).cast("long"))
+        .withColumn("total", sum(col("n")).over(all))
+        .withColumn("gterm", (col("rn") * 2 - 33) * col("n"))
+        .groupBy(col("total"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_n"),
+          min(col("n")).as("min_n"), sum(col("gterm")).as("gnum"))
+        .select(col("total"), col("n_buckets"), col("max_n"), col("min_n"),
+          expr("(max_n * n_buckets * 100) div total").as("max_x_mean_pct"),
+          expr("(gnum * 1000000) div (n_buckets * total)").as("gini_ppm"))
+    }),
+
     "q_profile_events" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
       val p = ev.agg(
@@ -1344,6 +1376,24 @@ object AnalyticsQueries extends QueryPack {
         |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
     // Numeric min/max cross-rendered ONLY as doubles (ids/epoch-µs < 2^53,
     // exact); strings stay strings — both engines binary-collate ASCII.
+    // Same portable hash fragment as the Spark side; non-negative operands
+    // so // and div agree, and the asc (n, bucket) rank order is total.
+    "q_profile_skew" ->
+      s"""WITH b0 AS (SELECT ${TextQueries.rhSql("('skew:' || CAST(l_partkey AS VARCHAR))")} % 32 AS bucket
+         |            FROM lineitem),
+         |b1 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b0 GROUP BY 1),
+         |b AS (SELECT r.bucket, coalesce(n, 0) AS n
+         |      FROM (SELECT CAST(range AS BIGINT) AS bucket FROM range(32)) r
+         |      LEFT JOIN b1 USING (bucket)),
+         |rnk AS (SELECT n,
+         |               CAST(row_number() OVER (ORDER BY n, bucket) AS BIGINT) AS rn,
+         |               CAST(sum(n) OVER () AS BIGINT) AS total
+         |        FROM b)
+         |SELECT total, CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(max(n) AS BIGINT) AS max_n, CAST(min(n) AS BIGINT) AS min_n,
+         |       CAST((max(n) * count(*) * 100) // total AS BIGINT) AS max_x_mean_pct,
+         |       CAST((sum((rn * 2 - 33) * n) * 1000000) // (count(*) * total) AS BIGINT) AS gini_ppm
+         |FROM rnk GROUP BY total""".stripMargin,
     "q_profile_events" ->
       """WITH p AS (SELECT count(*) AS n,
         |  count(DISTINCT event_id) AS d_event_id,

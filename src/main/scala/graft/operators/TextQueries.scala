@@ -1918,7 +1918,7 @@ object TextQueries extends QueryPack {
       .localCheckpoint()
 
   /** DuckDB fragment reproducing [[TextFns.rollingHash]] exactly. */
-  private def rhSql(e: String): String =
+  private[operators] def rhSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($e)+1), c -> CAST(ascii($e[c]) AS BIGINT))), " +
       s"(a,b) -> (a*31+b) % 1000000007)"

@@ -484,6 +484,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // both correlated aggregates, partial+final
   }
 
+  test("q_profile_skew: ONE corpus exchange — bucket counts combine map-side, ranking runs at reducer cardinality") {
+    val df = SparkEntry.queries("q_profile_skew")(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.count(_.toString.contains("FileScan")) == 1, leaves.mkString("\n"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_time_twap: interval weights and the aggregate share ONE user_id exchange") {
     val p = plan("q_time_twap")
     // lead() partitions on user_id; the groupBy(user_id) rides the same
