@@ -1494,7 +1494,13 @@ object TextQueries extends QueryPack {
     "q_text_dsir" -> ((s, d) =>
       dsirScores(s, d)
         .select(col("doc_id"), col("n_tok"),
-          round((col("s6") / col("n_tok")) / lit(1e6), 6).as("dsir_w"),
+          // mean LLR floored at the µ-unit in INTEGER space (the
+          // q_sample_dsir offset trick), THEN divided — round(double/n, 6)
+          // here diverged from DuckDB by 1 µ-unit on a negative half
+          // boundary at sf0.1 (Spark HALF_UP vs DuckDB's double rounding);
+          // the same integer fed to the same single division is bit-equal.
+          ((expr("(s6 + 100000000L * n_tok) div n_tok") - lit(100000000L)) / lit(1e6))
+            .as("dsir_w"),
           when(col("s6") > 0, 1L).otherwise(0L).as("keep"))
         .orderBy(col("doc_id"))),
 
@@ -2608,7 +2614,8 @@ object TextQueries extends QueryPack {
         |                           - ln((s.nc - s.ncv + 1.0) / (s.nc + 21))) * 1e6) AS BIGINT)
         |               AS unk_llr6 FROM s)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-        |       round((sum(coalesce(lm.llr6, unk.unk_llr6)) / count(*)) / 1e6, 6) AS dsir_w,
+        |       ((sum(coalesce(lm.llr6, unk.unk_llr6)) + 100000000 * count(*)) // count(*)
+        |        - 100000000) / 1e6 AS dsir_w,
         |       CAST(CASE WHEN sum(coalesce(lm.llr6, unk.unk_llr6)) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM tok LEFT JOIN lm USING (w), unk
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
