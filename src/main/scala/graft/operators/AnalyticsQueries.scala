@@ -835,6 +835,40 @@ object AnalyticsQueries extends QueryPack {
     // 100 TB the exact distincts would ride approx_count_distinct under
     // the q_agg_approx_distinct bounded-error contract instead — the
     // documented swap, same plan shape.
+    // ASSOCIATION-RULE MINING (support / lift over co-occurring items) —
+    // the market-basket pass: which event types co-occur in the same
+    // user's history more than independence predicts. Baskets are per-user
+    // DISTINCT type sets (one groupBy); pairs expand by a user-keyed
+    // self-join with ta < tb — bounded by the item vocabulary (5 types ⇒
+    // ≤10 pairs/user; at 100 TB the bound is the catalog size, never the
+    // corpus). Lift is never materialized as a double: the >1 test is the
+    // integer cross-multiplication n_ab·N > n_a·n_b, and support reports
+    // in exact ppm. Per-item counts join back by broadcast (item-
+    // cardinality table); the basket table shuffles once on user_id.
+    "q_assoc_rules" -> ((s, d) => {
+      // basket table MATERIALIZED: per-item counts, the pair self-join
+      // (both branches) and the user-count scalar all read it — one corpus
+      // scan, no recomputed lineage, no driver-side action.
+      val items = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct().localCheckpoint()
+      val perItem = items.groupBy(col("event_type")).agg(count(lit(1)).as("n_i"))
+      val nUsers = items.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val pairs = items.as("x").join(items.as("y"),
+          col("x.user_id") === col("y.user_id")
+            && col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(perItem.select(col("event_type").as("ta"), col("n_i").as("n_a"))), "ta")
+        .join(broadcast(perItem.select(col("event_type").as("tb"), col("n_i").as("n_b"))), "tb")
+        .crossJoin(broadcast(nUsers))
+        .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_ab"),
+          expr("(n_ab * 1000000L) div n_users").as("support_ppm"),
+          (col("n_ab") * col("n_users") > col("n_a") * col("n_b")).cast("long").as("lift_gt1"))
+        .orderBy(col("ta"), col("tb"))
+    }),
+
     // SHUFFLE-SKEW AUDIT — the pre-join diagnostic that decides whether a
     // key needs the q_join_skew_salted path: hash the join key onto the
     // shuffle's own bucket space (32 reducers here — portable polynomial
@@ -1376,6 +1410,22 @@ object AnalyticsQueries extends QueryPack {
         |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
     // Numeric min/max cross-rendered ONLY as doubles (ids/epoch-µs < 2^53,
     // exact); strings stay strings — both engines binary-collate ASCII.
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
+        |per_item AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i
+        |             FROM items GROUP BY 1),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM items),
+        |pairs AS (SELECT x.event_type AS ta, y.event_type AS tb,
+        |                 CAST(count(*) AS BIGINT) AS n_ab
+        |          FROM items x JOIN items y
+        |            ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |          GROUP BY 1, 2)
+        |SELECT ta, tb, a.n_i AS n_a, b.n_i AS n_b, n_ab,
+        |       CAST((n_ab * 1000000) // n_users AS BIGINT) AS support_ppm,
+        |       CAST(n_ab * n_users > a.n_i * b.n_i AS BIGINT) AS lift_gt1
+        |FROM pairs JOIN per_item a ON pairs.ta = a.event_type
+        |           JOIN per_item b ON pairs.tb = b.event_type, nu
+        |ORDER BY ta, tb""".stripMargin,
     // Same portable hash fragment as the Spark side; non-negative operands
     // so // and div agree, and the asc (n, bucket) rank order is total.
     "q_profile_skew" ->

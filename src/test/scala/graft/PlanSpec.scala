@@ -484,6 +484,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // both correlated aggregates, partial+final
   }
 
+  test("q_assoc_rules: all branches read the materialized basket table — one corpus scan, stats join broadcast") {
+    val df = SparkEntry.queries("q_assoc_rules")(spark, d)
+    val plan0 = df.queryExecution.executedPlan
+    assert(plan0.collectLeaves().count(_.toString.contains("FileScan")) == 0, plan0.toString)
+    val p = plan0.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_profile_skew: ONE corpus exchange — bucket counts combine map-side, ranking runs at reducer cardinality") {
     val df = SparkEntry.queries("q_profile_skew")(spark, d)
     val leaves = df.queryExecution.executedPlan.collectLeaves()
