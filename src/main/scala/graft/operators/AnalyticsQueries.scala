@@ -359,6 +359,27 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("user_id"), col("tus"), col("event_id"))
     }),
 
+    // W-family completeness: FIRST_VALUE / LAST_VALUE / NTH_VALUE over the
+    // full-partition frame (unbounded both ways — the "compare each event
+    // to its user's first, latest and third" report). All three ride ONE
+    // window spec, so Spark plans a single WindowExec on a single user_id
+    // exchange; values in exact integer cents. Output thinned by a
+    // deterministic event_id stride so the result stays a bounded report.
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .withColumn("first_c", first(col("c")).over(w))
+        .withColumn("last_c", last(col("c")).over(w))
+        .withColumn("nth3_c", nth_value(col("c"), 3).over(w))
+        .filter(col("event_id") % 50 === 0)
+        .select(col("user_id"), col("event_id"), col("c"),
+          col("first_c"), col("last_c"), col("nth3_c"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // TIME-WEIGHTED AVERAGE (TWAP) — the telemetry/finance mean that
     // weights each observed value by how long it HELD, not how often it
     // was sampled (an unweighted mean over-counts bursty periods). Per
@@ -1196,6 +1217,20 @@ object AnalyticsQueries extends QueryPack {
     // Dyadic weights keep every term integer; the +2^48/−2^40 offset makes
     // the floor division sign-safe (Spark div truncates, DuckDB // floors —
     // identical only on non-negative operands, which the offset guarantees).
+    "q_window_firstlast" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |           FROM events),
+        |w AS (SELECT user_id, event_id, c,
+        |             first_value(c) OVER win AS first_c,
+        |             last_value(c) OVER win AS last_c,
+        |             nth_value(c, 3) OVER win AS nth3_c
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, c, first_c, last_c, nth3_c
+        |FROM w WHERE event_id % 50 = 0
+        |ORDER BY user_id, event_id""".stripMargin,
     // lead() both sides; non-negative operands make // equal Spark's div.
     "q_time_twap" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,

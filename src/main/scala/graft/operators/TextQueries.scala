@@ -696,6 +696,35 @@ object TextQueries extends QueryPack {
     "q_graph_triangles" -> ((s, d) =>
       triangleCounts(s, d).orderBy(col("doc_id"))),
 
+    // X2y: INTER-SOURCE OVERLAP MATRIX — "how much does crawl A duplicate
+    // crawl B": the memoized LSH candidate edges labeled with each
+    // endpoint's source, rolled up per unordered source pair, with the
+    // rate normalized by the POSSIBLE pair count (n_a·n_b cross-source,
+    // C(n_a,2) within-source) in exact parts-per-billion. The curation
+    // report that decides which crawl to drop when two overlap heavily.
+    // Shape: two source-label joins onto the edge table (edges are the
+    // banded candidate set — bounded), one pair-keyed rollup, per-source
+    // counts broadcast back; the corpus itself never re-tokenizes.
+    "q_source_overlap" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val perSrc = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val pairs = candidateEdges(s, d)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("s1")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("s2")), "doc_b")
+        .select(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+      pairs
+        .join(broadcast(perSrc.select(col("source").as("src_a"), col("n_docs").as("n_a"))), "src_a")
+        .join(broadcast(perSrc.select(col("source").as("src_b"), col("n_docs").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_pairs"),
+          expr("(n_pairs * 1000000000L) div " +
+            "(CASE WHEN src_a = src_b THEN (n_a * (n_a - 1)) div 2 ELSE n_a * n_b END)")
+            .as("rate_ppb"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // X13c: LOCAL CLUSTERING COEFFICIENT — cc(v) = 2·tri(v)/(deg(v)·
     // (deg(v)−1)), the density of a doc's near-dup neighborhood: high cc
     // marks template/boilerplate families (the neighbors also duplicate
@@ -2026,6 +2055,24 @@ object TextQueries extends QueryPack {
          |v AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH $candCtes,
+         |lab AS (SELECT c.a, c.b,
+         |               least(da.source, db.source) AS src_a,
+         |               greatest(da.source, db.source) AS src_b
+         |        FROM cand c JOIN documents da ON c.a = da.doc_id
+         |                    JOIN documents db ON c.b = db.doc_id),
+         |p AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM lab GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY 1)
+         |SELECT src_a, src_b, a.n_docs AS n_a, b.n_docs AS n_b, n_pairs,
+         |       CAST((n_pairs * 1000000000) //
+         |            (CASE WHEN src_a = src_b THEN (a.n_docs * (a.n_docs - 1)) // 2
+         |                  ELSE a.n_docs * b.n_docs END) AS BIGINT) AS rate_ppb
+         |FROM p JOIN ns a ON p.src_a = a.source
+         |       JOIN ns b ON p.src_b = b.source
+         |ORDER BY src_a, src_b""".stripMargin,
     "q_graph_clustercoef" ->
       s"""WITH $candCtes,
          |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z

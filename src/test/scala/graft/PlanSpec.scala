@@ -493,6 +493,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_window_firstlast: first/last/nth share ONE WindowExec on one user_id exchange") {
+    val p = plan("q_window_firstlast")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+  }
+
   test("q_profile_skew: ONE corpus exchange — bucket counts combine map-side, ranking runs at reducer cardinality") {
     val df = SparkEntry.queries("q_profile_skew")(spark, d)
     val leaves = df.queryExecution.executedPlan.collectLeaves()
