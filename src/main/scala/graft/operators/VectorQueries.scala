@@ -798,6 +798,36 @@ object VectorQueries extends QueryPack {
         .select(col("doc_a").as("frame_a"), col("doc_b").as("frame_b"), col("hamming"))
     }),
 
+    // X5f: IMAGE RESIZE — nearest-neighbor resample of the DECODED
+    // luminance plane to a fixed 4×4 thumbnail (the preprocessing step
+    // every vision pipeline runs before feature extraction; NN is the
+    // deterministic integer-arithmetic kernel — bilinear would add FP).
+    // Source pixel for target (r, c): row (r·H) div 4 of the 4-wide
+    // plane, same column — pure index math over the luma bytes, all of
+    // it inside one codegen'd projection (decode → hex → 16 extractions),
+    // zero shuffles before the output sort. The oracle reproduces
+    // decode + indexing with integer // arithmetic; payloads are the
+    // same crafted P6 wrapping as q_dedup_phash, so every doc parses.
+    "q_multimodal_resize" -> ((s, d) => {
+      val bin = encode(col("text"), "utf-8")
+      val hRows = (length(bin) / lit(12)).cast("int")
+      val payload = concat(
+        encode(concat(lit("P6\n4 "), hRows.cast("string"), lit("\n255\n")), "utf-8"),
+        bin.substr(lit(1), hRows * lit(12)))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.multimodal.MediaPipeline.lumaOrRaw(payload).as("luma"))
+        .withColumn("h", expr("length(luma) div 4"))
+        .withColumn("hx", hex(col("luma")))
+      val cells = for (r <- 0 until 4; c <- 0 until 4) yield {
+        val idx = (expr(s"($r * h) div 4") * 4 + lit(c)).cast("long")
+        conv(col("hx").substr(idx * 2 + 1, lit(2)), 16, 10).cast("long")
+      }
+      base.select(col("doc_id"), col("h"),
+          concat_ws(",", cells.map(_.cast("string")): _*).as("thumb4x4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X5e: AUDIO decode stats — the third MediaPipeline modality branch:
     // payloads decoded as little-endian int16 PCM, with the
     // loudness/clipping/silence screen (n, Σv², peak, zero-crossings)
@@ -1264,6 +1294,26 @@ object VectorQueries extends QueryPack {
         |           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
         |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
+    // Same luma derivation as the q_dedup_phash oracle (decoded plane =
+    // payload body = first 12·⌊n/12⌋ text bytes through Rec.601 integer
+    // math); the resample is pure index arithmetic on that plane.
+    "q_multimodal_resize" ->
+      s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  (length(hex(encode(text))) // 2 // 12) * 4 AS nb
+        |           FROM documents),
+        |bytes AS (SELECT doc_id, nb, r.i AS i,
+        |                 (299 * ${byteSql("hx", "3*r.i")}
+        |                  + 587 * ${byteSql("hx", "3*r.i+1")}
+        |                  + 114 * ${byteSql("hx", "3*r.i+2")}) // 1000 AS v
+        |          FROM t, LATERAL (SELECT unnest(range(0, nb)) AS i) r),
+        |grid AS (SELECT r.x AS gr, c.x AS gc FROM range(4) r(x), range(4) c(x)),
+        |sel AS (SELECT t.doc_id, t.nb // 4 AS h, g.gr, g.gc,
+        |               ((g.gr * (t.nb // 4)) // 4) * 4 + g.gc AS idx
+        |        FROM t, grid g)
+        |SELECT sel.doc_id, CAST(h AS BIGINT) AS h,
+        |       string_agg(CAST(b.v AS VARCHAR), ',' ORDER BY gr, gc) AS thumb4x4
+        |FROM sel JOIN bytes b ON b.doc_id = sel.doc_id AND b.i = sel.idx
+        |GROUP BY 1, 2 ORDER BY sel.doc_id""".stripMargin,
     // Frame slicing matches the frames oracle (64 hex chars = 32 bytes,
     // partial tail frame dropped in both engines); the hash/banding chain
     // is the q_dedup_phash construction over each frame's 32 bytes.

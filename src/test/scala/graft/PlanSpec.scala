@@ -493,6 +493,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_multimodal_resize: decode + resample is one shuffle-free projection — no join, no window, no aggregate") {
+    val df = SparkEntry.queries("q_multimodal_resize")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Aggregate"), p)
+    assert("hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
   test("q_window_firstlast: first/last/nth share ONE WindowExec on one user_id exchange") {
     val p = plan("q_window_firstlast")
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
