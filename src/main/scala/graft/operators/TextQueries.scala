@@ -696,6 +696,47 @@ object TextQueries extends QueryPack {
     "q_graph_triangles" -> ((s, d) =>
       triangleCounts(s, d).orderBy(col("doc_id"))),
 
+    // X2z: LSH BANDING-PARAMETER SWEEP — the S-curve tuning harness for
+    // the MinHash family: the SAME 8-hash signatures banded three ways
+    // (r=1 ⇒ 8 bands, r=2 ⇒ 4, r=4 ⇒ 2), each config's candidate count
+    // plus its EXACT-verified precision at Jaccard ≥ 0.5 (integer test
+    // 3·inter ≥ na+nb — never a double). Collision probability is
+    // 1−(1−s^r)^b, so smaller r must produce more candidates at lower
+    // precision — this query MEASURES that trade on the corpus, which is
+    // how you pick (b, r) before a 100 TB run instead of guessing.
+    // Cost shape: signatures compute ONCE (materialized); each config is
+    // a metadata-cheap re-banding of the 8-row-per-doc sig table; the
+    // expensive exact verify runs ONCE on the distinct union of
+    // candidates, then every config joins the shared verdict table.
+    // Recall vs ground truth is NOT reported — that would need the
+    // all-pairs join this family exists to avoid (documented omission).
+    "q_dedup_lsh_sweep" -> ((s, d) => {
+      val sigs = minhashSigsOf(docShingles(s, d)).localCheckpoint()
+      def candFor(r: Int) = bandPairsOf(
+        sigs.withColumn("band", expr(s"i div $r").cast("int"))
+          .groupBy(col("doc_id"), col("band"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("i"), col("minh")))),
+            p => p.getField("minh").cast("string")), ",").as("bkey")))
+        .distinct().withColumn("r", lit(r.toLong))
+      val cand = Seq(1, 2, 4).map(candFor).reduce(_ unionAll _)
+      val sets = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(TextFns.shinglesFromText(col("text"), 3)).as("shs"))
+      val verified = cand.select(col("doc_a"), col("doc_b")).distinct()
+        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa"), col("sb"))) * 3
+            >= size(col("sa")) + size(col("sb"))).cast("long").as("is_true"))
+      cand.join(verified, Seq("doc_a", "doc_b"))
+        .groupBy(col("r"))
+        .agg(count(lit(1)).as("n_cand"), sum(col("is_true")).as("n_true"))
+        .select(col("r"), expr("8 div r").as("b"), col("n_cand"), col("n_true"),
+          expr("(n_true * 1000000L) div n_cand").as("precision_ppm"))
+        .orderBy(col("r"))
+    }),
+
     // X2y: INTER-SOURCE OVERLAP MATRIX — "how much does crawl A duplicate
     // crawl B": the memoized LSH candidate edges labeled with each
     // endpoint's source, rolled up per unordered source pair, with the
@@ -1969,12 +2010,18 @@ object TextQueries extends QueryPack {
     * oracle-side mirror of [[candidateEdges]], shared by the closure and
     * triangle oracles.
     */
-  private lazy val candCtes: String =
+  /** CTE chain up to the 8-hash MinHash signature table `mh` — shared by
+    * the candidate-edge chain and the banding-sweep oracle.
+    */
+  private lazy val mhCtes: String =
     s"""$shCte,
        |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
        |mh AS (SELECT doc_id, r.i AS i,
        |              min(((3 + 2*r.i) * h + (7 + 11*r.i)) % 1000000007) AS minh
-       |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2),
+       |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2)""".stripMargin
+
+  private lazy val candCtes: String =
+    s"""$mhCtes,
        |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
        |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
        |          FROM mh GROUP BY 1, 2),
@@ -2055,6 +2102,32 @@ object TextQueries extends QueryPack {
          |v AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Signature table shared with the candidate chain; each config re-bands
+    // it, the exact verify (3·inter ≥ na+nb ⟺ Jaccard ≥ ½) runs on the
+    // distinct candidate union.
+    "q_dedup_lsh_sweep" ->
+      s"""WITH $mhCtes,
+         |bands3 AS (SELECT doc_id, c.r AS r, CAST(i // c.r AS INT) AS band,
+         |                  string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
+         |           FROM mh CROSS JOIN (VALUES (1), (2), (4)) c(r)
+         |           GROUP BY 1, 2, 3),
+         |sized3 AS (SELECT * FROM bands3
+         |           QUALIFY count(*) OVER (PARTITION BY r, band, bkey) BETWEEN 2 AND 100),
+         |cand3 AS (SELECT DISTINCT x.r AS r, x.doc_id AS a, y.doc_id AS b
+         |          FROM sized3 x JOIN sized3 y
+         |            ON x.r = y.r AND x.band = y.band AND x.bkey = y.bkey
+         |               AND x.doc_id < y.doc_id),
+         |sets AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY 1),
+         |ver AS (SELECT c.r, c.a, c.b,
+         |               CASE WHEN 3 * len(list_intersect(sa.shs, sb.shs))
+         |                         >= len(sa.shs) + len(sb.shs) THEN 1 ELSE 0 END AS is_true
+         |        FROM cand3 c JOIN sets sa ON c.a = sa.doc_id
+         |                     JOIN sets sb ON c.b = sb.doc_id)
+         |SELECT CAST(r AS BIGINT) AS r, CAST(8 // r AS BIGINT) AS b,
+         |       CAST(count(*) AS BIGINT) AS n_cand,
+         |       CAST(sum(is_true) AS BIGINT) AS n_true,
+         |       CAST((sum(is_true) * 1000000) // count(*) AS BIGINT) AS precision_ppm
+         |FROM ver GROUP BY r ORDER BY r""".stripMargin,
     "q_source_overlap" ->
       s"""WITH $candCtes,
          |lab AS (SELECT c.a, c.b,

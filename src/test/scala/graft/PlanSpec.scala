@@ -493,6 +493,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_dedup_lsh_sweep: configs re-band the materialized signature table — corpus tokenizes once, no cartesian") {
+    val df = SparkEntry.queries("q_dedup_lsh_sweep")(spark, d)
+    val plan0 = df.queryExecution.executedPlan
+    // one FileScan remains: the shingle-set table for the exact verify;
+    // all three banding configs read the checkpointed signatures
+    assert(plan0.collectLeaves().count(_.toString.contains("FileScan")) == 1, plan0.toString)
+    val p = plan0.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_multimodal_resize: decode + resample is one shuffle-free projection — no join, no window, no aggregate") {
     val df = SparkEntry.queries("q_multimodal_resize")(spark, d)
     val p = df.queryExecution.executedPlan.toString
