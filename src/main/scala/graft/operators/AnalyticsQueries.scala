@@ -856,6 +856,26 @@ object AnalyticsQueries extends QueryPack {
     // 100 TB the exact distincts would ride approx_count_distinct under
     // the q_agg_approx_distinct bounded-error contract instead — the
     // documented swap, same plan shape.
+    // Statistical MODE per group — the most frequent integer value bucket
+    // of each event type, with a DETERMINISTIC tie-break (smallest value
+    // among the tied counts; an unordered mode is nondeterministic under
+    // partitioning and would flap the oracle). Two partial-aggregated
+    // phases: count per (type, bucket), then argmax via max_by over a
+    // (count, -bucket) struct — no window, no low-cardinality partition
+    // funnel; both shuffles carry pre-combined rows.
+    "q_agg_mode" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .select(col("event_type"), round(col("value")).cast("long").as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("event_type"))
+        .agg(
+          max_by(col("v"), struct(col("n"), (-col("v")).as("tb"))).as("mode_v"),
+          max(col("n")).as("mode_n"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy(col("event_type"))
+    }),
+
     // ASSOCIATION-RULE MINING (support / lift over co-occurring items) —
     // the market-basket pass: which event types co-occur in the same
     // user's history more than independence predicts. Baskets are per-user
@@ -1445,6 +1465,19 @@ object AnalyticsQueries extends QueryPack {
         |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
     // Numeric min/max cross-rendered ONLY as doubles (ids/epoch-µs < 2^53,
     // exact); strings stay strings — both engines binary-collate ASCII.
+    // Tie-break mirrored via the (n DESC, v ASC) rank — same total order
+    // as the Spark side's (n, -v) argmax struct.
+    "q_agg_mode" ->
+      """WITH c AS (SELECT event_type, CAST(round(value) AS BIGINT) AS v,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, v AS mode_v, n AS mode_n,
+        |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_buckets
+        |      FROM c
+        |      QUALIFY row_number() OVER (PARTITION BY event_type
+        |                                 ORDER BY n DESC, v) = 1)
+        |SELECT event_type, mode_v, mode_n, n_buckets
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
         |per_item AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i

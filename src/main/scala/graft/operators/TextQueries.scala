@@ -696,6 +696,34 @@ object TextQueries extends QueryPack {
     "q_graph_triangles" -> ((s, d) =>
       triangleCounts(s, d).orderBy(col("doc_id"))),
 
+    // X4m: ZIPF RANK-FREQUENCY FIT — the corpus-law sanity check: regress
+    // ln(frequency) on ln(rank) over the top-30 vocabulary; natural text
+    // slopes near −1, and a corpus that drifts far off is machine-
+    // generated, templated, or broken upstream (the corpus-level cousin
+    // of q_text_gopher's per-doc rules). Discipline: the vocab collapses
+    // through ONE partial-aggregated exchange and a TakeOrdered; ln
+    // values carry as µ-unit longs so the closed-form slope's sufficient
+    // statistics (Σx, Σy, Σxy, Σx²) are exact integers (the
+    // q_text_quality_lr lesson) — the single final division is the only
+    // double op, identical in both engines.
+    "q_text_zipf" -> ((s, d) => {
+      val vocab = docTokens(s, d).groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(30)
+      val byC = Window.orderBy(col("c").desc, col("w")) // ≤30 rows: metadata scale
+      vocab.withColumn("rn", row_number().over(byC).cast("long"))
+        .withColumn("x6", round(log(col("rn")) * lit(1e6)).cast("long"))
+        .withColumn("y6", round(log(col("c")) * lit(1e6)).cast("long"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+          sum(col("x6") * col("y6")).as("sxy"),
+          sum(col("x6") * col("x6")).as("sxx"))
+        .select(col("n_terms"),
+          round((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("zipf_slope"))
+    }),
+
     // X2z: LSH BANDING-PARAMETER SWEEP — the S-curve tuning harness for
     // the MinHash family: the SAME 8-hash signatures banded three ways
     // (r=1 ⇒ 8 bands, r=2 ⇒ 4, r=4 ⇒ 2), each config's candidate count
@@ -2102,6 +2130,22 @@ object TextQueries extends QueryPack {
          |v AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+        |      ORDER BY c DESC, w LIMIT 30),
+        |r AS (SELECT c, w, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rn
+        |      FROM v),
+        |p AS (SELECT CAST(round(ln(rn) * 1e6) AS BIGINT) AS x6,
+        |             CAST(round(ln(c) * 1e6) AS BIGINT) AS y6 FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |             CAST(sum(x6) AS BIGINT) AS sx, CAST(sum(y6) AS BIGINT) AS sy,
+        |             CAST(sum(x6 * y6) AS BIGINT) AS sxy,
+        |             CAST(sum(x6 * x6) AS BIGINT) AS sxx FROM p)
+        |SELECT n_terms,
+        |       round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+        |             / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        |FROM s""".stripMargin,
     // Signature table shared with the candidate chain; each config re-bands
     // it, the exact verify (3·inter ≥ na+nb ⟺ Jaccard ≥ ½) runs on the
     // distinct candidate union.
