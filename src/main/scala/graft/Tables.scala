@@ -37,7 +37,18 @@ object Tables {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ->LTZ cast reinterprets WALL-CLOCK time in the session
+        // zone: only under UTC is it the pure micros reinterpretation the
+        // scaladoc promises. A session built without [[Sessions.tuned]]
+        // would silently shift every event by its zone offset — fail loudly
+        // instead.
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ: the micros-preserving cast to " +
+            s"TIMESTAMP requires spark.sql.session.timeZone=UTC (got '$tz'); " +
+            "build the session via graft.Sessions.tuned")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _                => raw
     }
   }

@@ -825,6 +825,11 @@ object VectorQueries extends QueryPack {
       }
       base.select(col("doc_id"), col("h"),
           concat_ws(",", cells.map(_.cast("string")): _*).as("thumb4x4"))
+        // <12 text bytes ⇒ hRows=0 ⇒ empty luma: the oracle's join against
+        // the empty bytes relation drops the doc, so drop it here too
+        // (otherwise Spark would emit an empty thumb and flip the gate the
+        // day a fixture ships a short payload).
+        .filter(col("h") >= 1)
         .orderBy(col("doc_id"))
     }),
 

@@ -111,6 +111,54 @@ class BucketedRangeRuleSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("lossy cast chains bucket the COMPARED value: rows identical to naive") {
+    // The old stripCast would bucket the UN-truncated column while the
+    // residual compared the truncated value — rows whose raw bucket fell
+    // outside [bucket(lo), bucket(hi)] silently vanished. Bare matching
+    // takes the whole cast chain as the point expression, so bucket key and
+    // residual agree on the same (truncated) value and monotonicity holds.
+    val cond = "CAST(CAST(p AS INT) AS BIGINT) >= lo AND CAST(CAST(p AS INT) AS BIGINT) <= hi"
+    val on = naive(disableRule = false, cond)
+    val plan = on.queryExecution.executedPlan.toString
+    // bucket must be derived from the cast chain, never the bare column
+    assert(!plan.contains("shiftright(p#"), plan)
+    assert(on.collect().toSeq == naive(disableRule = true, cond).collect().toSeq)
+  }
+
+  test("wide intervals split to the fallback path at maxBuckets, rows stay identical") {
+    import spark.implicits._
+    // one absurdly wide interval (epoch-micros-day scale) among narrow ones
+    val ivs = Seq((1L, 0L, 100L), (2L, 200L, 450L), (3L, -5000L, 400000000L))
+      .toDF("tid", "lo", "hi")
+    def run(disable: Boolean, maxBuckets: Long) = {
+      val s2 = spark.newSession()
+      if (disable) s2.conf.set("spark.graft.rewrite.rangeJoin", "false")
+      s2.conf.set("spark.graft.rewrite.rangeJoin.maxBuckets", maxBuckets.toString)
+      val i2 = s2.createDataFrame(java.util.Arrays.asList(ivs.collect(): _*), ivs.schema)
+      points(s2).join(i2, expr("p >= lo AND p <= hi"))
+        .select(col("pid"), col("tid")).orderBy(col("pid"), col("tid"))
+    }
+    val got = run(disable = false, maxBuckets = 16)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__graft_bkt"), plan)  // narrow branch still equi
+    assert(plan.contains("Union"), plan)        // wide branch split off
+    val want = run(disable = true, maxBuckets = 16).collect().toSeq
+    assert(got.collect().toSeq == want)
+    assert(want.nonEmpty)
+  }
+
+  test("all-wide constant bounds skip the rewrite entirely (no 2^31 sequence crash)") {
+    val s2 = spark.newSession()
+    val df = points(s2).join(intervals(s2),
+      expr("p >= CAST(-4000000000 AS BIGINT) AND p <= CAST(4000000000 AS BIGINT)"))
+      .select(col("pid"), col("tid"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__graft_bkt"), plan)
+    // and it still RUNS (the exploded form would throw sequence's
+    // array-length error at ~31M buckets before ever returning)
+    assert(df.count() == 300L * 40)
+  }
+
   test("non-matching shapes are untouched: an extra equi conjunct keeps the hash-join plan") {
     val s2 = spark.newSession()
     val pts = points(s2).withColumn("g", col("pid") % 5)

@@ -536,7 +536,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q_join_interval_rule: the naive BETWEEN join is rewritten to the bucket-grid equi join by the optimizer rule") {
     val p = plan("q_join_interval_rule")
     assert(p.contains("__graft_bkt"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // Two-path width guard: the bulk rides the bucket equi join; a nested
+    // loop may appear ONLY as the wide-interval fallback branch, i.e. fed
+    // by the span>=maxBuckets filter (empty for this fixture's <=300-unit
+    // intervals — the branch exists for epoch-scale ranges, and AQE's
+    // empty-relation propagation elides it at runtime).
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnljs <= 1, p)
+    if (bnljs == 1) assert(p.contains(">= 4096"), p)
   }
 
   test("q_text_bm25: one tokenization — scoring joins the broadcast probe, top-20 via TakeOrdered") {
