@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * and run decode / feature-extract / frame-sample as partition-batched
   * transforms.
   *
-  * Decode has two arms. Uncompressed raster payloads decode for REAL:
-  * [[PpmDecode]] parses binary PPM (P6) headers and emits the integer
-  * luminance plane, which is what the perceptual-hash dedup family runs on
-  * (q_dedup_phash). The container ships no compressed-media codecs, so for
-  * those formats [[decodeStub]] is a clearly-marked deterministic fake — but
+  * Decode has two arms. Raster payloads decode for REAL: [[PpmDecode]]
+  * parses binary PPM (P6) and 24bpp BMP, and [[PngDecode]] inflates and
+  * filter-reconstructs 8-bit PNG (pure JVM: java.util.zip.Inflater + Paeth
+  * et al.) — all emitting the integer luminance plane the perceptual-hash
+  * dedup family runs on (q_dedup_phash, q_dedup_phash_png). Only formats
+  * with no JVM-built-in codec (JPEG/WebP/MP4) fall back to
+  * [[decodeStub]], a clearly-marked deterministic fake — but
   * everything Spark-side is real and tested: the schema (binary + struct
   * metadata), the `Dataset[MediaRecord]` encoder, the mapPartitions batch
   * shape (decode amortized per-partition, never per-row-lambda-with-init),
@@ -29,10 +31,38 @@ object MediaPipeline {
   /** Fixed feature dimension emitted by the (stubbed) extractor. */
   val FeatureDim = 8
 
-  /** STUB — stands in for a real image/audio decode (no codec libs in this
-    * container). Deterministic: features derive from byte statistics, so
-    * tests and oracles are stable. Replace the body with a real decoder
-    * (e.g. JavaCV / TwelveMonkeys) without touching any Spark plumbing.
+  /** Feature vector for a payload: when the payload decodes as a supported
+    * raster format (P6 PPM / 24bpp BMP / 8-bit PNG — [[PpmDecode]],
+    * [[PngDecode]]), features are REAL pixel statistics — per-block mean
+    * luminance over [[FeatureDim]] contiguous plane blocks (the classic
+    * tiny-thumbnail embedding). Otherwise [[decodeStub]] fills in from raw
+    * byte statistics (the clearly-marked stand-in for formats whose codecs
+    * the container lacks, e.g. JPEG).
+    */
+  def decodeFeatures(payload: Array[Byte]): Array[Float] = {
+    val luma = PpmDecode.lumaOrNull(payload)
+    if (luma == null || luma.length == 0) decodeStub(payload)
+    else {
+      val sums = new Array[Long](FeatureDim)
+      val counts = new Array[Long](FeatureDim)
+      var i = 0
+      while (i < luma.length) {
+        val b = ((i.toLong * FeatureDim) / luma.length).toInt
+        sums(b) += luma(i) & 0xff
+        counts(b) += 1
+        i += 1
+      }
+      Array.tabulate(FeatureDim)(b =>
+        if (counts(b) == 0) 0f else sums(b).toFloat / counts(b))
+    }
+  }
+
+  /** STUB — stands in for a real decode of formats with no JVM-built-in
+    * codec (JPEG/WebP/MP4). Deterministic: features derive from byte
+    * statistics, so tests and oracles are stable. Replace the body with a
+    * real decoder (e.g. JavaCV / TwelveMonkeys) without touching any Spark
+    * plumbing. PNG/PPM/BMP payloads never reach this — [[decodeFeatures]]
+    * routes them through the real pixel path.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val n = math.max(payload.length, 1)
@@ -75,7 +105,7 @@ object MediaPipeline {
     import spark.implicits._
     ds.mapPartitions { it =>
       // Real decoders acquire codec context here, once per partition.
-      it.map(r => (r.id, decodeStub(r.payload)))
+      it.map(r => (r.id, decodeFeatures(r.payload)))
     }.toDF("id", "features")
   }
 

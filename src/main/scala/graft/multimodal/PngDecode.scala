@@ -1,0 +1,155 @@
+package graft.multimodal
+
+/** Deterministic pure-JVM PNG decode — the dominant real-world image format,
+  * closing the compressed-codec gap in the media pipeline with ZERO new
+  * dependencies: `java.util.zip.Inflater` (zlib ships in the JDK) plus the
+  * five PNG scanline filters (None/Sub/Up/Average/Paeth) reconstructed by
+  * hand. Emits the same top-down row-major integer luminance plane as
+  * [[PpmDecode]], so PNG payloads feed the identical phash/banded-Hamming
+  * dedup chain and the format stays invisible downstream.
+  *
+  * Accepted subset (determinism-first, like the PPM/BMP arms): 8-bit depth,
+  * color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlacing
+  * (Adam7 rejected → null → opaque-bytes fallback), at most 2^24 pixels.
+  * IDAT chunks concatenate in order; every other chunk is skipped.
+  *
+  * Leniency, stated plainly: chunk CRC32s and the zlib Adler-32 trailer are
+  * NOT verified (the stream is raw-inflated after a manual 2-byte zlib
+  * header check) — the same permissive posture as libpng's CRC_QUIET_USE.
+  * Verification guards against corruption, not decode correctness; a
+  * 100 TB ingest wants the bytes decoded, with integrity handled by the
+  * storage layer's checksums. MediaPipelineSpec's goldens decode
+  * fully-valid Deflater-compressed files, filter-by-filter.
+  *
+  * Luminance matches [[PpmDecode]] exactly: integer Rec.601 truncating
+  * division `(299*R + 587*G + 114*B) / 1000`; gray samples pass through,
+  * alpha is ignored (dedup compares content, not transparency).
+  */
+object PngDecode {
+
+  private val Sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  private val MaxPixels = 1 << 24 // 16 Mpx ≈ 16 MB plane: bounds executor memory per row
+
+  private def beU32(p: Array[Byte], off: Int): Long =
+    ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+      ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+
+  /** The luminance plane of an 8-bit non-interlaced PNG payload (row-major,
+    * one byte per pixel, top-down), or null when the payload is not a PNG
+    * this subset decodes. Callable from generated code (static forwarder).
+    */
+  def pngLumaOrNull(p: Array[Byte]): Array[Byte] = {
+    if (p == null || p.length < Sig.length + 25) return null
+    var i = 0
+    while (i < Sig.length) { if (p(i) != Sig(i)) return null; i += 1 }
+
+    var w = 0; var h = 0; var channels = 0
+    var sawIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = Sig.length
+    var done = false
+    while (!done) {
+      if (off + 8 > p.length) return null // truncated chunk header
+      val len = beU32(p, off)
+      if (len > Int.MaxValue - 12 || off + 12 + len > p.length) return null
+      val t0 = p(off + 4); val t1 = p(off + 5); val t2 = p(off + 6); val t3 = p(off + 7)
+      val dataOff = off + 8
+      if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+        if (sawIhdr || len != 13) return null
+        sawIhdr = true
+        val wL = beU32(p, dataOff); val hL = beU32(p, dataOff + 4)
+        if (wL < 1 || hL < 1 || wL * hL > MaxPixels) return null
+        w = wL.toInt; h = hL.toInt
+        val depth = p(dataOff + 8) & 0xff
+        val colorType = p(dataOff + 9) & 0xff
+        val compression = p(dataOff + 10) & 0xff
+        val filterMethod = p(dataOff + 11) & 0xff
+        val interlace = p(dataOff + 12) & 0xff
+        if (depth != 8 || compression != 0 || filterMethod != 0 || interlace != 0) return null
+        channels = colorType match {
+          case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+          case _ => return null // palette (3) needs PLTE handling — out of subset
+        }
+      } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+        if (!sawIhdr) return null
+        idat.write(p, dataOff, len.toInt)
+      } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+        done = true
+      }
+      off = dataOff + len.toInt + 4 // skip data + (unverified) CRC
+      if (!done && off > p.length) return null
+    }
+    if (!sawIhdr) return null
+    val z = idat.toByteArray
+    // zlib wrapper: CM=deflate, no preset dictionary, header checksum valid.
+    if (z.length < 3 || (z(0) & 0x0f) != 8 || (z(1) & 0x20) != 0 ||
+      (((z(0) & 0xff) << 8) | (z(1) & 0xff)) % 31 != 0) return null
+
+    val stride = w * channels
+    val expected = h * (1 + stride) // 1 filter byte per scanline
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater(true) // raw: Adler-32 trailer unchecked
+    try {
+      inf.setInput(z, 2, z.length - 2)
+      var got = 0
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(raw, got, expected - got)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        got += n
+      }
+      if (got < expected) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+
+    // Filter reconstruction, in place per scanline. a = left, b = above,
+    // c = upper-left, all 0 outside the image (PNG spec §9).
+    val plane = new Array[Byte](h * stride)
+    val bpp = channels
+    var row = 0
+    while (row < h) {
+      val ft = raw(row * (1 + stride)) & 0xff
+      if (ft > 4) return null
+      val src = row * (1 + stride) + 1
+      val dst = row * stride
+      var x = 0
+      while (x < stride) {
+        val f = raw(src + x) & 0xff
+        val a = if (x >= bpp) plane(dst + x - bpp) & 0xff else 0
+        val b = if (row > 0) plane(dst - stride + x) & 0xff else 0
+        val c = if (row > 0 && x >= bpp) plane(dst - stride + x - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + ((a + b) >> 1)
+          case 4 => // Paeth: nearest of a,b,c to p=a+b-c, ties a > b > c
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        plane(dst + x) = recon.toByte
+        x += 1
+      }
+      row += 1
+    }
+
+    // Luminance: same integer Rec.601 as PpmDecode; gray passes through.
+    if (channels == 1) plane
+    else {
+      val out = new Array[Byte](w * h)
+      var k = 0
+      while (k < out.length) {
+        if (channels == 2) out(k) = plane(2 * k) // gray+alpha
+        else {
+          val r = plane(channels * k) & 0xff
+          val g = plane(channels * k + 1) & 0xff
+          val b = plane(channels * k + 2) & 0xff
+          out(k) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+        }
+        k += 1
+      }
+      out
+    }
+  }
+}

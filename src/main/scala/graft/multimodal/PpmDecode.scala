@@ -56,13 +56,17 @@ object PpmDecode {
     if (digits == 0) null else (v.toInt, i)
   }
 
-  /** Luminance plane of a payload that parses as EITHER supported
-    * uncompressed raster format — P6 PPM first, then 24bpp BMP — else null.
-    * Callable from generated code (static forwarder).
+  /** Luminance plane of a payload that parses as ANY supported raster
+    * format — P6 PPM, 24bpp BMP, or 8-bit PNG ([[PngDecode]], the real
+    * Inflater + filter-reconstruction arm) — else null. The magics are
+    * mutually exclusive, so probe order is cosmetic. Callable from
+    * generated code (static forwarder).
     */
   def lumaOrNull(p: Array[Byte]): Array[Byte] = {
     val ppm = ppmLumaOrNull(p)
-    if (ppm != null) ppm else bmpLumaOrNull(p)
+    if (ppm != null) return ppm
+    val bmp = bmpLumaOrNull(p)
+    if (bmp != null) bmp else PngDecode.pngLumaOrNull(p)
   }
 
   /** The luminance plane of a binary P6 PPM payload (row-major, one byte per

@@ -772,6 +772,55 @@ object VectorQueries extends QueryPack {
         "phash", nBands = 4, maxHamming = 3)
     }),
 
+    // X5c-png: the same perceptual-dedup chain through the COMPRESSED-format
+    // arm — each document's bytes wrapped into a genuine 8-bit grayscale
+    // PNG (4-wide, h = min(⌊n/4⌋, 128) rows): real IHDR/IDAT/IEND chunks
+    // with correct CRC32s (Spark's codegen'd crc32), a zlib stream carrying
+    // the filter-0 scanlines as a STORED deflate block — chosen so the
+    // decode is oracle-able: [[graft.multimodal.PngDecode]] runs the real
+    // chunk walk + Inflater + filter reconstruction, and what it must
+    // produce is exactly the first 4·h text bytes. (Compression-heavy
+    // fixed-huffman blocks and Sub/Up/Average/Paeth rows are golden-tested
+    // against java.util.zip in MediaPipelineSpec — a SQL oracle can't
+    // inflate, so the query plants the one deflate shape SQL can predict.)
+    // Downstream is q_dedup_phash verbatim: gradient dHash on the decoded
+    // plane, 4×8-bit band pigeonhole (exact at hamming ≤ 3), capped
+    // buckets, bit_count verify on candidates only.
+    "q_dedup_phash_png" -> ((s, d) => {
+      val bin = encode(col("text"), "utf-8")
+      val h = least(length(bin) / lit(4), lit(128)).cast("int")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), hex(bin).as("hx"), h.as("h"))
+        .filter(col("h") >= 1) // <4-byte docs: nothing to wrap (none at any SF)
+      val rawLen = col("h") * lit(5) // per row: 1 filter byte + 4 pixels
+      def hexByte(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def hexBe32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      def crcHex(bodyHex: org.apache.spark.sql.Column) = hexBe32(crc32(unhex(bodyHex)))
+      // filter-0 scanlines: '00' + 4 pixel bytes per row, one linear pass
+      val scan = expr(
+        "array_join(transform(sequence(0, h-1), r -> concat('00', substr(hx, r*8+1, 8))), '')")
+      // zlib: header 7801, one final STORED block (len/~len LE), zero
+      // Adler-32 (PngDecode raw-inflates; full-zlib goldens cover validity)
+      val zlibHex = concat(lit("780101"),
+        hexByte(rawLen.bitwiseAND(lit(255))), hexByte(shiftright(rawLen, 8)),
+        hexByte((lit(65535) - rawLen).bitwiseAND(lit(255))),
+        hexByte(shiftright(lit(65535) - rawLen, 8)),
+        scan, lit("00000000"))
+      val ihdrFull = concat(lit("49484452"), // 'IHDR' + w=4, h, depth 8, gray
+        lit("00000004"), hexBe32(col("h")), lit("0800000000"))
+      val idatFull = concat(lit("49444154"), zlibHex)
+      val payload = unhex(concat(
+        lit("89504E470D0A1A0A"),
+        lit("0000000D"), ihdrFull, crcHex(ihdrFull),
+        hexBe32(rawLen + lit(11)), idatFull, crcHex(idatFull),
+        lit("0000000049454E44AE426082")))
+      TextQueries.bandedHammingPairs(
+        base.select(col("doc_id"),
+          graft.multimodal.MediaPipeline.phash(
+            graft.multimodal.MediaPipeline.lumaOrRaw(payload)).as("phash")),
+        "phash", nBands = 4, maxHamming = 3)
+    }),
+
     // X5d: FRAME-level perceptual dedup — the video near-dup shape: two
     // "videos" are near-dups when they share frames, so the dedup unit is
     // the sampled keyframe, not the whole payload. Composes the
@@ -1275,6 +1324,42 @@ object VectorQueries extends QueryPack {
         |                 (299 * ${byteSql("hx", "3*r.i")}
         |                  + 587 * ${byteSql("hx", "3*r.i+1")}
         |                  + 114 * ${byteSql("hx", "3*r.i+2")}) // 1000 AS v
+        |          FROM t, LATERAL (SELECT unnest(range(0, nb)) AS i) r),
+        |blk0 AS (SELECT doc_id, (i * 33) // nb AS b, sum(v) AS s, count(*) AS c
+        |         FROM bytes GROUP BY 1, 2),
+        |grid AS (SELECT d.doc_id, g.b, coalesce(blk0.s, 0) AS s, coalesce(blk0.c, 0) AS c
+        |         FROM (SELECT DISTINCT doc_id FROM t) d CROSS JOIN range(33) g(b)
+        |         LEFT JOIN blk0 ON blk0.doc_id = d.doc_id AND blk0.b = g.b),
+        |g2 AS (SELECT doc_id, b, s, c, lead(s) OVER w AS s2, lead(c) OVER w AS c2
+        |       FROM grid WINDOW w AS (PARTITION BY doc_id ORDER BY b)),
+        |ph AS (SELECT doc_id,
+        |              CAST(sum(CASE WHEN s*c2 > s2*c
+        |                            THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+        |                            ELSE 0 END) AS BIGINT) AS phash
+        |       FROM g2 WHERE b < 32 GROUP BY 1),
+        |banded AS (SELECT doc_id, phash, r.k AS band,
+        |                  (phash // (CAST(1 AS BIGINT) << CAST(8*r.k AS INT))) % 256 AS bval
+        |           FROM ph CROSS JOIN range(4) r(k)),
+        |sized AS (SELECT * FROM banded
+        |          QUALIFY count(*) OVER (PARTITION BY band, bval) BETWEEN 2 AND 100),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        |         FROM sized x JOIN sized y
+        |           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
+    // The PNG wrapping is grayscale filter-0 over a stored deflate block,
+    // so decode∘encode = the first 4·min(⌊n/4⌋,128) text bytes VERBATIM
+    // (no Rec.601 — gray samples pass through); from there the chain is
+    // the q_dedup_phash oracle unchanged. The oracle thus checks the whole
+    // Spark-side craft→chunk-walk→inflate→unfilter→hash pipeline against
+    // plain byte arithmetic.
+    "q_dedup_phash_png" ->
+      s"""WITH t AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  least(length(hex(encode(text))) // 2 // 4, 128) * 4 AS nb
+        |           FROM documents
+        |           WHERE length(hex(encode(text))) // 2 >= 4),
+        |bytes AS (SELECT doc_id, nb, r.i AS i, ${byteSql("hx", "r.i")} AS v
         |          FROM t, LATERAL (SELECT unnest(range(0, nb)) AS i) r),
         |blk0 AS (SELECT doc_id, (i * 33) // nb AS b, sum(v) AS s, count(*) AS c
         |         FROM bytes GROUP BY 1, 2),

@@ -172,6 +172,141 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == refPhash(notPpm))       // fallback arm
   }
 
+  // ---- PNG golden tests: fully-valid files (Deflater zlib wrapper with
+  // correct Adler-32, per-chunk CRC32), encoded filter-by-filter by
+  // inverting the reconstruction — so the decoder's Inflater + unfilter
+  // path is proven against independently-built bytes.
+  private def pngChunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(tpe.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def zlibDeflate(raw: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    out.toByteArray
+  }
+
+  private val pngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Valid PNG of `pix` (row-major samples, `channels` per pixel), each row
+    * filtered with `filters(row % filters.length)`.
+    */
+  private def pngOf(w: Int, h: Int, channels: Int, pix: Array[Byte],
+      filters: Seq[Int], depth: Int = 8, interlace: Int = 0,
+      splitIdat: Boolean = false): Array[Byte] = {
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    for (row <- 0 until h) {
+      val ft = filters(row % filters.length)
+      raw(row * (1 + stride)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = pix(row * stride + x) & 0xff
+        val a = if (x >= channels) pix(row * stride + x - channels) & 0xff else 0
+        val b = if (row > 0) pix((row - 1) * stride + x) & 0xff else 0
+        val c = if (row > 0 && x >= channels) pix((row - 1) * stride + x - channels) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(row * (1 + stride) + 1 + x) = (cur - pred).toByte
+      }
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+    val z = zlibDeflate(raw)
+    val idats =
+      if (splitIdat && z.length > 3)
+        pngChunk("IDAT", z.take(3)) ++ pngChunk("IDAT", z.drop(3))
+      else pngChunk("IDAT", z)
+    pngSig ++ pngChunk("IHDR", ihdr) ++ idats ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  private def rec601(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+
+  test("PngDecode: grayscale with every filter type reconstructs the exact plane") {
+    // 4×5 deterministic pseudo-random grayscale; rows cycle through all five
+    // filters, so Sub/Up/Average/Paeth reconstruction is each exercised.
+    val pix = Array.tabulate(20)(i => (((i * 97 + 13) ^ (i << 3)) & 0xff).toByte)
+    val png = pngOf(4, 5, 1, pix, filters = Seq(0, 1, 2, 3, 4))
+    val luma = graft.multimodal.PngDecode.pngLumaOrNull(png)
+    assert(luma != null)
+    assert(luma.toSeq == pix.toSeq) // gray: luma = samples
+  }
+
+  test("PngDecode: RGB with Paeth filters matches the PPM of the same pixels (format-invisible)") {
+    val rgb = Array[Int](
+      255, 0, 0,   0, 255, 0,
+      0, 0, 255,   10, 20, 30).map(_.toByte)
+    val png = pngOf(2, 2, 3, rgb, filters = Seq(4))
+    val ppm = "P6\n2 2\n255\n".getBytes("UTF-8") ++ rgb
+    val viaPng = graft.multimodal.PngDecode.pngLumaOrNull(png)
+    val viaPpm = graft.multimodal.PpmDecode.lumaOrNull(ppm)
+    assert(viaPng != null && viaPpm != null)
+    assert(viaPng.toSeq == viaPpm.toSeq)
+  }
+
+  test("PngDecode: RGBA and gray+alpha ignore the alpha channel; split IDAT concatenates") {
+    val rgba = Array[Int](100, 150, 200, 255,  7, 9, 11, 0).map(_.toByte)
+    val viaRgba = graft.multimodal.PngDecode.pngLumaOrNull(
+      pngOf(2, 1, 4, rgba, filters = Seq(1), splitIdat = true))
+    assert(viaRgba != null)
+    assert(viaRgba.map(_ & 0xff).toSeq ==
+      Seq(rec601(100, 150, 200), rec601(7, 9, 11)))
+    val ga = Array[Int](42, 255, 77, 0).map(_.toByte)
+    val viaGa = graft.multimodal.PngDecode.pngLumaOrNull(
+      pngOf(2, 1, 2, ga, filters = Seq(2)))
+    assert(viaGa != null)
+    assert(viaGa.map(_ & 0xff).toSeq == Seq(42, 77))
+  }
+
+  test("PngDecode rejects out-of-subset payloads: interlaced, 16-bit, truncated, palette, junk") {
+    import graft.multimodal.PngDecode.pngLumaOrNull
+    val pix = Array.tabulate(8)(_.toByte)
+    val good = pngOf(4, 2, 1, pix, filters = Seq(0))
+    assert(pngLumaOrNull(good) != null) // control
+    assert(pngLumaOrNull(pngOf(4, 2, 1, pix, Seq(0), interlace = 1)) == null) // Adam7
+    assert(pngLumaOrNull(pngOf(4, 2, 1, pix, Seq(0), depth = 16)) == null)
+    assert(pngLumaOrNull(good.dropRight(20)) == null) // truncated inside IDAT
+    assert(pngLumaOrNull("not a png at all, truly".getBytes("UTF-8")) == null)
+    // palette color type: patch IHDR's colorType byte (offset 8+8+17=33... sig 8 + len 4 + type 4 + 9)
+    val pal = good.clone(); pal(8 + 4 + 4 + 9) = 3
+    assert(pngLumaOrNull(pal) == null)
+  }
+
+  test("lumaOrRaw routes PNG through the real decode arm (phash of pixels, not bytes)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pix = Array.tabulate(40)(i => ((i * 31) & 0xff).toByte)
+    val png = pngOf(4, 10, 1, pix, filters = Seq(0, 1, 2, 3, 4))
+    val df = Seq((1L, png)).toDF("id", "payload")
+      .select(MediaPipeline.phash(MediaPipeline.lumaOrRaw(col("payload"))).as("h"))
+    val viaPlane = Seq((1L, pix)).toDF("id", "b")
+      .select(MediaPipeline.phash(col("b"))).head().getLong(0)
+    assert(df.head().getLong(0) == viaPlane)
+    // and real-pixel features: block means of the plane, not byte stats
+    val feats = MediaPipeline.decodeFeatures(png)
+    assert(feats.toSeq != MediaPipeline.decodeStub(png).toSeq)
+    assert(feats(0) == pix.slice(0, 5).map(_ & 0xff).sum / 5.0f)
+  }
+
   test("sampleFrames slices every k-th fixed-size frame") {
     val payload = Array.tabulate(100)(_.toByte)
     import spark.implicits._
