@@ -58,6 +58,26 @@ object TextQueries extends QueryPack {
   private def bandBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
     bandBucketsOf(shinglesOf(Tables.documents(s, d)))
 
+  /** Prefix-token rows (doc_id, n, ws, w): each doc's rarest-first distinct
+    * tokens with one output row per PREFIX token (the first
+    * n − ceil(0.6·n) + 1 under (df asc, token asc) order) — the candidate
+    * key of the AllPairs/PPJoin family. Shared by q_dedup_prefix and the
+    * cap audit, so the audit counts exactly the buckets the join builds.
+    */
+  private def prefixTokensOf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n"), explode(col("ts")).as("w"))
+    val dfTbl = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    toks.join(dfTbl, "w")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("w")))),
+        p => p.getField("w")).as("ws"))
+      .withColumn("pl", (col("n") - expr("(6*n + 9) div 10") + 1).cast("int"))
+      .select(col("doc_id"), col("n"), col("ws"),
+        explode(slice(col("ws"), lit(1), col("pl"))).as("w"))
+  }
+
   /** MinHash band keys (doc_id, skey) for an arbitrary documents batch —
     * the signature the incremental/streaming ingest paths join against the
     * persisted corpus store. Shared by q_dedup_incremental and
@@ -221,14 +241,22 @@ object TextQueries extends QueryPack {
     * can surface the same pair, top-100 closest under a total order. A
     * banding/cap/tie-break fix lands in every consumer at once.
     */
-  private[graft] def bandedHammingPairs(
-      sigs: org.apache.spark.sql.DataFrame, sigCol: String,
-      nBands: Int, maxHamming: Int): org.apache.spark.sql.DataFrame = {
-    val banded = sigs.select(
+  /** The 8-bit byte-banding of a long signature column — one row per
+    * (doc, band) with the band's byte value; shared by the pairing pass and
+    * the cap audit so audited buckets are construction-identical.
+    */
+  private def bandedOf(sigs: org.apache.spark.sql.DataFrame, sigCol: String,
+      nBands: Int): org.apache.spark.sql.DataFrame =
+    sigs.select(
         col("doc_id"), col(sigCol).as("sig"),
         posexplode(array((0 until nBands).map(k =>
           pmod(shiftright(col(sigCol), 8 * k), lit(256L))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+
+  private[graft] def bandedHammingPairs(
+      sigs: org.apache.spark.sql.DataFrame, sigCol: String,
+      nBands: Int, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    val banded = bandedOf(sigs, sigCol, nBands)
     banded
       .groupBy(col("band"), col("bval"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("vs"))
@@ -633,30 +661,23 @@ object TextQueries extends QueryPack {
     // instead of MinHash banding: order each doc's tokens rarest-first
     // (global df asc, token asc), and two docs can only reach θ if they
     // share at least one token in their first L = n − ceil(θn) + 1 tokens
-    // (pigeonhole on the ≥ θ·n overlap a match requires). Deterministic
-    // and EXACT — no LSH false negatives — the complementary algorithm to
-    // q_dedup_near's probabilistic banding. All threshold math is integer
+    // (pigeonhole on the ≥ θ·n overlap a match requires). The prefix
+    // SCHEME is exact (no probabilistic false negatives, unlike MinHash
+    // banding) — but the 2–100 bucket cap below still drops any prefix
+    // token shared by >100 docs, so pairs meeting ONLY in an over-full
+    // bucket are lost there exactly as in the LSH paths. Rarest-first
+    // ordering keeps prefix buckets naturally sparse (a stopword enters a
+    // prefix only when a doc is nearly all stopwords), and
+    // q_dedup_cap_audit counts every bucket the cap forgoes — the drop is
+    // audited, never silent. All threshold math is integer
     // (ceil(6n/10) = (6n+9) div 10; Jaccard test inter·10 ≥ 6·union), so
     // both engines decide identically. Scale shape: tokenize → one df
     // aggregation → per-doc sort (map-side after the df join's shuffle) →
-    // prefix explode → in-bucket pair expansion with the standard 2–100
-    // bucket cap (rarest-first ordering makes prefix buckets naturally
-    // sparse — stopwords never enter a prefix unless a doc is nearly all
-    // stopwords); length filter 10·min(na,nb) ≥ 6·max before the exact
-    // verify. Never all-pairs.
+    // prefix explode → in-bucket pair expansion with the capped buckets;
+    // length filter 10·min(na,nb) ≥ 6·max before the exact verify. Never
+    // all-pairs.
     "q_dedup_prefix" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("ts"))
-        .select(col("doc_id"), size(col("ts")).cast("long").as("n"), explode(col("ts")).as("w"))
-      val dfTbl = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val sorted = toks.join(dfTbl, "w")
-        .groupBy(col("doc_id"), col("n"))
-        .agg(transform(sort_array(collect_list(struct(col("df"), col("w")))),
-          p => p.getField("w")).as("ws"))
-      val pref = sorted
-        .withColumn("pl", (col("n") - expr("(6*n + 9) div 10") + 1).cast("int"))
-        .select(col("doc_id"), col("n"), col("ws"),
-          explode(slice(col("ws"), lit(1), col("pl"))).as("w"))
+      val pref = prefixTokensOf(s, d)
       val buckets = pref.groupBy(col("w"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("n"), col("ws")))).as("ds"))
         .filter(size(col("ds")).between(2, 100))
@@ -674,6 +695,42 @@ object TextQueries extends QueryPack {
         .select(col("doc_a"), col("doc_b"), col("inter"),
           round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jac"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // X2y: CAP AUDIT — the "no silent caps" rule applied to the dedup
+    // family's own candidate generation. Every bucketed pipeline here
+    // drops over-full buckets (>100 members) instead of expanding them
+    // quadratically; this query makes the drop OBSERVABLE: per pipeline
+    // (minhash bands, prefix-filter buckets, simhash byte-bands), the
+    // exact number of pairable buckets, the largest bucket, how many
+    // buckets exceeded the cap, and the candidate pairs C(sz,2) foregone
+    // in them — all integers, all oracled. At fixture scale the over-cap
+    // counts are zero, which the oracle verifies exactly; at 100 TB a hot
+    // band value or boilerplate prefix token shows up HERE as a nonzero
+    // pairs_foregone instead of as silently-missing duplicates. Cost: each
+    // pipeline's bucket table reduces to one size histogram — three
+    // aggregates over already-built keys, no pair expansion anywhere.
+    "q_dedup_cap_audit" -> ((s, d) => {
+      def summarize(name: String, sizes: org.apache.spark.sql.DataFrame) =
+        sizes.filter(col("sz") >= 2).agg(
+          count(lit(1)).cast("long").as("n_buckets"),
+          coalesce(max(col("sz")), lit(0L)).cast("long").as("max_bucket"),
+          coalesce(sum(when(col("sz") > 100, lit(1L)).otherwise(lit(0L))), lit(0L))
+            .cast("long").as("overcap_buckets"),
+          coalesce(sum(when(col("sz") > 100, expr("sz * (sz - 1) div 2"))
+            .otherwise(lit(0L))), lit(0L)).cast("long").as("pairs_foregone"))
+          .select(lit(name).as("pipeline"), col("n_buckets"), col("max_bucket"),
+            col("overcap_buckets"), col("pairs_foregone"))
+      val mh = bandBuckets(s, d)
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).cast("long").as("sz"))
+      val pf = prefixTokensOf(s, d)
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("sz"))
+      val sh = bandedOf(simhashSigs(s, d), "simhash", nBands = 2)
+        .groupBy(col("band"), col("bval")).agg(count(lit(1)).cast("long").as("sz"))
+      summarize("minhash", mh)
+        .unionAll(summarize("prefix", pf))
+        .unionAll(summarize("simhash", sh))
+        .orderBy(col("pipeline"))
     }),
 
     // X13b: TRIANGLE COUNTING over the near-dup similarity graph — the
@@ -2229,6 +2286,59 @@ object TextQueries extends QueryPack {
         |       round(inter / (na + nb - inter), 6) AS jac
         |FROM v WHERE inter * 10 >= (na + nb - inter) * 6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The three bucket constructions verbatim (minhash bands =
+    // q_dedup_minhash's chain, prefix = q_dedup_prefix's, simhash bands =
+    // q_dedup_simhash_pairs's), each reduced to its size histogram; the
+    // summaries are plain integer aggregates over sz >= 2 buckets.
+    "q_dedup_cap_audit" ->
+      s"""WITH $shCte,
+         |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
+         |mh AS (SELECT doc_id, r.i AS i,
+         |              min(((3 + 2*r.i) * h + (7 + 11*r.i)) % 1000000007) AS minh
+         |       FROM hs CROSS JOIN range(8) r(i) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
+         |          FROM mh GROUP BY 1, 2),
+         |mhsz AS (SELECT count(*) AS sz FROM bands GROUP BY band, bkey),
+         |t2 AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+         |       FROM documents),
+         |tok2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, unnest(ts) AS w FROM t2),
+         |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok2 GROUP BY 1),
+         |srt AS (SELECT doc_id, n, list(w ORDER BY df, w) AS ws
+         |        FROM tok2 JOIN dfq USING (w) GROUP BY doc_id, n),
+         |pr AS (SELECT doc_id, unnest(ws[1:CAST(n - (6*n + 9)//10 + 1 AS INT)]) AS w
+         |       FROM srt),
+         |pfsz AS (SELECT count(*) AS sz FROM pr GROUP BY w),
+         |tok3 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |h3 AS (SELECT doc_id, ${rhSql("w")} AS h FROM tok3),
+         |b3 AS (SELECT doc_id, r.j AS j,
+         |              sum(CASE WHEN (h // (1 << r.j)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |       FROM h3 CROSS JOIN range(16) r(j) GROUP BY 1, 2),
+         |sig3 AS (SELECT doc_id,
+         |                CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS sh
+         |         FROM b3 GROUP BY 1),
+         |banded3 AS (SELECT doc_id, r.k AS band,
+         |                   CAST((sh // (1 << (8*r.k))) % 256 AS BIGINT) AS bval
+         |            FROM sig3 CROSS JOIN range(2) r(k)),
+         |shsz AS (SELECT count(*) AS sz FROM banded3 GROUP BY band, bval)
+         |SELECT 'minhash' AS pipeline, CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_bucket,
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END), 0) AS BIGINT) AS overcap_buckets,
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT) AS pairs_foregone
+         |FROM mhsz WHERE sz >= 2
+         |UNION ALL
+         |SELECT 'prefix', CAST(count(*) AS BIGINT),
+         |       CAST(coalesce(max(sz), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT)
+         |FROM pfsz WHERE sz >= 2
+         |UNION ALL
+         |SELECT 'simhash', CAST(count(*) AS BIGINT),
+         |       CAST(coalesce(max(sz), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT)
+         |FROM shsz WHERE sz >= 2
+         |ORDER BY pipeline""".stripMargin,
     // Integer division both sides (numerators positive, so DuckDB's floor
     // // and Spark's truncating div agree) — weight_u is exact.
     "q_dedup_weights" ->
