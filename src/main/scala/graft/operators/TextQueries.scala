@@ -1113,17 +1113,18 @@ object TextQueries extends QueryPack {
       storeOut.unionAll(extra).orderBy(col("doc_id"))
     }),
 
-    // X2d: edit-distance near-dup on a bounded probe set (doc_id < 50):
-    // Levenshtein is O(len²) per pair, so the exact form only ever runs on a
-    // candidate set — at scale the candidates come from the MinHash/SimHash
-    // passes above, never a full cross join.
+    // X2d: edit-distance verify over the LSH candidate edges: Levenshtein
+    // is O(len²) per pair, so the exact form only ever runs on a candidate
+    // set — HERE that is literally [[candidateEdges]], the same memoized
+    // banded MinHash pairs the clustering family consumes, joined back to
+    // the texts. No cross join anywhere; pair count is bounded by the
+    // banding caps, which is exactly the 100 TB contract (the expensive
+    // exact metric runs on O(candidates), never O(n²)).
     "q_text_editdist" -> ((s, d) => {
-      val probe = Tables.documents(s, d).filter(col("doc_id") < 50)
-        .select(col("doc_id"), col("text"))
-      val a = probe.select(col("doc_id").as("doc_a"), col("text").as("ta"))
-      val b = probe.select(col("doc_id").as("doc_b"), col("text").as("tb"))
-      a.crossJoin(b)
-        .filter(col("doc_a") < col("doc_b"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      candidateEdges(s, d)
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
         .orderBy(col("dist"), col("doc_a"), col("doc_b"))
@@ -2584,12 +2585,16 @@ object TextQueries extends QueryPack {
          |FROM sig a JOIN sig b
          |  ON bit_count(xor(a.sig, b.sig)) <= 2 AND a.doc_id < b.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Candidates CTE-for-CTE with the clustering oracles (candCtes =
+    // banded MinHash pairs), then exact Levenshtein on just those edges.
     "q_text_editdist" ->
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-        |WHERE a.doc_id < 50 AND b.doc_id < 50
-        |ORDER BY dist, doc_a, doc_b LIMIT 10""".stripMargin,
+      s"""WITH $candCtes
+         |SELECT c.a AS doc_a, c.b AS doc_b,
+         |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+         |FROM cand c
+         |JOIN documents da ON da.doc_id = c.a
+         |JOIN documents db ON db.doc_id = c.b
+         |ORDER BY dist, doc_a, doc_b LIMIT 10""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS BIGINT) AS n_redacted,
