@@ -546,8 +546,36 @@ object JoinQueries extends QueryPack {
     }).select(col("l_orderkey").as("hk"))
   }
 
+  /** The generic two-path salted inner join: rows of `fact` whose key is in
+    * `hotKeys` (single column `hk`, broadcast-small by contract) join
+    * salted — fact side salted by the caller's high-entropy `salt`
+    * expression mod S, dim side exploded S ways — while the cold remainder
+    * takes the plain equi join; the union is row-identical to
+    * `fact JOIN dim ON factKey = dimKey` for ANY hot set. Exposed for
+    * SkewJoinSpec to pin the BALANCE claim (bounded per-reducer input on a
+    * deliberately skewed fixture with AQE off) independent of the fixture
+    * query.
+    */
+  private[graft] def saltedTwoPath(
+      fact: org.apache.spark.sql.DataFrame, dim: org.apache.spark.sql.DataFrame,
+      factKey: String, dimKey: String,
+      hotKeys: org.apache.spark.sql.DataFrame,
+      salt: org.apache.spark.sql.Column, S: Int): org.apache.spark.sql.DataFrame = {
+    val fHot = fact.join(broadcast(hotKeys), col(factKey) === col("hk")).drop("hk")
+      .withColumn("__salt", pmod(salt, lit(S)))
+    val dHot = dim.join(broadcast(hotKeys), col(dimKey) === col("hk")).drop("hk")
+      .withColumn("__salt", explode(sequence(lit(0), lit(S - 1))))
+    val hot = fHot.join(dHot,
+      fHot(factKey) === dHot(dimKey) && fHot("__salt") === dHot("__salt"))
+      .select(fact.columns.map(fHot(_)) ++ dim.columns.map(dHot(_)): _*)
+    val cold = fact.join(broadcast(hotKeys), col(factKey) === col("hk"), "left_anti")
+      .join(dim.join(broadcast(hotKeys), col(dimKey) === col("hk"), "left_anti"),
+        col(factKey) === col(dimKey))
+      .select((fact.columns ++ dim.columns).map(col): _*)
+    hot.unionByName(cold)
+  }
+
   private[graft] def skewSaltedJoin(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val S = 8
     val sampled =
       s.conf.getOption("spark.graft.skew.sampleDetect").exists(_.toBoolean)
     val li = Tables.lineitem(s, d)
@@ -559,19 +587,8 @@ object JoinQueries extends QueryPack {
     // near-unique per lineitem row. A table with no such column would
     // salt on monotonically_increasing_id (fine here: the salt never
     // crosses the oracle boundary — only row routing depends on it).
-    val liHot = li.join(broadcast(hotKeys), col("l_orderkey") === col("hk"))
-      .drop("hk")
-      .withColumn("salt", pmod(hash(col("l_extendedprice"), col("l_discount")), lit(S)))
-    val ordHot = ord.join(broadcast(hotKeys), col("o_orderkey") === col("hk"))
-      .drop("hk")
-      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-    val hot = liHot.join(ordHot,
-      liHot("l_orderkey") === ordHot("o_orderkey") && liHot("salt") === ordHot("salt"))
-    val cold = li.join(broadcast(hotKeys), col("l_orderkey") === col("hk"), "left_anti")
-      .join(ord.join(broadcast(hotKeys), col("o_orderkey") === col("hk"), "left_anti"),
-        col("l_orderkey") === col("o_orderkey"))
-    val cols = Seq(col("o_orderpriority"), col("l_extendedprice"), col("l_discount"))
-    hot.select(cols: _*).unionByName(cold.select(cols: _*))
+    saltedTwoPath(li, ord, "l_orderkey", "o_orderkey", hotKeys,
+        hash(col("l_extendedprice"), col("l_discount")), S = 8)
       .groupBy(col("o_orderpriority"))
       .agg(
         round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))

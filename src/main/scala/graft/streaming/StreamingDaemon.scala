@@ -104,6 +104,98 @@ object StreamingDaemon {
       .start()
   }
 
+  /** Current snapshot of the [[mergeSink]] store: the directory named by the
+    * atomic LATEST pointer, or an empty frame of `schemaFrom`'s schema
+    * before the first commit.
+    */
+  private[graft] def readMergeStore(
+      spark: SparkSession, storeDir: String, schemaFrom: DataFrame): DataFrame = {
+    val ptr = java.nio.file.Paths.get(s"$storeDir/LATEST")
+    if (java.nio.file.Files.exists(ptr))
+      spark.read.parquet(
+        s"$storeDir/${new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim}")
+    else schemaFrom.limit(0)
+  }
+
+  /** One exactly-once MERGE application of micro-batch `batchId`. Returns
+    * false when the batch was already applied (the replay fast-path).
+    *
+    * Exactly-once from an at-least-once engine, two layers:
+    *  1. an applied-batch LEDGER — marker file per batchId, committed AFTER
+    *     the snapshot pointer swap — so a clean replay of batch N is skipped
+    *     without touching data;
+    *  2. CONVERGENT merge math for the torn window (crash between pointer
+    *     swap and marker): the merge is keyed LWW upsert (batch rows
+    *     replace same-key store rows; within-batch versions collapse by
+    *     `orderCols` first), so re-merging the identical batch against the
+    *     already-merged snapshot rewrites the same rows — content idempotent
+    *     even when the ledger check cannot short-circuit.
+    *
+    * Each commit writes a NEW snapshot directory (`snap-N`) and swaps the
+    * LATEST pointer atomically (tmp + ATOMIC_MOVE, the CursorCheckpoint
+    * discipline) — readers never observe a half-written store, and the
+    * prior snapshot stays valid for in-flight reads. Old snapshots are
+    * retired by the compaction loop, not here.
+    */
+  private[graft] def applyMergeBatch(
+      spark: SparkSession, storeDir: String,
+      keys: Seq[String], orderCols: Seq[String],
+      batch: DataFrame, batchId: Long): Boolean = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val marker = Paths.get(s"$storeDir/_applied/batch-$batchId")
+    if (Files.exists(marker)) return false
+    val prior = readMergeStore(spark, storeDir, batch)
+    val batchLww = Compaction.lastWriteWins(batch, keys, orderCols)
+    val merged = prior
+      .join(batchLww.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(batchLww)
+    // snapshot dirs are unique per APPLICATION, not per batch: a torn
+    // replay of batch N re-merges while READING the snap its first attempt
+    // pointed LATEST at — overwriting that same dir would corrupt the read.
+    var snap = s"snap-$batchId"
+    var attempt = 0
+    while (Files.exists(Paths.get(s"$storeDir/$snap"))) {
+      attempt += 1; snap = s"snap-$batchId-r$attempt"
+    }
+    merged.write.mode("overwrite").parquet(s"$storeDir/$snap")
+    val tmp = Files.createTempFile(Paths.get(storeDir), ".latest", ".tmp")
+    Files.write(tmp, snap.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(s"$storeDir/LATEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Files.createDirectories(marker.getParent)
+    Files.write(marker, batchId.toString.getBytes("UTF-8"))
+    true
+  }
+
+  /** The idempotent foreachBatch MERGE sink — [[compactionLoop]]'s
+    * exactly-once twin: instead of one output dir per batch, every
+    * micro-batch UPSERTS into a single keyed store (the batch
+    * q_merge_upsert semantics), and replays are no-ops via
+    * [[applyMergeBatch]]'s ledger + convergent merge. This is the stream →
+    * serving-table bridge: the store is always one consistent LWW snapshot
+    * of everything ingested so far.
+    */
+  def mergeSink(
+      spark: SparkSession,
+      inDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storeDir))
+    val static = spark.read.parquet(inDir)
+    source(spark, inDir, static)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMergeBatch(spark, storeDir, keys, orderCols, batch, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Stateful per-key compaction state via flatMapGroupsWithState analog —
     * expressed with the simpler dropDuplicates-on-stream (state store keyed
     * dedup): keep first arrival per (key, version) within the watermark.
