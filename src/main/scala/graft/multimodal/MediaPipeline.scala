@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * and run decode / feature-extract / frame-sample as partition-batched
   * transforms.
   *
-  * Decode has two arms. Raster payloads decode for REAL: [[PpmDecode]]
-  * parses binary PPM (P6) and 24bpp BMP, and [[PngDecode]] inflates and
+  * Decode has three arms, all real. Bit-exact: [[PpmDecode]] parses binary
+  * PPM (P6) and 24bpp BMP, and [[PngDecode]] inflates and
   * filter-reconstructs 8-bit PNG (pure JVM: java.util.zip.Inflater + Paeth
-  * et al.) — all emitting the integer luminance plane the perceptual-hash
-  * dedup family runs on (q_dedup_phash, q_dedup_phash_png). Only formats
-  * with no JVM-built-in codec (JPEG/WebP/MP4) fall back to
-  * [[decodeStub]], a clearly-marked deterministic fake — but
+  * et al.). JDK-codec: [[ImageIoDecode]] routes JPEG / GIF / TIFF through
+  * `javax.imageio` (ships with every Java SE runtime — still zero added
+  * dependencies; deterministic per pinned JVM, golden-pinned rather than
+  * SQL-oracled). All arms emit the same integer luminance plane the
+  * perceptual-hash dedup family runs on (q_dedup_phash, q_dedup_phash_png,
+  * q_multimodal_jpeg). Only formats with no JVM codec at all (WebP/MP4)
+  * fall back to [[decodeStub]], a clearly-marked deterministic fake — but
   * everything Spark-side is real and tested: the schema (binary + struct
   * metadata), the `Dataset[MediaRecord]` encoder, the mapPartitions batch
   * shape (decode amortized per-partition, never per-row-lambda-with-init),
@@ -33,14 +36,16 @@ object MediaPipeline {
 
   /** Feature vector for a payload: when the payload decodes as a supported
     * raster format (P6 PPM / 24bpp BMP / 8-bit PNG — [[PpmDecode]],
-    * [[PngDecode]]), features are REAL pixel statistics — per-block mean
-    * luminance over [[FeatureDim]] contiguous plane blocks (the classic
-    * tiny-thumbnail embedding). Otherwise [[decodeStub]] fills in from raw
-    * byte statistics (the clearly-marked stand-in for formats whose codecs
-    * the container lacks, e.g. JPEG).
+    * [[PngDecode]]) or a JDK-codec format (JPEG / GIF / TIFF —
+    * [[ImageIoDecode]]), features are REAL pixel statistics — per-block
+    * mean luminance over [[FeatureDim]] contiguous plane blocks (the
+    * classic tiny-thumbnail embedding). Otherwise [[decodeStub]] fills in
+    * from raw byte statistics (the clearly-marked stand-in for the formats
+    * with no JVM codec at all, e.g. WebP/MP4).
     */
   def decodeFeatures(payload: Array[Byte]): Array[Float] = {
-    val luma = PpmDecode.lumaOrNull(payload)
+    val exact = PpmDecode.lumaOrNull(payload)
+    val luma = if (exact != null) exact else ImageIoDecode.lumaOrNull(payload)
     if (luma == null || luma.length == 0) decodeStub(payload)
     else {
       val sums = new Array[Long](FeatureDim)
@@ -58,11 +63,12 @@ object MediaPipeline {
   }
 
   /** STUB — stands in for a real decode of formats with no JVM-built-in
-    * codec (JPEG/WebP/MP4). Deterministic: features derive from byte
+    * codec (WebP/MP4). Deterministic: features derive from byte
     * statistics, so tests and oracles are stable. Replace the body with a
     * real decoder (e.g. JavaCV / TwelveMonkeys) without touching any Spark
-    * plumbing. PNG/PPM/BMP payloads never reach this — [[decodeFeatures]]
-    * routes them through the real pixel path.
+    * plumbing. PNG/PPM/BMP (bit-exact arms) and JPEG/GIF/TIFF
+    * ([[ImageIoDecode]]) payloads never reach this — [[decodeFeatures]]
+    * routes them through the real pixel paths.
     */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val n = math.max(payload.length, 1)
@@ -119,21 +125,33 @@ object MediaPipeline {
       graft.functions.expr.ByteGradientHash.apply)(payload)
 
   /** Luminance plane of a binary P6 PPM payload, NULL when it doesn't parse
-    * ([[graft.functions.expr.PpmLuma]] / [[PpmDecode]]) — the REAL decode
-    * arm of the media column: uncompressed raster formats are pure
-    * header-parse + integer math, so the result is bit-exact and
-    * oracle-able. Compressed codecs (JPEG/MP4) would slot in beside it as
-    * another expression; the fallback idiom below is unchanged either way.
+    * ([[graft.functions.expr.PpmLuma]] / [[PpmDecode]]) — the bit-exact
+    * decode arm of the media column: uncompressed raster formats are pure
+    * header-parse + integer math, so the result is oracle-able. The
+    * compressed-codec arm ([[codecLuma]]) slots in beside it; the fallback
+    * idiom below composes both.
     */
   def ppmLuma(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftshim.GraftColumn.lift1(
       graft.functions.expr.PpmLuma.apply)(payload)
 
-  /** The decode-or-opaque idiom: pixel data for payloads that parse as P6,
-    * raw payload bytes otherwise — so one plan serves mixed media tables.
+  /** Luminance plane of a JPEG / GIF / TIFF payload via the JDK codecs,
+    * NULL when the magic gate or codec rejects it
+    * ([[graft.functions.expr.CodecLuma]] / [[ImageIoDecode]]).
+    */
+  def codecLuma(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.GraftColumn.lift1(
+      graft.functions.expr.CodecLuma.apply)(payload)
+
+  /** The decode-or-opaque idiom: pixel data for payloads any real arm
+    * decodes (bit-exact formats probed first — their magics are disjoint
+    * from the codec formats', so order only affects which arm pays the
+    * rejection cost), raw payload bytes otherwise — one plan serves mixed
+    * media tables.
     */
   def lumaOrRaw(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.coalesce(ppmLuma(payload), payload)
+    org.apache.spark.sql.functions.coalesce(
+      ppmLuma(payload), codecLuma(payload), payload)
 
   /** Exact-integer PCM stats for "audio" payloads: decode the byte stream as
     * little-endian int16 samples (trailing odd byte dropped, the WAV data

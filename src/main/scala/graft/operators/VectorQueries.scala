@@ -882,6 +882,65 @@ object VectorQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // X5g: LOSSY-codec arm — gray JPEG roundtrip CONTRACT. Each document's
+    // first 8·min(⌊n/8⌋,128) text bytes become an 8-wide grayscale plane,
+    // encoded to a REAL baseline JPEG and decoded back through the JDK
+    // codec ([[graft.multimodal.ImageIoDecode]]) inside one mapPartitions —
+    // the batch decode shape (writer/reader plugin context amortized per
+    // partition, exactly how a 100 TB image screen runs; zero shuffles
+    // before the output sort). A lossy decode can't be hash-compared
+    // against SQL, so — the q_agg_approx_distinct precedent — Spark checks
+    // its own roundtrip against codec-independent envelopes and the oracle
+    // asserts the same contract shape: len_ok (decoded plane length is
+    // exact), dc_ok (global mean drift ≤ 2/pixel — DC coefficients are
+    // coarsely quantized at most; measured worst 0.4 across noise /
+    // periodic / constant planes at q=0.85), block_ok (each of the 33
+    // dHash blocks' mean drifts ≤ 24 — measured worst 14; the property
+    // that makes the perceptual-hash family survive JPEG re-encodes). A
+    // broken decode fails loudly: the gamma-curve trap (reading gray
+    // rasters through getRGB's linear→sRGB conversion) drifts mid-gray by
+    // ~60 levels and flips dc_ok/block_ok; a truncated or failed decode
+    // nulls len_ok.
+    "q_multimodal_jpeg" -> ((s, d) => {
+      import s.implicits._
+      val planes = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("bin"))
+        .withColumn("h", least(length(col("bin")) / lit(8), lit(128)).cast("int"))
+        .filter(col("h") >= 1) // <8 text bytes: no row to rasterize
+        .select(col("doc_id"), col("bin").substr(lit(1), col("h") * lit(8)).as("src"))
+        .as[(Long, Array[Byte])]
+      planes.mapPartitions { it =>
+        // First call resolves the ImageIO writer/reader plugins; the
+        // registry lookup is the codec context amortized per partition.
+        it.map { case (id, src) =>
+          val jpeg = graft.multimodal.ImageIoDecode.encodeGrayJpeg(src, width = 8)
+          val dec = graft.multimodal.ImageIoDecode.lumaOrNull(jpeg)
+          val n = src.length
+          val lenOk = dec != null && dec.length == n
+          var dcOk = false
+          var blockOk = false
+          if (lenOk) {
+            val sa = new Array[Long](33)
+            val sb = new Array[Long](33)
+            val cn = new Array[Long](33)
+            var i = 0
+            while (i < n) {
+              val b = ((i.toLong * 33) / n).toInt
+              sa(b) += src(i) & 0xff
+              sb(b) += dec(i) & 0xff
+              cn(b) += 1
+              i += 1
+            }
+            dcOk = math.abs(sa.sum - sb.sum) <= 2L * n
+            blockOk = (0 until 33).forall(b =>
+              cn(b) == 0 || math.abs(sa(b) - sb(b)) <= 24L * cn(b))
+          }
+          (id, n.toLong, lenOk, dcOk, blockOk)
+        }
+      }.toDF("doc_id", "n_pix", "len_ok", "dc_ok", "block_ok")
+        .orderBy(col("doc_id"))
+    }),
+
     // X5e: AUDIO decode stats — the third MediaPipeline modality branch:
     // payloads decoded as little-endian int16 PCM, with the
     // loudness/clipping/silence screen (n, Σv², peak, zero-crossings)
@@ -1463,6 +1522,22 @@ object VectorQueries extends QueryPack {
         |       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
         |       CAST(sum(CASE WHEN v2 IS NOT NULL AND (v < 0) <> (v2 < 0)
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
-        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Contract oracle (the q_agg_approx_distinct precedent): a lossy JPEG
+    // roundtrip can't be value-compared in SQL, so Spark self-checks its
+    // decode against codec-independent envelopes and emits verdicts; the
+    // oracle computes the SQL-expressible half (which docs rasterize, the
+    // exact plane size) and asserts the contract booleans. Any codec
+    // regression — wrong dims, gamma-shifted gray reads, truncated
+    // entropy data — flips a boolean on the Spark side and fails the hash
+    // compare.
+    "q_multimodal_jpeg" ->
+      s"""SELECT doc_id,
+        |       CAST(least(octet_length(encode(text)) // 8, 128) * 8 AS BIGINT) AS n_pix,
+        |       true AS len_ok, true AS dc_ok, true AS block_ok
+        |FROM documents
+        |WHERE octet_length(encode(text)) >= 8
+        |ORDER BY doc_id""".stripMargin
   )
 }
