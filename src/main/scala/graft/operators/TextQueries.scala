@@ -663,30 +663,47 @@ object TextQueries extends QueryPack {
     // share at least one token in their first L = n − ceil(θn) + 1 tokens
     // (pigeonhole on the ≥ θ·n overlap a match requires). The prefix
     // SCHEME is exact (no probabilistic false negatives, unlike MinHash
-    // banding) — but the 2–100 bucket cap below still drops any prefix
-    // token shared by >100 docs, so pairs meeting ONLY in an over-full
-    // bucket are lost there exactly as in the LSH paths. Rarest-first
-    // ordering keeps prefix buckets naturally sparse (a stopword enters a
-    // prefix only when a doc is nearly all stopwords), and
-    // q_dedup_cap_audit counts every bucket the cap forgoes — the drop is
-    // audited, never silent. All threshold math is integer
-    // (ceil(6n/10) = (6n+9) div 10; Jaccard test inter·10 ≥ 6·union), so
-    // both engines decide identically. Scale shape: tokenize → one df
-    // aggregation → per-doc sort (map-side after the df join's shuffle) →
-    // prefix explode → in-bucket pair expansion with the capped buckets;
-    // length filter 10·min(na,nb) ≥ 6·max before the exact verify. Never
-    // all-pairs.
+    // banding). Over-full buckets (>100 docs sharing a prefix token) are
+    // NOT dropped any more: enumerating their C(sz,2) pairs is inherently
+    // quadratic in cluster size (measured 88.8M candidate pairs hiding
+    // 7.1M true pairs in 17 over-cap buckets at sf0.1 — an output no exact
+    // pair-list can avoid), so instead each over-cap bucket emits a
+    // verified STAR: every member paired with the bucket representative
+    // (its minimum doc_id) — O(sz) candidates, O(sz) output, then the same
+    // exact-Jaccard verify. For the template families that actually
+    // produce over-full buckets, members sit within θ of the rep, so the
+    // star preserves CLUSTER CONNECTIVITY (what the components/keep-one
+    // consumers need) without the quadratic pair list; members failing the
+    // rep verify remain foregone and q_dedup_cap_audit counts both sides
+    // (pairs not enumerated, star edges emitted) — bounded, audited,
+    // never silent. All threshold math is integer (ceil(6n/10) =
+    // (6n+9) div 10; Jaccard test inter·10 ≥ 6·union), so both engines
+    // decide identically. Scale shape: tokenize → one df aggregation →
+    // per-doc sort (map-side after the df join's shuffle) → prefix
+    // explode → ONE bucket groupBy whose expansion switches per bucket
+    // (all-pairs ≤100, star above — a single when() over the collected
+    // list, no second pipeline build); length filter 10·min(na,nb) ≥
+    // 6·max before the exact verify. Never all-pairs.
     "q_dedup_prefix" -> ((s, d) => {
       val pref = prefixTokensOf(s, d)
       val buckets = pref.groupBy(col("w"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("n"), col("ws")))).as("ds"))
-        .filter(size(col("ds")).between(2, 100))
+        .filter(size(col("ds")) >= 2)
+      def pairStruct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        struct(a.getField("doc_id").as("doc_a"), a.getField("n").as("na"),
+          a.getField("ws").as("wsa"), b.getField("doc_id").as("doc_b"),
+          b.getField("n").as("nb"), b.getField("ws").as("wsb"))
+      val allPairs = flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
+          b => pairStruct(a, b))))
+      // sort_array ordered by doc_id, so ds[0] is the bucket minimum: every
+      // star edge already satisfies doc_a < doc_b. Slice length must be the
+      // exact remainder — Int.MaxValue overflows Slice's start+length int
+      // arithmetic to a negative end and silently yields an EMPTY array.
+      val star = transform(slice(col("ds"), lit(2), size(col("ds")) - 1),
+        b => pairStruct(element_at(col("ds"), 1), b))
       buckets
-        .select(explode(flatten(transform(col("ds"), (a, i) =>
-          transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
-            b => struct(a.getField("doc_id").as("doc_a"), a.getField("n").as("na"),
-              a.getField("ws").as("wsa"), b.getField("doc_id").as("doc_b"),
-              b.getField("n").as("nb"), b.getField("ws").as("wsb")))))).as("p"))
+        .select(explode(when(size(col("ds")) <= 100, allPairs).otherwise(star)).as("p"))
         .select(col("p.*"))
         .filter(least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 6)
         .dropDuplicates("doc_a", "doc_b")
@@ -698,38 +715,51 @@ object TextQueries extends QueryPack {
     }),
 
     // X2y: CAP AUDIT — the "no silent caps" rule applied to the dedup
-    // family's own candidate generation. Every bucketed pipeline here
-    // drops over-full buckets (>100 members) instead of expanding them
-    // quadratically; this query makes the drop OBSERVABLE: per pipeline
-    // (minhash bands, prefix-filter buckets, simhash byte-bands), the
-    // exact number of pairable buckets, the largest bucket, how many
-    // buckets exceeded the cap, and the candidate pairs C(sz,2) foregone
-    // in them — all integers, all oracled. At fixture scale the over-cap
-    // counts are zero, which the oracle verifies exactly; at 100 TB a hot
-    // band value or boilerplate prefix token shows up HERE as a nonzero
-    // pairs_foregone instead of as silently-missing duplicates. Cost: each
-    // pipeline's bucket table reduces to one size histogram — three
-    // aggregates over already-built keys, no pair expansion anywhere.
+    // family's own candidate generation. The LSH pipelines drop over-full
+    // buckets (>100 members) instead of expanding them quadratically; the
+    // prefix pipeline instead reduces each over-cap bucket to a verified
+    // STAR around its minimum-doc_id representative (q_dedup_prefix). This
+    // query makes both choices OBSERVABLE: per pipeline (minhash bands,
+    // prefix-filter buckets, simhash byte-bands), the exact number of
+    // pairable buckets, the largest bucket, how many buckets exceeded the
+    // cap, the candidate pairs NOT enumerated in them (all C(sz,2) where
+    // the bucket drops; C(sz,2) − (sz−1) where the star keeps sz−1), and
+    // the star edges emitted — all integers, all oracled. The fixture
+    // corpora already exercise every column: prefix template families are
+    // over-cap at sf0.01 (13 buckets / 879 819 non-enumerated pairs /
+    // 4 766 star edges) and simhash bands go over-cap at sf0.1 (28
+    // buckets / 1.34M pairs foregone), all verified exactly by the
+    // oracle; at 100 TB a hot band value shows up HERE as a nonzero
+    // pairs_foregone instead of as silently-missing duplicates.
+    // Cost: each pipeline's bucket table reduces to one size histogram —
+    // three aggregates over already-built keys, no pair expansion
+    // anywhere.
     "q_dedup_cap_audit" -> ((s, d) => {
-      def summarize(name: String, sizes: org.apache.spark.sql.DataFrame) =
+      def summarize(name: String, sizes: org.apache.spark.sql.DataFrame,
+          starRecovery: Boolean) =
         sizes.filter(col("sz") >= 2).agg(
           count(lit(1)).cast("long").as("n_buckets"),
           coalesce(max(col("sz")), lit(0L)).cast("long").as("max_bucket"),
           coalesce(sum(when(col("sz") > 100, lit(1L)).otherwise(lit(0L))), lit(0L))
             .cast("long").as("overcap_buckets"),
-          coalesce(sum(when(col("sz") > 100, expr("sz * (sz - 1) div 2"))
-            .otherwise(lit(0L))), lit(0L)).cast("long").as("pairs_foregone"))
+          coalesce(sum(when(col("sz") > 100,
+            if (starRecovery) expr("(sz - 1) * (sz - 2) div 2")
+            else expr("sz * (sz - 1) div 2"))
+            .otherwise(lit(0L))), lit(0L)).cast("long").as("pairs_foregone"),
+          coalesce(sum(when(col("sz") > 100,
+            if (starRecovery) col("sz") - 1 else lit(0L))
+            .otherwise(lit(0L))), lit(0L)).cast("long").as("star_edges"))
           .select(lit(name).as("pipeline"), col("n_buckets"), col("max_bucket"),
-            col("overcap_buckets"), col("pairs_foregone"))
+            col("overcap_buckets"), col("pairs_foregone"), col("star_edges"))
       val mh = bandBuckets(s, d)
         .groupBy(col("band"), col("bkey")).agg(count(lit(1)).cast("long").as("sz"))
       val pf = prefixTokensOf(s, d)
         .groupBy(col("w")).agg(count(lit(1)).cast("long").as("sz"))
       val sh = bandedOf(simhashSigs(s, d), "simhash", nBands = 2)
         .groupBy(col("band"), col("bval")).agg(count(lit(1)).cast("long").as("sz"))
-      summarize("minhash", mh)
-        .unionAll(summarize("prefix", pf))
-        .unionAll(summarize("simhash", sh))
+      summarize("minhash", mh, starRecovery = false)
+        .unionAll(summarize("prefix", pf, starRecovery = true))
+        .unionAll(summarize("simhash", sh, starRecovery = false))
         .orderBy(col("pipeline"))
     }),
 
@@ -2264,6 +2294,10 @@ object TextQueries extends QueryPack {
          |            ELSE 0.0 END AS cc
          |FROM deg g LEFT JOIN tc USING (doc_id)
          |ORDER BY g.doc_id""".stripMargin,
+    // Two expansion modes, mirrored: buckets ≤100 expand all pairs;
+    // over-cap buckets pair every member with the bucket minimum doc_id
+    // (the verified star) — then one shared DISTINCT + length filter +
+    // exact verify.
     "q_dedup_prefix" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
         |           FROM documents),
@@ -2274,12 +2308,22 @@ object TextQueries extends QueryPack {
         |pr AS (SELECT doc_id, n, ws,
         |              unnest(ws[1:CAST(n - (6*n + 9)//10 + 1 AS INT)]) AS w
         |       FROM srt),
-        |sized AS (SELECT * FROM pr
-        |          QUALIFY count(*) OVER (PARTITION BY w) BETWEEN 2 AND 100),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.n AS na, x.ws AS wsa,
-        |                y.doc_id AS doc_b, y.n AS nb, y.ws AS wsb
-        |         FROM sized x JOIN sized y ON x.w = y.w AND x.doc_id < y.doc_id
-        |         WHERE least(x.n, y.n) * 10 >= greatest(x.n, y.n) * 6),
+        |szs AS (SELECT w, count(*) AS sz FROM pr GROUP BY w),
+        |sized AS (SELECT pr.* FROM pr JOIN szs USING (w)
+        |          WHERE sz BETWEEN 2 AND 100),
+        |reps AS (SELECT pr.w, min(doc_id) AS rep FROM pr JOIN szs USING (w)
+        |         WHERE sz > 100 GROUP BY pr.w),
+        |starc AS (SELECT r.doc_id AS doc_a, r.n AS na, r.ws AS wsa,
+        |                 m.doc_id AS doc_b, m.n AS nb, m.ws AS wsb
+        |          FROM reps j JOIN pr r ON r.w = j.w AND r.doc_id = j.rep
+        |               JOIN pr m ON m.w = j.w AND m.doc_id > j.rep),
+        |cand AS (SELECT DISTINCT doc_a, na, wsa, doc_b, nb, wsb FROM (
+        |           SELECT x.doc_id AS doc_a, x.n AS na, x.ws AS wsa,
+        |                  y.doc_id AS doc_b, y.n AS nb, y.ws AS wsb
+        |           FROM sized x JOIN sized y
+        |             ON x.w = y.w AND x.doc_id < y.doc_id
+        |           UNION ALL SELECT * FROM starc)
+        |         WHERE least(na, nb) * 10 >= greatest(na, nb) * 6),
         |v AS (SELECT doc_a, doc_b, na, nb,
         |             CAST(len(list_intersect(wsa, wsb)) AS BIGINT) AS inter
         |      FROM cand)
@@ -2325,19 +2369,22 @@ object TextQueries extends QueryPack {
          |SELECT 'minhash' AS pipeline, CAST(count(*) AS BIGINT) AS n_buckets,
          |       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_bucket,
          |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END), 0) AS BIGINT) AS overcap_buckets,
-         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT) AS pairs_foregone
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT) AS pairs_foregone,
+         |       CAST(0 AS BIGINT) AS star_edges
          |FROM mhsz WHERE sz >= 2
          |UNION ALL
          |SELECT 'prefix', CAST(count(*) AS BIGINT),
          |       CAST(coalesce(max(sz), 0) AS BIGINT),
          |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END), 0) AS BIGINT),
-         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT)
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN (sz-1)*(sz-2)//2 ELSE 0 END), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz - 1 ELSE 0 END), 0) AS BIGINT)
          |FROM pfsz WHERE sz >= 2
          |UNION ALL
          |SELECT 'simhash', CAST(count(*) AS BIGINT),
          |       CAST(coalesce(max(sz), 0) AS BIGINT),
          |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END), 0) AS BIGINT),
-         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT)
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT),
+         |       CAST(0 AS BIGINT)
          |FROM shsz WHERE sz >= 2
          |ORDER BY pipeline""".stripMargin,
     // Integer division both sides (numerators positive, so DuckDB's floor
