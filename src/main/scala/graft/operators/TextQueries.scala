@@ -257,18 +257,31 @@ object TextQueries extends QueryPack {
       sigs: org.apache.spark.sql.DataFrame, sigCol: String,
       nBands: Int, maxHamming: Int): org.apache.spark.sql.DataFrame = {
     val banded = bandedOf(sigs, sigCol, nBands)
+    def pairStruct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      struct(
+        a.getField("doc_id").as("doc_a"),
+        b.getField("doc_id").as("doc_b"),
+        bit_count(a.getField("sig").bitwiseXOR(b.getField("sig")))
+          .cast("long").as("hamming"))
+    val allPairs = flatten(transform(col("vs"), (a, i) =>
+      transform(
+        slice(col("vs"), i + lit(2), size(col("vs")) - i - 1),
+        b => pairStruct(a, b))))
+    // Over-cap buckets (>100 signatures sharing a band byte — hot template
+    // families at real scale) emit a verified STAR around the bucket's
+    // minimum doc_id instead of being dropped: O(sz) candidates, cluster
+    // connectivity preserved, same exact bit_count verify — the same
+    // scale-correct shape as q_dedup_prefix, landed here once for every
+    // banded-Hamming consumer (simhash pairs, phash, phash_png,
+    // phash_frames). q_dedup_cap_audit reports what the star leaves
+    // non-enumerated.
+    val star = transform(slice(col("vs"), lit(2), size(col("vs")) - 1),
+      b => pairStruct(element_at(col("vs"), 1), b))
     banded
       .groupBy(col("band"), col("bval"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("vs"))
-      .filter(size(col("vs")).between(2, 100))
-      .select(explode(flatten(transform(col("vs"), (a, i) =>
-        transform(
-          slice(col("vs"), i + lit(2), size(col("vs")) - i - 1),
-          b => struct(
-            a.getField("doc_id").as("doc_a"),
-            b.getField("doc_id").as("doc_b"),
-            bit_count(a.getField("sig").bitwiseXOR(b.getField("sig")))
-              .cast("long").as("hamming")))))).as("p"))
+      .filter(size(col("vs")) >= 2)
+      .select(explode(when(size(col("vs")) <= 100, allPairs).otherwise(star)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
@@ -715,10 +728,12 @@ object TextQueries extends QueryPack {
     }),
 
     // X2y: CAP AUDIT — the "no silent caps" rule applied to the dedup
-    // family's own candidate generation. The LSH pipelines drop over-full
-    // buckets (>100 members) instead of expanding them quadratically; the
-    // prefix pipeline instead reduces each over-cap bucket to a verified
-    // STAR around its minimum-doc_id representative (q_dedup_prefix). This
+    // family's own candidate generation. The minhash band pipeline drops
+    // over-full buckets (>100 members) instead of expanding them
+    // quadratically; the prefix and simhash/banded-Hamming pipelines
+    // instead reduce each over-cap bucket to a verified STAR around its
+    // minimum-doc_id representative (q_dedup_prefix / bandedHammingPairs).
+    // This
     // query makes both choices OBSERVABLE: per pipeline (minhash bands,
     // prefix-filter buckets, simhash byte-bands), the exact number of
     // pairable buckets, the largest bucket, how many buckets exceeded the
@@ -728,7 +743,8 @@ object TextQueries extends QueryPack {
     // corpora already exercise every column: prefix template families are
     // over-cap at sf0.01 (13 buckets / 879 819 non-enumerated pairs /
     // 4 766 star edges) and simhash bands go over-cap at sf0.1 (28
-    // buckets / 1.34M pairs foregone), all verified exactly by the
+    // buckets, star-recovered like prefix since the banded-Hamming
+    // pairing shares the same over-cap star), all verified exactly by the
     // oracle; at 100 TB a hot band value shows up HERE as a nonzero
     // pairs_foregone instead of as silently-missing duplicates.
     // Cost: each pipeline's bucket table reduces to one size histogram —
@@ -759,7 +775,7 @@ object TextQueries extends QueryPack {
         .groupBy(col("band"), col("bval")).agg(count(lit(1)).cast("long").as("sz"))
       summarize("minhash", mh, starRecovery = false)
         .unionAll(summarize("prefix", pf, starRecovery = true))
-        .unionAll(summarize("simhash", sh, starRecovery = false))
+        .unionAll(summarize("simhash", sh, starRecovery = true))
         .orderBy(col("pipeline"))
     }),
 
@@ -2383,8 +2399,8 @@ object TextQueries extends QueryPack {
          |SELECT 'simhash', CAST(count(*) AS BIGINT),
          |       CAST(coalesce(max(sz), 0) AS BIGINT),
          |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END), 0) AS BIGINT),
-         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT),
-         |       CAST(0 AS BIGINT)
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN (sz-1)*(sz-2)//2 ELSE 0 END), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz - 1 ELSE 0 END), 0) AS BIGINT)
          |FROM shsz WHERE sz >= 2
          |ORDER BY pipeline""".stripMargin,
     // Integer division both sides (numerators positive, so DuckDB's floor
@@ -2607,10 +2623,21 @@ object TextQueries extends QueryPack {
          |           FROM sig CROSS JOIN range(2) r(k)),
          |sized AS (SELECT * FROM banded
          |          QUALIFY count(*) OVER (PARTITION BY band, bval) BETWEEN 2 AND 100),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |                CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
-         |         FROM sized x JOIN sized y
-         |           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+         |ovc AS (SELECT * FROM banded
+         |        QUALIFY count(*) OVER (PARTITION BY band, bval) > 100),
+         |reps AS (SELECT band, bval, min(doc_id) AS rep FROM ovc GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT doc_a, doc_b, hamming FROM (
+         |           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+         |           FROM sized x JOIN sized y
+         |             ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+         |           UNION ALL
+         |           SELECT r.doc_id, m.doc_id,
+         |                  CAST(bit_count(xor(r.sh, m.sh)) AS BIGINT)
+         |           FROM reps j JOIN ovc r ON r.band = j.band AND r.bval = j.bval
+         |                                 AND r.doc_id = j.rep
+         |                JOIN ovc m ON m.band = j.band AND m.bval = j.bval
+         |                          AND m.doc_id > j.rep))
          |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
          |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
     // The naive join spelled naively in DuckDB too — the Spark side's

@@ -1401,10 +1401,21 @@ object VectorQueries extends QueryPack {
         |           FROM ph CROSS JOIN range(4) r(k)),
         |sized AS (SELECT * FROM banded
         |          QUALIFY count(*) OVER (PARTITION BY band, bval) BETWEEN 2 AND 100),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |                CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
-        |         FROM sized x JOIN sized y
-        |           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+        |ovc AS (SELECT * FROM banded
+        |        QUALIFY count(*) OVER (PARTITION BY band, bval) > 100),
+        |reps AS (SELECT band, bval, min(doc_id) AS rep FROM ovc GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT doc_a, doc_b, hamming FROM (
+        |           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                  CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        |           FROM sized x JOIN sized y
+        |             ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+        |           UNION ALL
+        |           SELECT r.doc_id, m.doc_id,
+        |                  CAST(bit_count(xor(r.phash, m.phash)) AS BIGINT)
+        |           FROM reps j JOIN ovc r ON r.band = j.band AND r.bval = j.bval
+        |                                 AND r.doc_id = j.rep
+        |                JOIN ovc m ON m.band = j.band AND m.bval = j.bval
+        |                          AND m.doc_id > j.rep))
         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
         |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
     // The PNG wrapping is grayscale filter-0 over a stored deflate block,
@@ -1437,10 +1448,21 @@ object VectorQueries extends QueryPack {
         |           FROM ph CROSS JOIN range(4) r(k)),
         |sized AS (SELECT * FROM banded
         |          QUALIFY count(*) OVER (PARTITION BY band, bval) BETWEEN 2 AND 100),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |                CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
-        |         FROM sized x JOIN sized y
-        |           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+        |ovc AS (SELECT * FROM banded
+        |        QUALIFY count(*) OVER (PARTITION BY band, bval) > 100),
+        |reps AS (SELECT band, bval, min(doc_id) AS rep FROM ovc GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT doc_a, doc_b, hamming FROM (
+        |           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                  CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        |           FROM sized x JOIN sized y
+        |             ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+        |           UNION ALL
+        |           SELECT r.doc_id, m.doc_id,
+        |                  CAST(bit_count(xor(r.phash, m.phash)) AS BIGINT)
+        |           FROM reps j JOIN ovc r ON r.band = j.band AND r.bval = j.bval
+        |                                 AND r.doc_id = j.rep
+        |                JOIN ovc m ON m.band = j.band AND m.bval = j.bval
+        |                          AND m.doc_id > j.rep))
         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
         |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
     // Same luma derivation as the q_dedup_phash oracle (decoded plane =
@@ -1494,10 +1516,21 @@ object VectorQueries extends QueryPack {
         |           FROM ph CROSS JOIN range(4) r(k)),
         |sized AS (SELECT * FROM banded
         |          QUALIFY count(*) OVER (PARTITION BY band, bval) BETWEEN 2 AND 100),
-        |cand AS (SELECT DISTINCT x.fid AS frame_a, y.fid AS frame_b,
-        |                CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
-        |         FROM sized x JOIN sized y
-        |           ON x.band = y.band AND x.bval = y.bval AND x.fid < y.fid)
+        |ovc AS (SELECT * FROM banded
+        |        QUALIFY count(*) OVER (PARTITION BY band, bval) > 100),
+        |reps AS (SELECT band, bval, min(fid) AS rep FROM ovc GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT frame_a, frame_b, hamming FROM (
+        |           SELECT x.fid AS frame_a, y.fid AS frame_b,
+        |                  CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        |           FROM sized x JOIN sized y
+        |             ON x.band = y.band AND x.bval = y.bval AND x.fid < y.fid
+        |           UNION ALL
+        |           SELECT r.fid, m.fid,
+        |                  CAST(bit_count(xor(r.phash, m.phash)) AS BIGINT)
+        |           FROM reps j JOIN ovc r ON r.band = j.band AND r.bval = j.bval
+        |                                 AND r.fid = j.rep
+        |                JOIN ovc m ON m.band = j.band AND m.bval = j.bval
+        |                          AND m.fid > j.rep))
         |SELECT frame_a, frame_b, hamming FROM cand WHERE hamming <= 1
         |ORDER BY hamming, frame_a, frame_b LIMIT 100""".stripMargin,
     // Sample i = bytes (2i, 2i+1) little-endian signed 16-bit: low byte at
