@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev scale soak (not part of the library surface): amplify the sf0.1
+  * documents table K× with near-duplicate replicas — replica r of doc i
+  * keeps the text plus one appended `rep<r>` token, so every replica
+  * family is a genuine Jaccard≥0.6 near-dup cluster and every hot
+  * template family becomes a K×-larger one — then run the dedup-family
+  * queries UNCHANGED against the amplified directory and report wall
+  * time + output size. This measures the question the fixtures can't:
+  * do the capped/banded/star shapes stay near-linear when bucket sizes
+  * blow past every cap, or does some path hide a quadratic?
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [K] [query,query,...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(20)
+    val out = java.nio.file.Files.createTempDirectory("scaleprobe").toString
+    val spark = Sessions.tuned("local[32]", "32")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, sf)
+    val reps = spark.range(k).select(col("id").as("rep"))
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val n = spark.read.parquet(s"$out/documents.parquet").count()
+    println(s"[scaleprobe] amplified corpus: $n docs (${k}x $sf)")
+    val names = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_near",
+      "q_dedup_components", "q_dedup_keep", "q_dedup_prefix",
+      "q_dedup_simhash_pairs", "q_dedup_cap_audit", "q_text_editdist",
+      "q_text_bm25"))
+    for (name <- names) {
+      val t0 = System.nanoTime()
+      val rows =
+        try SparkEntry.queries(name)(spark, out).count()
+        catch { case e: Throwable => println(s"[scaleprobe] $name FAILED: ${e.getMessage}"); -1L }
+      println(f"[scaleprobe] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+    }
+    println("[scaleprobe] cap audit at amplified scale:")
+    SparkEntry.queries("q_dedup_cap_audit")(spark, out).show(truncate = false)
+    spark.stop()
+  }
+}

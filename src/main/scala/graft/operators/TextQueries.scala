@@ -2079,8 +2079,9 @@ object TextQueries extends QueryPack {
     // +1-floored idf) — score the corpus against a PROBE TERM SET and
     // return the top-20 docs: the "pull training docs matching this topic"
     // mining query. The probe is data-derived and deterministic (top-8
-    // mid-df terms, df∈[3,100], df desc / term asc — a TakeOrdered over
-    // the vocab-sized df table), so the query is self-contained at any
+    // mid-df terms in the scale-relative band [max(3, N/200),
+    // max(100, N/10)], df desc / term asc — a TakeOrdered over the
+    // vocab-sized df table), so the query is self-contained at any
     // scale. All global stats (N, Σdl) come from the materialized tf table
     // — the corpus is tokenized ONCE; the 8-row probe (with idf inputs)
     // broadcasts onto the tf stream, which never shuffles to score: the
@@ -2093,9 +2094,17 @@ object TextQueries extends QueryPack {
       val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val scal = tf.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val probe = dfT.filter(col("df").between(3, 100))
+      // Scale-relative probe band: [max(3, N/200), max(100, N/10)]. The
+      // absolute df∈[3,100] band it replaces went EMPTY once the corpus
+      // grew past the point where even the rarest term's df exceeds 100
+      // (measured: 0 rows at a 20× soak, ScaleProbe) — mid-df is a
+      // corpus-relative notion. At the sf0.001/sf0.01 fixtures the bounds
+      // reduce to exactly [3,100], so fixture results are unchanged.
+      val probe = dfT.crossJoin(broadcast(scal))
+        .filter(col("df").between(
+          greatest(lit(3L), expr("n_docs div 200")),
+          greatest(lit(100L), expr("n_docs div 10"))))
         .orderBy(col("df").desc, col("w")).limit(8)
-        .crossJoin(broadcast(scal))
       tf.join(broadcast(probe), Seq("w"))
         .withColumn("score6", round(
           log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
@@ -3174,7 +3183,9 @@ object TextQueries extends QueryPack {
         |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
         |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
         |         FROM (SELECT doc_id, any_value(dl) AS dl FROM tf GROUP BY 1)),
-        |probe AS (SELECT w, df FROM dfq WHERE df BETWEEN 3 AND 100
+        |probe AS (SELECT w, df FROM dfq, scal
+        |          WHERE df BETWEEN greatest(3, n_docs // 200)
+        |                       AND greatest(100, n_docs // 10)
         |          ORDER BY df DESC, w LIMIT 8),
         |sc AS (SELECT doc_id,
         |              CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
