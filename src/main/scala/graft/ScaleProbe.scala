@@ -31,13 +31,38 @@ object ScaleProbe {
         col("lang"), col("source"), col("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // Embeddings: replicas keep the vector (a replica IS a near-dup) but
+    // get fresh ids — IVF cells, LSH buckets and top-k heaps all grow Kx.
+    Tables.embeddings(spark, sf).crossJoin(reps)
+      .select((col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // Events: replicas shift ts by rep seconds and take fresh event ids but
+    // KEEP user_id — per-user event streams (sessions, windows, LWW keys)
+    // become Kx denser, the hot-key direction that stresses state.
+    Tables.events(spark, sf).crossJoin(reps)
+      .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+        (col("ts") + expr("make_interval(0, 0, 0, 0, 0, 0, rep)")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // Star-schema tables ride along unamplified (dims stay dims).
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))
+      Tables.load(spark, sf, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     val n = spark.read.parquet(s"$out/documents.parquet").count()
     println(s"[scaleprobe] amplified corpus: $n docs (${k}x $sf)")
     val names = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_near",
       "q_dedup_components", "q_dedup_keep", "q_dedup_prefix",
       "q_dedup_simhash_pairs", "q_dedup_cap_audit", "q_text_editdist",
-      "q_text_bm25"))
+      "q_text_bm25",
+      // vector family: Kx corpus, identical replica vectors
+      "q_simsearch_topk", "q_simsearch_ivf", "q_simsearch_pq", "q_dedup_embed",
+      "q_dedup_semantic",
+      // event family: Kx-denser per-user streams (hot-key direction)
+      "q_compact_lww", "q_window_session", "q_sessionize", "q_agg_salted_twophase",
+      "q_join_skew_salted"))
     for (name <- names) {
       val t0 = System.nanoTime()
       val rows =
