@@ -608,6 +608,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_multimodal_jpeg: encode→decode→contract is one shuffle-free map stage before the output sort") {
+    val p = plan("q_multimodal_jpeg")
+    // per-partition codec batch (typed mapPartitions), no relational join,
+    // and the ONLY exchange is the final orderBy's range partitioning —
+    // decode stats never leave the partition that produced them
+    assert(p.contains("MapPartitions"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q_dedup_phash_png: craft→decode→hash→band chain stays joinless until the band-bucket expansion") {
+    val p = plan("q_dedup_phash_png")
+    // candidates expand via Generate inside buckets, never a doc↔doc join
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).hasNext, p)
+  }
+
   test("q_graph_triangles: wedges close via LeftSemi on the memoized edge list — no cartesian, no corpus re-scan") {
     val p = plan("q_graph_triangles")
     assert(p.contains("LeftSemi"), p)
