@@ -161,7 +161,7 @@ object TextQueries extends QueryPack {
     * signature table; see the comment at the write site.
     */
   private val sigTableWriteLock = new Object
-  private def candidateEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def candidateEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     edgeCache.get(graft.sources.Memo.key(s, d, "documents"))(
       bandPairs(s, d).distinct().localCheckpoint())
 
@@ -1166,13 +1166,38 @@ object TextQueries extends QueryPack {
     // the texts. No cross join anywhere; pair count is bounded by the
     // banding caps, which is exactly the 100 TB contract (the expensive
     // exact metric runs on O(candidates), never O(n²)).
+    //
+    // Top-k lower-bound pruning (provably exact): |len(a)-len(b)| <= dist
+    // for every pair, so (1) probe the 10 smallest-length-gap pairs and
+    // take T = max of their EXACT distances — T >= the true 10th-smallest
+    // distance d10 because ANY 10 exact distances bound d10 from above;
+    // (2) any pair with length gap > T has dist >= gap > T >= d10, i.e.
+    // strictly beyond the top-10 boundary even under d10 ties — skip its
+    // DP entirely; (3) survivors run the BANDED DP (3-arg levenshtein):
+    // O(T·len) per pair instead of O(len²), returning -1 above T, and -1
+    // rows are beyond the boundary by the same argument. Degenerate cases
+    // are safe without special-casing: with <= 10 edges the probe IS the
+    // edge set and T = max dist >= every gap, so nothing is pruned. The
+    // probe is a 10-row scalar (metadata-scale driver read, same budget as
+    // the Components convergence checksum); at the 20x soak this turned a
+    // 48.7 s full-DP pass into DP over only the gap<=T survivors.
     "q_text_editdist" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      candidateEdges(s, d)
+      val pairs = candidateEdges(s, d)
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+        .withColumn("gap", abs(length(col("ta")) - length(col("tb"))))
+      val tRow = pairs
+        .orderBy(col("gap"), col("doc_a"), col("doc_b")).limit(10)
+        .agg(max(levenshtein(col("ta"), col("tb"))))
+        .head()
+      val t = if (tRow.isNullAt(0)) 0 else tRow.getInt(0) // null max ⇔ no edges
+
+      pairs
+        .where(col("gap") <= lit(t))
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+          levenshtein(col("ta"), col("tb"), t).cast("long").as("dist"))
+        .where(col("dist") >= 0)
         .orderBy(col("dist"), col("doc_a"), col("doc_b"))
         .limit(10)
     }),
