@@ -67,6 +67,43 @@ object DevProbe {
       pairAgg(sh)
     }
 
+    // editdist A/B: naive full-DP vs adaptive banded DP, same memoized
+    // candidate edges, 3 reps each interleaved (run with args(1)=editdist).
+    if (args.lift(1).contains("editdist")) {
+      val texts = docs.select(col("doc_id"), col("text"))
+      def joined = graft.operators.TextQueries.candidateEdges(spark, d)
+        .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+        .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      def naive = joined
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+        .orderBy(col("dist"), col("doc_a"), col("doc_b")).limit(10)
+      def adaptive = {
+        val pairs = joined
+          .withColumn("gap", abs(length(col("ta")) - length(col("tb"))))
+          .localCheckpoint()
+        val mlRow = pairs.agg(max(greatest(length(col("ta")), length(col("tb"))))).head()
+        val maxLen = if (mlRow.isNullAt(0)) 0 else mlRow.getInt(0)
+        def countWithin(t: Int): Long = pairs
+          .where(col("gap") <= t)
+          .where(levenshtein(col("ta"), col("tb"), t) >= 0).count()
+        var t = math.min(2, math.max(maxLen, 1))
+        var n = countWithin(t)
+        while (n < 10 && t < maxLen) { t = math.min(t * 4, maxLen); n = countWithin(t) }
+        pairs.where(col("gap") <= t)
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb"), t).cast("long").as("dist"))
+          .where(col("dist") >= 0)
+          .orderBy(col("dist"), col("doc_a"), col("doc_b")).limit(10)
+      }
+      for (rep <- 1 to 3; (name, q) <- Seq("naive" -> (() => naive), "adaptive" -> (() => adaptive))) {
+        val t0 = System.nanoTime()
+        val n = q().count()
+        println(f"[probe] editdist-$name rep$rep rows=$n ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      spark.stop(); return
+    }
+
     for ((name, q) <- Seq("v1-hof" -> (() => v1), "v2-barrier" -> (() => v2),
         "v3-window" -> (() => v3), "v4-expr" -> (() => v4))) {
       val t0 = System.nanoTime()
