@@ -60,7 +60,7 @@ object Bench {
     catch { case _: Throwable => () }
     // Cross-run FLOORS: totals on this shared host drift 33-49 s for
     // identical binaries, so judging run-total vs run-total compares noise.
-    // target/bench_minima.json keeps the per-query minimum over every run,
+    // bench/floors.json keeps the per-query minimum over every run,
     // letting driver and judge compare floors-to-floors mechanically
     // instead of re-deriving them from prose in BASELINE.md. Keys are
     // "<sf>|<query>" so runs at different scale factors accumulate side by
@@ -68,11 +68,20 @@ object Bench {
     // The merge starts FROM the prior floors: a query that fails (or is
     // renamed away) in this run keeps its recorded floor; only a faster
     // successful sample lowers one.
+    //
+    // The canonical file lives OUTSIDE target/ and is git-tracked: the
+    // accumulated floor history was wiped TWICE by target/ cleans at round
+    // restarts (both losses documented in BASELINE.md). The legacy
+    // target/bench_minima.json is still read (min-merged) and mirror-written
+    // for any consumer that knows the old path, but bench/floors.json is
+    // the record.
     try {
-      val minimaPath = java.nio.file.Paths.get("target/bench_minima.json")
-      val prior: Map[String, Double] =
-        if (java.nio.file.Files.exists(minimaPath)) {
-          val txt = java.nio.file.Files.readString(minimaPath)
+      val minimaPath = java.nio.file.Paths.get("bench/floors.json")
+      java.nio.file.Files.createDirectories(minimaPath.getParent)
+      val legacyPath = java.nio.file.Paths.get("target/bench_minima.json")
+      def parseFloors(path: java.nio.file.Path): Map[String, Double] =
+        if (java.nio.file.Files.exists(path)) {
+          val txt = java.nio.file.Files.readString(path)
           val body = txt.dropWhile(_ != '{').drop(1).takeWhile(_ != '}')
           val entries = body.split(",").iterator.filter(_.trim.nonEmpty).toSeq
           val parsedPairs = entries.flatMap { kv =>
@@ -91,14 +100,22 @@ object Bench {
           // parse loss; conflicting duplicates MIN-merge (a floor can only
           // be lowered) with their own warning, never silent last-wins.
           if (parsedPairs.size != entries.size)
-            System.err.println(s"[bench] WARN: bench_minima.json: ${entries.size - parsedPairs.size}/${entries.size} entries unparseable, dropped from the merge")
+            System.err.println(s"[bench] WARN: $path: ${entries.size - parsedPairs.size}/${entries.size} entries unparseable, dropped from the merge")
           parsedPairs.groupBy(_._1).map { case (key, vs) =>
             val values = vs.map(_._2)
             if (values.distinct.size > 1)
-              System.err.println(s"[bench] WARN: bench_minima.json: duplicate key $key with conflicting values ${values.mkString(", ")}; keeping the minimum")
+              System.err.println(s"[bench] WARN: $path: duplicate key $key with conflicting values ${values.mkString(", ")}; keeping the minimum")
             key -> values.min
           }
         } else Map.empty
+      // Min-merge BOTH locations: a canonical floor and a legacy floor for
+      // the same key can only lower each other.
+      val canonical = parseFloors(minimaPath)
+      val legacy = parseFloors(legacyPath)
+      val prior = (canonical.keySet ++ legacy.keySet).map { k =>
+        k -> math.min(canonical.getOrElse(k, Double.MaxValue),
+          legacy.getOrElse(k, Double.MaxValue))
+      }.toMap
       // last non-empty path segment: a trailing slash must not collapse the
       // namespace to "" (which would merge every sf into one floor set)
       val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
@@ -112,9 +129,13 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(minimaPath, minimaJson + "\n")
+      try { // mirror; canonical write above already succeeded
+        java.nio.file.Files.createDirectories(legacyPath.getParent)
+        java.nio.file.Files.writeString(legacyPath, minimaJson + "\n")
+      } catch { case _: Throwable => () }
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] WARN: bench_minima.json update failed (${e.getClass.getSimpleName}: ${e.getMessage}); floors NOT updated this run")
+        System.err.println(s"[bench] WARN: floors update failed (${e.getClass.getSimpleName}: ${e.getMessage}); floors NOT updated this run")
     }
     spark.stop()
     // Emitted LAST, after Spark shutdown noise, so a tail-limited capture of

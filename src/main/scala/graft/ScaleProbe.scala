@@ -12,23 +12,48 @@ import org.apache.spark.sql.functions._
   * do the capped/banded/star shapes stay near-linear when bucket sizes
   * blow past every cap, or does some path hide a quadratic?
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [K] [query,query,...]
+  * A second axis, `length` mode (4th arg): same doc COUNT, text repeated
+  * K× per doc — the long-document direction row amplification can't test.
+  * Real corpora run 10-100k chars/doc; every O(len) map stage should scale
+  * ~K× here, and anything accidentally O(len²) (full-DP edit distance, a
+  * quadratic regex) blows up at K=8 already. Near-dup structure is
+  * preserved: repeating two near-dup texts K times keeps their shingle
+  * sets near-identical.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [K] [query,query,...] [rows|length]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(20)
+    // positional-ish: mode is whichever arg says length/rows (default rows);
+    // the query list is whichever arg starts with "q_" — so a run can skip
+    // the list without shell-quoting an empty placeholder
+    val mode = args.find(Set("length", "rows")).getOrElse("rows")
     val out = java.nio.file.Files.createTempDirectory("scaleprobe").toString
     val spark = Sessions.tuned("local[32]", "32")
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, sf)
     val reps = spark.range(k).select(col("id").as("rep"))
-    docs.crossJoin(reps)
-      .select(
-        (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
-        when(col("rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+    val amplifiedDocs =
+      if (mode == "length")
+        // K× LONGER, same ids: tail token "rep<r>" per copy keeps copies of
+        // one doc from being bit-identical segments (substring-dedup would
+        // otherwise see a degenerate corpus) while leaving cross-doc
+        // near-dup pairs near-dup.
+        docs.select(
+          col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(k - 1)),
+            r => concat(col("text"), lit(" rep"), r))).as("text"),
+          col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      else docs.crossJoin(reps)
+        .select(
+          (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+    amplifiedDocs
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     // Embeddings: replicas keep the vector (a replica IS a near-dup) but
@@ -50,9 +75,18 @@ object ScaleProbe {
     // Star-schema tables ride along unamplified (dims stay dims).
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))
       Tables.load(spark, sf, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
-    val n = spark.read.parquet(s"$out/documents.parquet").count()
-    println(s"[scaleprobe] amplified corpus: $n docs (${k}x $sf)")
-    val names = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
+    val stats = spark.read.parquet(s"$out/documents.parquet")
+      .agg(count(lit(1)), avg(length(col("text")))).head()
+    println(s"[scaleprobe] amplified corpus: ${stats.getLong(0)} docs, " +
+      f"avg ${stats.getDouble(1)}%.0f chars (${k}x-$mode $sf)")
+    val lengthDefaults = Seq(
+      // the per-doc O(len) map family plus every pairwise verifier
+      "q_text_tokens", "q_text_stats", "q_text_repetition", "q_text_fingerprint",
+      "q_text_winnow", "q_dedup_minhash", "q_dedup_near", "q_dedup_prefix",
+      "q_dedup_simhash_pairs", "q_dedup_substring", "q_text_editdist",
+      "q_text_bm25", "q_pack_sequences")
+    val names = args.find(_.startsWith("q_")).map(_.split(",").toSeq)
+      .getOrElse(if (mode == "length") lengthDefaults else Seq(
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_near",
       "q_dedup_components", "q_dedup_keep", "q_dedup_prefix",
       "q_dedup_simhash_pairs", "q_dedup_cap_audit", "q_text_editdist",
