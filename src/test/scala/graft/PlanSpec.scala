@@ -627,6 +627,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).hasNext, p)
   }
 
+  test("q_text_editdist: final pass scans the checkpointed pair table — no join, no corpus re-scan, top-10 via TakeOrdered") {
+    val df = SparkEntry.queries("q_text_editdist")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // the adaptive passes paid the joins once into the localCheckpoint; the
+    // returned plan must be filter+project+TakeOrdered over that RDD only
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.count(_.toString.contains("FileScan")) == 0, leaves.mkString("\n"))
+  }
+
   test("q_graph_triangles: wedges close via LeftSemi on the memoized edge list — no cartesian, no corpus re-scan") {
     val p = plan("q_graph_triangles")
     assert(p.contains("LeftSemi"), p)
