@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   * preserved: repeating two near-dup texts K times keeps their shingle
   * sets near-identical.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [K] [query,query,...] [rows|length]
+  * A third axis, `dims` mode: same 2 000 vectors, embedding TILED K×
+  * (64 → 1024 dims at K=16) — the production-embedding-width direction.
+  * Cosine is scale-invariant and L2 scales uniformly under tiling, so
+  * neighbor rankings are preserved while per-element vector work grows K×.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [K] [query,query,...] [rows|length|dims]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -29,7 +34,7 @@ object ScaleProbe {
     // positional-ish: mode is whichever arg says length/rows (default rows);
     // the query list is whichever arg starts with "q_" — so a run can skip
     // the list without shell-quoting an empty placeholder
-    val mode = args.find(Set("length", "rows")).getOrElse("rows")
+    val mode = args.find(Set("length", "rows", "dims")).getOrElse("rows")
     val out = java.nio.file.Files.createTempDirectory("scaleprobe").toString
     val spark = Sessions.tuned("local[32]", "32")
     spark.sparkContext.setLogLevel("WARN")
@@ -47,6 +52,7 @@ object ScaleProbe {
             r => concat(col("text"), lit(" rep"), r))).as("text"),
           col("lang"), col("source"))
           .withColumn("n_chars", length(col("text")).cast("long"))
+      else if (mode == "dims") docs // vector axis only
       else docs.crossJoin(reps)
         .select(
           (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
@@ -56,20 +62,35 @@ object ScaleProbe {
     amplifiedDocs
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    // Embeddings: replicas keep the vector (a replica IS a near-dup) but
-    // get fresh ids — IVF cells, LSH buckets and top-k heaps all grow Kx.
-    Tables.embeddings(spark, sf).crossJoin(reps)
-      .select((col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
-        col("embedding"), col("label"))
+    // Embeddings. rows mode: replicas keep the vector (a replica IS a
+    // near-dup) but get fresh ids — IVF cells, LSH buckets and top-k heaps
+    // all grow Kx. dims mode: same 2 000 ids, vector TILED K× (64 → 64K
+    // dims) — cosine is scale-invariant and L2 scales uniformly, so every
+    // neighbor ranking is preserved while the per-element work (codegen dot
+    // products, Lloyd iterations, PQ subquantizers) grows K×: the
+    // production-embedding-width direction (real models emit 768-4096).
+    // length mode leaves embeddings at 1×.
+    val amplifiedEmb =
+      if (mode == "dims")
+        Tables.embeddings(spark, sf).select(col("vec_id"),
+          flatten(array_repeat(col("embedding"), k)).as("embedding"), col("label"))
+      else if (mode == "length") Tables.embeddings(spark, sf)
+      else Tables.embeddings(spark, sf).crossJoin(reps)
+        .select((col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+    amplifiedEmb
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    // Events: replicas shift ts by rep seconds and take fresh event ids but
-    // KEEP user_id — per-user event streams (sessions, windows, LWW keys)
-    // become Kx denser, the hot-key direction that stresses state.
-    Tables.events(spark, sf).crossJoin(reps)
-      .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
-        (col("ts") + expr("make_interval(0, 0, 0, 0, 0, 0, rep)")).as("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
+    // Events (rows mode only): replicas shift ts by rep seconds and take
+    // fresh event ids but KEEP user_id — per-user event streams (sessions,
+    // windows, LWW keys) become Kx denser, the hot-key direction that
+    // stresses state.
+    (if (mode == "rows")
+      Tables.events(spark, sf).crossJoin(reps)
+        .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+          (col("ts") + expr("make_interval(0, 0, 0, 0, 0, 0, rep)")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    else Tables.events(spark, sf))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     // Star-schema tables ride along unamplified (dims stay dims).
@@ -79,6 +100,13 @@ object ScaleProbe {
       .agg(count(lit(1)), avg(length(col("text")))).head()
     println(s"[scaleprobe] amplified corpus: ${stats.getLong(0)} docs, " +
       f"avg ${stats.getDouble(1)}%.0f chars (${k}x-$mode $sf)")
+    val dimsDefaults = Seq(
+      // every vector-path consumer: brute-force top-k, LSH, IVF (Lloyd
+      // training), PQ/IVF-PQ (subquantizer training + ADC), embedding dedup,
+      // SemDeDup, recall harness
+      "q_simsearch_topk", "q_simsearch_lsh", "q_simsearch_knn", "q_simsearch_ivf",
+      "q_simsearch_pq", "q_simsearch_ivfpq", "q_dedup_embed", "q_dedup_semantic",
+      "q_simsearch_recall")
     val lengthDefaults = Seq(
       // the per-doc O(len) map family plus every pairwise verifier
       "q_text_tokens", "q_text_stats", "q_text_repetition", "q_text_fingerprint",
@@ -86,7 +114,9 @@ object ScaleProbe {
       "q_dedup_simhash_pairs", "q_dedup_substring", "q_text_editdist",
       "q_text_bm25", "q_pack_sequences")
     val names = args.find(_.startsWith("q_")).map(_.split(",").toSeq)
-      .getOrElse(if (mode == "length") lengthDefaults else Seq(
+      .getOrElse(if (mode == "length") lengthDefaults
+      else if (mode == "dims") dimsDefaults
+      else Seq(
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_near",
       "q_dedup_components", "q_dedup_keep", "q_dedup_prefix",
       "q_dedup_simhash_pairs", "q_dedup_cap_audit", "q_text_editdist",
