@@ -126,6 +126,28 @@ object TextQueries extends QueryPack {
   private def bandPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     bandPairsOf(bandBuckets(s, d))
 
+  /** Star edges from the band buckets: per (band, bkey) bucket of size
+    * 2..100 — the SAME gate as [[bandPairsOf]] — emit (min_doc → member)
+    * instead of all C(sz,2) pairs. Within a bucket the star connects
+    * exactly the member set the clique does, so the union over the same
+    * buckets has IDENTICAL connected components (StarEdgeSpec pins it),
+    * at sz−1 edges per bucket instead of sz(sz−1)/2 — the input the
+    * connectivity-only consumers (clustering) should read at 100 TB,
+    * where a 100-member boilerplate bucket is 99 edges, not 4 950. The
+    * pair-semantics consumers (pair lists, jaccard verify, triangles)
+    * keep the clique expansion.
+    */
+  private def starEdgesOf(buckets: org.apache.spark.sql.DataFrame) = {
+    buckets
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 100))
+      .select(explode(transform(
+        slice(col("ds"), lit(2), size(col("ds")) - 1),
+        b => struct(element_at(col("ds"), 1).as("doc_a"), b.as("doc_b")))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+  }
+
   /** [[bandPairs]] over an arbitrary bucket set — the incremental
     * clustering path pairs the corpus and the new snapshot separately.
     */
@@ -161,9 +183,26 @@ object TextQueries extends QueryPack {
     * signature table; see the comment at the write site.
     */
   private val sigTableWriteLock = new Object
+  /** Band-bucket table memoized per snapshot so [[candidateEdges]] and
+    * [[starEdges]] split off ONE banding pipeline run, not two. Tiny: one
+    * row per (doc, band).
+    */
+  private val bucketCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private def memoBandBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
+    bucketCache.get(graft.sources.Memo.key(s, d, "documents") + "#buckets")(
+      bandBuckets(s, d).localCheckpoint())
+
   private[graft] def candidateEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     edgeCache.get(graft.sources.Memo.key(s, d, "documents"))(
-      bandPairs(s, d).distinct().localCheckpoint())
+      bandPairsOf(memoBandBuckets(s, d)).distinct().localCheckpoint())
+
+  /** Connectivity-equivalent star edge set (see [[starEdgesOf]]), memoized
+    * like [[candidateEdges]] — the clustering family's input.
+    */
+  private val starCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private[graft] def starEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    starCache.get(graft.sources.Memo.key(s, d, "documents") + "#star")(
+      starEdgesOf(memoBandBuckets(s, d)).distinct().localCheckpoint())
 
   /** Per-doc triangle counts over the LSH candidate graph (Suri &
     * Vassilvitskii 2011): orient each edge from its lower (degree, id)
@@ -328,8 +367,10 @@ object TextQueries extends QueryPack {
     * absent (they are their own trivial cluster; callers coalesce).
     */
   private def dedupClusters(s: org.apache.spark.sql.SparkSession, d: String) =
+    // connectivity-only consumer → star edges (identical components to the
+    // clique expansion over the same buckets, linearly fewer edges)
     Components.labels(
-      candidateEdges(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+      starEdges(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
 
   /** [[dedupClusters]] memoized per (context, source fingerprint), for consumers that build
@@ -476,7 +517,7 @@ object TextQueries extends QueryPack {
   private def corpusClusterLabels(s: org.apache.spark.sql.SparkSession, d: String) =
     corpusLabelCache.get(graft.sources.Memo.key(s, d, "documents") + "#corpus") {
       Components.labels(
-        bandPairsOf(bandBucketsOf(shinglesOf(
+        starEdgesOf(bandBucketsOf(shinglesOf(
             Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7))))
           .distinct()
           .select(col("doc_a").as("u"), col("doc_b").as("v")))
