@@ -96,7 +96,43 @@ object DevProbe {
           .where(col("dist") >= 0)
           .orderBy(col("dist"), col("doc_a"), col("doc_b")).limit(10)
       }
-      for (rep <- 1 to 3; (name, q) <- Seq("naive" -> (() => naive), "adaptive" -> (() => adaptive))) {
+      // adaptive2: one banded pass at T=8, checkpoint ONLY qualifying rows
+      def adaptive2 = {
+        val mlRow = joined.agg(max(greatest(length(col("ta")), length(col("tb"))))).head()
+        val maxLen = if (mlRow.isNullAt(0)) 0 else mlRow.getInt(0)
+        def withinT(t: Int) = joined
+          .where(abs(length(col("ta")) - length(col("tb"))) <= t)
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb"), t).cast("long").as("dist"))
+          .where(col("dist") >= 0)
+          .localCheckpoint()
+        var t = math.min(8, math.max(maxLen, 1))
+        var q = withinT(t)
+        while (q.count() < 10 && t < maxLen) { t = math.min(t * 4, maxLen); q = withinT(t) }
+        q.orderBy(col("dist"), col("doc_a"), col("doc_b")).limit(10)
+      }
+      // banded-expr: adaptive2 with the codegen BandedEditDistance
+      // (prefix/suffix strip + char-banded DP) replacing the builtin
+      def bandedExpr = {
+        val mlRow = joined.agg(max(greatest(length(col("ta")), length(col("tb"))))).head()
+        val maxLen = if (mlRow.isNullAt(0)) 0 else mlRow.getInt(0)
+        def withinT(t: Int) = joined
+          .where(abs(length(col("ta")) - length(col("tb"))) <= t)
+          .select(col("doc_a"), col("doc_b"),
+            TextFns.bandedEditDist(col("ta"), col("tb"), t).cast("long").as("dist"))
+          .where(col("dist") >= 0)
+          .localCheckpoint()
+        var t = math.min(8, math.max(maxLen, 1))
+        var q = withinT(t)
+        while (q.count() < 10 && t < maxLen) { t = math.min(t * 4, maxLen); q = withinT(t) }
+        q.orderBy(col("dist"), col("doc_a"), col("doc_b")).limit(10)
+      }
+      val variants =
+        if (args.contains("all"))
+          Seq("naive" -> (() => naive), "adaptive" -> (() => adaptive),
+            "adaptive2" -> (() => adaptive2), "banded-expr" -> (() => bandedExpr))
+        else Seq("adaptive2" -> (() => adaptive2), "banded-expr" -> (() => bandedExpr))
+      for (rep <- 1 to 3; (name, q) <- variants) {
         val t0 = System.nanoTime()
         val n = q().count()
         println(f"[probe] editdist-$name rep$rep rows=$n ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -46,6 +46,14 @@ object TextFns {
     org.apache.spark.sql.graftshim.GraftColumn
       .lift1(graft.functions.expr.StringPolyHash.apply)(s)
 
+  /** Banded edit distance with prefix/suffix strip: Levenshtein(a, b) if
+    * <= t, else -1 — bit-equal to the thresholded builtin for BMP text
+    * (see [[graft.functions.expr.BandedEditDistance]]).
+    */
+  def bandedEditDist(a: Column, b: Column, t: Int): Column =
+    org.apache.spark.sql.graftshim.GraftColumn
+      .lift2(graft.functions.expr.BandedEditDistance(_, _, t))(a, b)
+
   /** Higher-order-function form mirroring the DuckDB oracle fragment. */
   def rollingHashHof(s: Column): Column =
     aggregate(

@@ -1211,47 +1211,45 @@ object TextQueries extends QueryPack {
     // Top-10 with adaptive-threshold banded DP (provably exact): the
     // threshold (3-arg) levenshtein costs O(T·len) per pair instead of
     // O(len²) and returns -1 above T, and |len(a)-len(b)| <= dist lets a
-    // cheap gap prefilter skip the DP entirely for wide pairs. Find the
-    // smallest useful T by doubling: count pairs with dist <= T (one
-    // banded pass, early passes near-free), grow T ×4 until >= 10 qualify
-    // or T reaches the max text length (at which point EVERY pair
-    // qualifies: gap <= dist <= maxLen). Once >= 10 pairs have dist <= T,
-    // the true top-10 all sit inside the survivor set (d10 <= T), so the
-    // final banded pass + sort is bit-identical to the full-DP spelling
-    // (EditDistPruneSpec pins it; the oracle is unchanged). The counts are
-    // one-row driver scalars, O(log d10) rounds — the same convergence-
-    // loop budget as Components. At d10=4 (all three fixture scales) this
-    // replaces every O(len²) DP with an O(4·len) one; the naive full-DP
-    // form measured 48.7 s at the 20× soak.
+    // cheap gap prefilter skip the DP entirely for wide pairs. One pass
+    // joins texts onto the candidate edges, runs the banded DP at T, and
+    // localCheckpoints ONLY the qualifying (dist <= T) rows — three longs
+    // per near-dup pair, so the materialization is as small as the answer
+    // set, never O(candidates)·texts (an earlier variant checkpointed the
+    // joined texts: correct, but the multi-GB checkpoint dominated the 50×
+    // soak). If >= 10 pairs qualify, the true top-10 all sit inside them
+    // (d10 <= T), so TakeOrdered over the tiny table is bit-identical to
+    // the full-DP spelling (EditDistPruneSpec pins it; the oracle is
+    // unchanged); otherwise escalate T ×4 — re-running the join+DP pass is
+    // the RARE path, O(log d10) rounds total, each a one-row driver scalar
+    // like the Components convergence loop. T starts at 8 ≥ d10=4 at all
+    // three fixture scales, so the common case is exactly one pass; the cap
+    // is the max text length among paired docs, at which point every pair
+    // qualifies (gap <= dist <= maxLen). The naive full-DP form measured
+    // 48.7 s at the 20× soak; the banded form's DP is O(T·len) per pair.
     "q_text_editdist" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      // Materialized ONCE (O(candidates) rows — the bounded set): the
-      // adaptive passes below would otherwise re-run both text joins each
-      // round, which dominated the soak cost.
       val pairs = candidateEdges(s, d)
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-        .withColumn("gap", abs(length(col("ta")) - length(col("tb"))))
-        .localCheckpoint()
-      // dist <= max text length AMONG PAIRED docs — the doubling cap.
+      // dist <= max text length AMONG PAIRED docs — the escalation cap.
       val mlRow = pairs.agg(max(greatest(length(col("ta")), length(col("tb"))))).head()
       val maxLen = if (mlRow.isNullAt(0)) 0 else mlRow.getInt(0) // null ⇔ no pairs
-      def countWithin(t: Int): Long = pairs
-        .where(col("gap") <= t)
-        .where(levenshtein(col("ta"), col("tb"), t) >= 0).count()
-      var t = math.min(2, math.max(maxLen, 1))
-      var n = countWithin(t)
-      while (n < 10 && t < maxLen) {
-        t = math.min(t * 4, maxLen)
-        n = countWithin(t)
-      }
-      pairs
-        .where(col("gap") <= t)
+      def withinT(t: Int) = pairs
+        .where(abs(length(col("ta")) - length(col("tb"))) <= t)
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("ta"), col("tb"), t).cast("long").as("dist"))
+          // codegen banded DP with prefix/suffix strip — bit-equal to the
+          // thresholded builtin (FunctionsSpec), ~free on near-dup pairs
+          TextFns.bandedEditDist(col("ta"), col("tb"), t).cast("long").as("dist"))
         .where(col("dist") >= 0)
-        .orderBy(col("dist"), col("doc_a"), col("doc_b"))
-        .limit(10)
+        .localCheckpoint()
+      var t = math.min(8, math.max(maxLen, 1))
+      var q = withinT(t)
+      while (q.count() < 10 && t < maxLen) {
+        t = math.min(t * 4, maxLen)
+        q = withinT(t)
+      }
+      q.orderBy(col("dist"), col("doc_a"), col("doc_b")).limit(10)
     }),
 
     // X4f: PII-style redaction — the scrub pass every training pipeline runs

@@ -25,6 +25,40 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("property: BandedEditDistance equals the thresholded builtin levenshtein") {
+    val rnd = new scala.util.Random(41)
+    val alpha = "abcd " // small alphabet → high collision rate → edits of every size
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = Seq.tabulate(300) { i =>
+      val a = word(rnd.nextInt(30))
+      val b = i % 3 match {
+        case 0 => word(rnd.nextInt(30)) // unrelated
+        case 1 => // near-dup: shared prefix+suffix, small middle edit
+          val mid = word(rnd.nextInt(4))
+          a.take(a.length / 2) + mid + a.drop(a.length / 2)
+        case _ => a // identical
+      }
+      (a, b, rnd.nextInt(8))
+    } ++ Seq(("", "", 0), ("", "abc", 2), ("abc", "", 5), ("abc", "abc", 0),
+      ("aa", "a", 1), ("a", "aa", 0))
+    for ((a, b, t) <- pairs) {
+      val fast = graft.functions.expr.EditDistOps.banded(a, b, t)
+      val full = Seq((a, b)).toDF("a", "b")
+        .select(levenshtein(col("a"), col("b"))).as[Int].head()
+      val want = if (full <= t) full else -1
+      assert(fast == want, s"a='$a' b='$b' t=$t fast=$fast full=$full")
+    }
+    // the codegen path end-to-end (Expression inside a projection)
+    val df = pairs.toDF("a", "b", "t")
+    val got = df.select(col("a"), col("b"),
+        TextFns.bandedEditDist(col("a"), col("b"), 4).as("d4"),
+        levenshtein(col("a"), col("b")).as("full")).collect()
+    got.foreach { r =>
+      val want = if (r.getInt(3) <= 4) r.getInt(3) else -1
+      assert(r.getInt(2) == want, r.toString)
+    }
+  }
+
   test("property: fused CosineSimF32 equals the composed dot/norm form bit-for-bit") {
     val rnd = new scala.util.Random(31)
     val vecs = Seq.fill(50)((
