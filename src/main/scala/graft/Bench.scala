@@ -72,9 +72,13 @@ object Bench {
     // The canonical file lives OUTSIDE target/ and is git-tracked: the
     // accumulated floor history was wiped TWICE by target/ cleans at round
     // restarts (both losses documented in BASELINE.md). The legacy
-    // target/bench_minima.json is still read (min-merged) and mirror-written
-    // for any consumer that knows the old path, but bench/floors.json is
-    // the record.
+    // target/bench_minima.json is mirror-WRITTEN for any consumer that
+    // knows the old path but — since round 9 — never read back: a stale
+    // legacy file produced by an older (possibly since-fixed) binary could
+    // permanently lower a floor for a query whose implementation changed,
+    // with no changed-query exclusion (the migration it existed for ran in
+    // round 8; dev/restore_floors.py with its explicit exclude list is the
+    // only recovery path now).
     try {
       val minimaPath = java.nio.file.Paths.get("bench/floors.json")
       java.nio.file.Files.createDirectories(minimaPath.getParent)
@@ -108,14 +112,7 @@ object Bench {
             key -> values.min
           }
         } else Map.empty
-      // Min-merge BOTH locations: a canonical floor and a legacy floor for
-      // the same key can only lower each other.
-      val canonical = parseFloors(minimaPath)
-      val legacy = parseFloors(legacyPath)
-      val prior = (canonical.keySet ++ legacy.keySet).map { k =>
-        k -> math.min(canonical.getOrElse(k, Double.MaxValue),
-          legacy.getOrElse(k, Double.MaxValue))
-      }.toMap
+      val prior = parseFloors(minimaPath)
       // last non-empty path segment: a trailing slash must not collapse the
       // namespace to "" (which would merge every sf into one floor set)
       val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")

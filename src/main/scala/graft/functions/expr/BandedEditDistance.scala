@@ -18,9 +18,15 @@ object EditDistOps {
   /** Levenshtein(a, b) if it is <= t, else -1.
     *
     * Exactly `levenshtein(a, b, t)` (Spark builtin / DuckDB `levenshtein`
-    * then thresholded) for all BMP text — distances are counted in UTF-16
-    * code units, identical to code points for the ASCII fixture corpus —
-    * but with the two optimizations the builtin lacks:
+    * then thresholded) for ALL well-formed text: BMP inputs run the banded
+    * char DP below (code unit == code point there), and any input carrying
+    * a surrogate pair (emoji, CJK extensions) delegates to the builtin
+    * `UTF8String.levenshteinDistance(other, t)`, which counts code points —
+    * so supplementary characters cost 1 edit, never the 2 a char-indexed DP
+    * would charge (round-9 ADVICE fix; the delegation IS the builtin, so
+    * equality is by construction). For the hot path (near-dup corpora are
+    * overwhelmingly BMP) the DP keeps the two optimizations the builtin
+    * lacks:
     *
     *  - COMMON PREFIX/SUFFIX STRIP: Levenshtein is invariant under removing
     *    a shared prefix and suffix (any optimal alignment can be normalized
@@ -35,8 +41,17 @@ object EditDistOps {
     * right by at most one index per row, so only the cells just outside the
     * current window can be read by the next row).
     */
-  def banded(a0: String, b0: String, t: Int): Int = {
-    if (t < 0) return -1
+  def banded(a0: String, b0: String, t0: Int): Int = {
+    if (t0 < 0) return -1
+    // The distance can never exceed the longer input, so clamping the
+    // threshold there is result-invariant — and it removes two latent
+    // huge-threshold bugs (round-9 ADVICE): j + t overflowing Int for
+    // t >= 2^30 (band indices go negative, rows get skipped) and the INF
+    // sentinel (MaxValue >> 1) passing the final `d <= t` check.
+    val t = math.min(t0, math.max(a0.length, b0.length))
+    if (hasSupplementary(a0) || hasSupplementary(b0))
+      return UTF8String.fromString(a0)
+        .levenshteinDistance(UTF8String.fromString(b0), t)
     var lo = 0
     var aE = a0.length
     var bE = b0.length
@@ -81,6 +96,20 @@ object EditDistOps {
     val d = prev(n)
     if (d <= t) d else -1
   }
+
+  /** True iff the string contains any UTF-16 surrogate code unit — the
+    * char-indexed DP would miscount such inputs, so they take the
+    * code-point builtin instead. One branch-predictable scan; on the
+    * (overwhelmingly BMP) hot path it is noise next to the DP.
+    */
+  private def hasSupplementary(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (Character.isSurrogate(s.charAt(i))) return true
+      i += 1
+    }
+    false
+  }
 }
 
 /** Codegen'd banded edit distance (see [[EditDistOps.banded]]): the hot
@@ -88,9 +117,10 @@ object EditDistOps {
   * decodes code points cell-by-cell and never strips the shared
   * prefix/suffix, which on near-duplicate pairs (the only pairs a candidate
   * set contains) is almost the whole string; this expression is bit-equal
-  * to `when(levenshtein(a, b) <= t, levenshtein(a, b)).otherwise(-1)` for
-  * BMP text (property-tested against the builtin in FunctionsSpec) at a
-  * fraction of the cost.
+  * to `when(levenshtein(a, b) <= t, levenshtein(a, b)).otherwise(-1)`
+  * (property-tested against the builtin in FunctionsSpec, including
+  * supplementary-plane inputs, which delegate to the code-point builtin)
+  * at a fraction of the cost.
   */
 case class BandedEditDistance(left: Expression, right: Expression, threshold: Int)
     extends BinaryExpression {

@@ -17,8 +17,23 @@ import org.apache.spark.sql.functions._
   * SQL-oracled). All arms emit the same integer luminance plane the
   * perceptual-hash dedup family runs on (q_dedup_phash, q_dedup_phash_png,
   * q_multimodal_jpeg). Only formats with no JVM codec at all (WebP/MP4)
-  * fall back to [[decodeStub]], a clearly-marked deterministic fake — but
-  * everything Spark-side is real and tested: the schema (binary + struct
+  * fall back to [[decodeStub]], a clearly-marked deterministic fake.
+  *
+  * WebP DECISION (round 9, explicit and permanent for this library): WebP
+  * stays an opaque-bytes boundary. A real decode needs a VP8 (lossy) or
+  * VP8L (lossless) bitstream decoder — boolean arithmetic coding /
+  * canonical-Huffman + LZ77 backward references + reversible transforms —
+  * which no JDK API provides and the zero-dependency contract forbids
+  * importing; unlike PNG (whose Inflater the JDK ships) there is no
+  * pure-JVM shortcut worth hand-rolling for a format the fixtures cannot
+  * even exercise. Consequences, all pinned: WebP payloads are caught
+  * byte-identical (sha/exact dedup) but never perceptually, and
+  * q_multimodal_features labels every row with the `arm` that produced it
+  * ('exact' / 'imageio' / 'stub'), so stub features are never mistaken for
+  * pixels downstream (MediaPipelineSpec pins a RIFF....WEBP header to
+  * 'stub').
+  *
+  * Everything Spark-side is real and tested: the schema (binary + struct
   * metadata), the `Dataset[MediaRecord]` encoder, the mapPartitions batch
   * shape (decode amortized per-partition, never per-row-lambda-with-init),
   * and the partitioning story (records are repartitioned by byte-size budget
@@ -142,6 +157,23 @@ object MediaPipeline {
   def codecLuma(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftshim.GraftColumn.lift1(
       graft.functions.expr.CodecLuma.apply)(payload)
+
+  /** Decode-arm PROVENANCE for a payload: 'exact' when the bit-exact
+    * pure-JVM decoders accept it (P6 PPM / 24bpp BMP / 8-bit PNG),
+    * 'imageio' when the JDK codecs do (JPEG / GIF / TIFF), 'stub'
+    * otherwise (WebP/MP4 — the documented no-JVM-codec boundary — or any
+    * non-image payload). The decision is the REAL decode outcome (the same
+    * probes [[lumaOrRaw]] coalesces), not a magic-byte guess: a truncated
+    * PNG or an interlaced-subset reject labels 'stub', exactly matching
+    * which bytes actually feed downstream features. Shared by
+    * q_multimodal_features and MediaPipelineSpec so the label can never
+    * drift from the decode routing.
+    */
+  def decodeArm(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.when(ppmLuma(payload).isNotNull,
+        org.apache.spark.sql.functions.lit("exact"))
+      .when(codecLuma(payload).isNotNull, org.apache.spark.sql.functions.lit("imageio"))
+      .otherwise(org.apache.spark.sql.functions.lit("stub"))
 
   /** The decode-or-opaque idiom: pixel data for payloads any real arm
     * decodes (bit-exact formats probed first — their magics are disjoint

@@ -58,13 +58,14 @@ object TextQueries extends QueryPack {
   private def bandBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
     bandBucketsOf(shinglesOf(Tables.documents(s, d)))
 
-  /** Prefix-token rows (doc_id, n, ws, w): each doc's rarest-first distinct
-    * tokens with one output row per PREFIX token (the first
-    * n − ceil(0.6·n) + 1 under (df asc, token asc) order) — the candidate
-    * key of the AllPairs/PPJoin family. Shared by q_dedup_prefix and the
-    * cap audit, so the audit counts exactly the buckets the join builds.
+  /** Per-doc prefix-scheme table (doc_id, n, ws, pl): each doc's
+    * rarest-first distinct tokens under (df asc, token asc) order, its set
+    * size, and its prefix length L = n − ceil(0.6·n) + 1 — the per-record
+    * state of the AllPairs/PPJoin family. ONE row per document (the
+    * index-build intermediate a production run would persist); the
+    * candidate explode and both verify-side endpoint joins all read it.
     */
-  private def prefixTokensOf(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def prefixDocsOf(s: org.apache.spark.sql.SparkSession, d: String) = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("n"), explode(col("ts")).as("w"))
@@ -74,9 +75,25 @@ object TextQueries extends QueryPack {
       .agg(transform(sort_array(collect_list(struct(col("df"), col("w")))),
         p => p.getField("w")).as("ws"))
       .withColumn("pl", (col("n") - expr("(6*n + 9) div 10") + 1).cast("int"))
-      .select(col("doc_id"), col("n"), col("ws"),
-        explode(slice(col("ws"), lit(1), col("pl"))).as("w"))
   }
+
+  /** THIN prefix-token rows (doc_id, n, w): one row per PREFIX token — the
+    * candidate key of the AllPairs/PPJoin family, deliberately WITHOUT the
+    * full token array (round 9): carrying `ws` on every exploded row is
+    * what let a hot prefix token's whole membership — token arrays
+    * included — concentrate into one aggregation buffer downstream. Shared
+    * by q_dedup_prefix and the cap audit, so the audit counts exactly the
+    * buckets the join builds.
+    */
+  private def prefixTokensOf(s: org.apache.spark.sql.SparkSession, d: String) =
+    prefixTokensFrom(prefixDocsOf(s, d))
+
+  /** [[prefixTokensOf]] over an already-built (possibly checkpointed)
+    * per-doc prefix table.
+    */
+  private def prefixTokensFrom(docsT: org.apache.spark.sql.DataFrame) =
+    docsT.select(col("doc_id"), col("n"),
+      explode(slice(col("ws"), lit(1), col("pl"))).as("w"))
 
   /** MinHash band keys (doc_id, skey) for an arbitrary documents batch —
     * the signature the incremental/streaming ingest paths join against the
@@ -117,42 +134,60 @@ object TextQueries extends QueryPack {
     * two sides — measured as two full Exchange/Window chains in the round-2
     * plan audit); the collect form runs the pipeline once and one groupBy.
     *
-    * Oversized-bucket guard (standard LSH practice, now a plain size filter
-    * instead of a window): a bucket shared by >100 docs is boilerplate, and
-    * expanding it would reintroduce the n² blowup LSH exists to avoid;
-    * singleton buckets can't produce pairs. The cap also bounds the HOF
-    * expansion at C(100,2) pairs per bucket.
+    * Oversized-bucket guard (standard LSH practice): a bucket shared by
+    * >100 docs is boilerplate, and expanding it would reintroduce the n²
+    * blowup LSH exists to avoid; singleton buckets can't produce pairs. The
+    * cap also bounds the HOF expansion at C(100,2) pairs per bucket, and a
+    * row_number pre-truncation inside [[bandPairsOf]] bounds the collect
+    * state itself at 101 ids per bucket. Connectivity-only consumers read
+    * [[starEdgesOf]] instead, which has no cap at all (stars are O(sz)).
     */
   private def bandPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     bandPairsOf(bandBuckets(s, d))
 
-  /** Star edges from the band buckets: per (band, bkey) bucket of size
-    * 2..100 — the SAME gate as [[bandPairsOf]] — emit (min_doc → member)
-    * instead of all C(sz,2) pairs. Within a bucket the star connects
-    * exactly the member set the clique does, so the union over the same
-    * buckets has IDENTICAL connected components (StarEdgeSpec pins it),
-    * at sz−1 edges per bucket instead of sz(sz−1)/2 — the input the
-    * connectivity-only consumers (clustering) should read at 100 TB,
-    * where a 100-member boilerplate bucket is 99 edges, not 4 950. The
-    * pair-semantics consumers (pair lists, jaccard verify, triangles)
-    * keep the clique expansion.
+  /** Star edges from the band buckets: per (band, bkey) bucket of ANY size
+    * ≥ 2 emit (min_doc → member) instead of all C(sz,2) pairs. Within a
+    * bucket the star connects exactly the member set the clique does, so
+    * over the buckets both expand the components are IDENTICAL
+    * (StarEdgeSpec pins it), at sz−1 edges per bucket instead of
+    * sz(sz−1)/2 — the input the connectivity-only consumers (clustering)
+    * should read at 100 TB. Unlike [[bandPairsOf]] there is NO upper
+    * bucket cap: star recovery is O(sz), so a hot template-family bucket
+    * (the 20× soak measured 83 buckets > 100, 1.26 M clique pairs) keeps
+    * its cluster connectivity instead of silently falling apart — the cap
+    * exists to stop quadratic pair expansion, and a star has none.
+    * Bounded state by construction: the bucket minimum is a window
+    * aggregate over the bucket rows (spillable sort, one exchange), never
+    * a collect_list buffer — no aggregation row ever holds a bucket
+    * membership list (the round-9 pre-count hygiene; q_dedup_cap_audit
+    * prices what the star still leaves non-enumerated).
     */
   private def starEdgesOf(buckets: org.apache.spark.sql.DataFrame) = {
+    val byBucket = Window.partitionBy(col("band"), col("bkey"))
     buckets
-      .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, 100))
-      .select(explode(transform(
-        slice(col("ds"), lit(2), size(col("ds")) - 1),
-        b => struct(element_at(col("ds"), 1).as("doc_a"), b.as("doc_b")))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .withColumn("mn", min(col("doc_id")).over(byBucket))
+      .filter(col("doc_id") =!= col("mn")) // singleton buckets emit nothing
+      .select(col("mn").as("doc_a"), col("doc_id").as("doc_b"))
   }
 
   /** [[bandPairs]] over an arbitrary bucket set — the incremental
     * clustering path pairs the corpus and the new snapshot separately.
     */
   private def bandPairsOf(buckets: org.apache.spark.sql.DataFrame) = {
+    // Pre-truncate each bucket to its first 101 members (row_number over
+    // the bucket, a spillable window sort) BEFORE anything is collected:
+    // the old collect-then-filter shape materialized a hot bucket's ENTIRE
+    // membership in one aggregation buffer row only to throw it away (a
+    // degenerate 10 M-doc bucket ≈ 80 MB in a single row). 101 is exactly
+    // enough to distinguish "over cap" (truncated list has 101 elements →
+    // dropped by the 2..100 gate below) from a full 100-member bucket —
+    // output is bit-identical to the unbounded collect, state is bounded
+    // at 101 longs per bucket. The window and the groupBy share the
+    // (band, bkey) hash partitioning, so the pre-pass adds no exchange.
+    val byBucket = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
     buckets
+      .withColumn("rn", row_number().over(byBucket))
+      .filter(col("rn") <= 101)
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, 100))
@@ -295,7 +330,29 @@ object TextQueries extends QueryPack {
   private[graft] def bandedHammingPairs(
       sigs: org.apache.spark.sql.DataFrame, sigCol: String,
       nBands: Int, maxHamming: Int): org.apache.spark.sql.DataFrame = {
-    val banded = bandedOf(sigs, sigCol, nBands)
+    // Two-phase, bounded-state expansion (round-9 pre-count hygiene): each
+    // bucket row is first marked with its bucket's minimum (doc_id, sig)
+    // and size via ONE window pass (spillable sort — never a collect
+    // buffer), then
+    //   · buckets of 2..100 members take the all-pairs collect path — the
+    //     collect buffer is bounded at 100 structs by the sz filter BEFORE
+    //     the aggregation, not after it;
+    //   · over-cap buckets (>100 signatures sharing a band byte — hot
+    //     template families at real scale) emit a verified STAR around the
+    //     bucket minimum RELATIONALLY — one output row per member row, the
+    //     exact bit_count verify computed against the window-carried rep
+    //     signature, no membership list ever materialized anywhere.
+    // Cluster connectivity is preserved (same star shape as
+    // q_dedup_prefix), landed here once for every banded-Hamming consumer
+    // (simhash pairs, phash, phash_png, phash_frames); q_dedup_cap_audit
+    // reports what the star leaves non-enumerated. The marked table is
+    // localCheckpoint'ed because both phases read it — thin rows (two
+    // longs, two band bytes, the rep struct), sized by n·nBands.
+    val byBucket = Window.partitionBy(col("band"), col("bval"))
+    val marked = bandedOf(sigs, sigCol, nBands)
+      .withColumn("mn", min(struct(col("doc_id"), col("sig"))).over(byBucket))
+      .withColumn("sz", count(lit(1)).over(byBucket))
+      .localCheckpoint()
     def pairStruct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       struct(
         a.getField("doc_id").as("doc_a"),
@@ -306,21 +363,15 @@ object TextQueries extends QueryPack {
       transform(
         slice(col("vs"), i + lit(2), size(col("vs")) - i - 1),
         b => pairStruct(a, b))))
-    // Over-cap buckets (>100 signatures sharing a band byte — hot template
-    // families at real scale) emit a verified STAR around the bucket's
-    // minimum doc_id instead of being dropped: O(sz) candidates, cluster
-    // connectivity preserved, same exact bit_count verify — the same
-    // scale-correct shape as q_dedup_prefix, landed here once for every
-    // banded-Hamming consumer (simhash pairs, phash, phash_png,
-    // phash_frames). q_dedup_cap_audit reports what the star leaves
-    // non-enumerated.
-    val star = transform(slice(col("vs"), lit(2), size(col("vs")) - 1),
-      b => pairStruct(element_at(col("vs"), 1), b))
-    banded
+    val small = marked
+      .filter(col("sz").between(2, 100))
       .groupBy(col("band"), col("bval"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("vs"))
-      .filter(size(col("vs")) >= 2)
-      .select(explode(when(size(col("vs")) <= 100, allPairs).otherwise(star)).as("p"))
+      .select(explode(allPairs).as("p"))
+    val star = marked
+      .filter(col("sz") > 100 && col("doc_id") =!= col("mn.doc_id"))
+      .select(pairStruct(col("mn"), struct(col("doc_id"), col("sig"))).as("p"))
+    small.unionAll(star)
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
@@ -368,7 +419,8 @@ object TextQueries extends QueryPack {
     */
   private def dedupClusters(s: org.apache.spark.sql.SparkSession, d: String) =
     // connectivity-only consumer → star edges (identical components to the
-    // clique expansion over the same buckets, linearly fewer edges)
+    // clique expansion over the same buckets, linearly fewer edges, and —
+    // round 9 — over-cap buckets recovered instead of dropped)
     Components.labels(
       starEdges(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
@@ -733,34 +785,59 @@ object TextQueries extends QueryPack {
     // never silent. All threshold math is integer (ceil(6n/10) =
     // (6n+9) div 10; Jaccard test inter·10 ≥ 6·union), so both engines
     // decide identically. Scale shape: tokenize → one df aggregation →
-    // per-doc sort (map-side after the df join's shuffle) → prefix
-    // explode → ONE bucket groupBy whose expansion switches per bucket
-    // (all-pairs ≤100, star above — a single when() over the collected
-    // list, no second pipeline build); length filter 10·min(na,nb) ≥
-    // 6·max before the exact verify. Never all-pairs.
+    // per-doc sort (map-side after the df join's shuffle), materialized
+    // once → THIN prefix explode (no token arrays) → one window pass marks
+    // bucket rep + size → per-bucket expansion (all-pairs via a
+    // 100-struct-bounded collect for ≤100, relational star above) → length
+    // filter 10·min(na,nb) ≥ 6·max → token arrays joined onto surviving
+    // candidates only → exact verify. Never all-pairs, and no aggregation
+    // row ever holds a bucket's token arrays.
     "q_dedup_prefix" -> ((s, d) => {
-      val pref = prefixTokensOf(s, d)
-      val buckets = pref.groupBy(col("w"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("n"), col("ws")))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-      def pairStruct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        struct(a.getField("doc_id").as("doc_a"), a.getField("n").as("na"),
-          a.getField("ws").as("wsa"), b.getField("doc_id").as("doc_b"),
-          b.getField("n").as("nb"), b.getField("ws").as("wsb"))
-      val allPairs = flatten(transform(col("ds"), (a, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
-          b => pairStruct(a, b))))
-      // sort_array ordered by doc_id, so ds[0] is the bucket minimum: every
-      // star edge already satisfies doc_a < doc_b. Slice length must be the
-      // exact remainder — Int.MaxValue overflows Slice's start+length int
-      // arithmetic to a negative end and silently yields an EMPTY array.
-      val star = transform(slice(col("ds"), lit(2), size(col("ds")) - 1),
-        b => pairStruct(element_at(col("ds"), 1), b))
-      buckets
-        .select(explode(when(size(col("ds")) <= 100, allPairs).otherwise(star)).as("p"))
+      // BOUNDED-STATE two-phase candidate generation (round 9, closing the
+      // round-8 scale finding): the old shape collected
+      // struct(doc_id, n, ws) — each member's FULL token array — into one
+      // aggregation row per bucket, so a hot prefix token's whole
+      // membership (76 684 structs at the 50× soak; GBs at production doc
+      // lengths) sat in a single collect buffer. Now:
+      //   · the per-doc table (doc_id, n, ws, pl) materializes ONCE
+      //     (localCheckpoint — the persisted index-build intermediate);
+      //   · the candidate key table is THIN (doc_id, n, w) and one window
+      //     pass marks each row with its bucket's min (doc_id, n) and size
+      //     (spillable sort, no buffers);
+      //   · buckets of 2..100 docs expand all pairs via a collect bounded
+      //     at 100 (doc_id, n) structs BY THE FILTER BEFORE the
+      //     aggregation — never token arrays;
+      //   · over-cap buckets emit the verified star RELATIONALLY — one row
+      //     per member against the window-carried rep, no list anywhere;
+      //   · the length filter runs on (na, nb) BEFORE the two endpoint
+      //     joins fetch token arrays, so `ws` is only ever joined onto
+      //     surviving candidates, one row at a time.
+      // Output is bit-identical to the round-8 spelling (same oracle);
+      // PrefixStarSpec pins both the star semantics and the bounded plan.
+      val docsT = prefixDocsOf(s, d).localCheckpoint()
+      val byTok = Window.partitionBy(col("w"))
+      val marked = prefixTokensFrom(docsT)
+        .withColumn("mn", min(struct(col("doc_id"), col("n"))).over(byTok))
+        .withColumn("sz", count(lit(1)).over(byTok))
+        .localCheckpoint() // thin: (doc_id, n, w, rep struct, sz)
+      val small = marked
+        .filter(col("sz").between(2, 100))
+        .groupBy(col("w"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+        .select(explode(flatten(transform(col("ds"), (a, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
+            b => struct(a.getField("doc_id").as("doc_a"), a.getField("n").as("na"),
+              b.getField("doc_id").as("doc_b"), b.getField("n").as("nb")))))).as("p"))
         .select(col("p.*"))
+      val star = marked
+        .filter(col("sz") > 100 && col("doc_id") =!= col("mn.doc_id"))
+        .select(col("mn.doc_id").as("doc_a"), col("mn.n").as("na"),
+          col("doc_id").as("doc_b"), col("n").as("nb"))
+      small.unionAll(star)
         .filter(least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 6)
         .dropDuplicates("doc_a", "doc_b")
+        .join(docsT.select(col("doc_id").as("doc_a"), col("ws").as("wsa")), "doc_a")
+        .join(docsT.select(col("doc_id").as("doc_b"), col("ws").as("wsb")), "doc_b")
         .withColumn("inter", size(array_intersect(col("wsa"), col("wsb"))).cast("long"))
         .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 6)
         .select(col("doc_a"), col("doc_b"), col("inter"),
@@ -769,25 +846,25 @@ object TextQueries extends QueryPack {
     }),
 
     // X2y: CAP AUDIT — the "no silent caps" rule applied to the dedup
-    // family's own candidate generation. The minhash band pipeline drops
-    // over-full buckets (>100 members) instead of expanding them
-    // quadratically; the prefix and simhash/banded-Hamming pipelines
-    // instead reduce each over-cap bucket to a verified STAR around its
-    // minimum-doc_id representative (q_dedup_prefix / bandedHammingPairs).
-    // This
-    // query makes both choices OBSERVABLE: per pipeline (minhash bands,
-    // prefix-filter buckets, simhash byte-bands), the exact number of
-    // pairable buckets, the largest bucket, how many buckets exceeded the
-    // cap, the candidate pairs NOT enumerated in them (all C(sz,2) where
-    // the bucket drops; C(sz,2) − (sz−1) where the star keeps sz−1), and
-    // the star edges emitted — all integers, all oracled. The fixture
-    // corpora already exercise every column: prefix template families are
-    // over-cap at sf0.01 (13 buckets / 879 819 non-enumerated pairs /
-    // 4 766 star edges) and simhash bands go over-cap at sf0.1 (28
-    // buckets, star-recovered like prefix since the banded-Hamming
-    // pairing shares the same over-cap star), all verified exactly by the
-    // oracle; at 100 TB a hot band value shows up HERE as a nonzero
-    // pairs_foregone instead of as silently-missing duplicates.
+    // family's own candidate generation. Since round 9 ALL THREE pipelines
+    // (minhash bands via [[starEdgesOf]] for the clustering consumers,
+    // prefix-filter buckets, simhash/banded-Hamming byte-bands) reduce each
+    // over-cap bucket (>100 members) to a verified STAR around its
+    // minimum-doc_id representative instead of dropping it — pairs are
+    // what stay capped (expanding a hot bucket is inherently quadratic),
+    // connectivity is not. This query makes the cap OBSERVABLE: per
+    // pipeline, the exact number of pairable buckets, the largest bucket,
+    // how many buckets exceeded the cap, the candidate pairs NOT
+    // enumerated in them (C(sz,2) − (sz−1), the star keeps sz−1), and the
+    // star edges emitted — all integers, all oracled. The minhash
+    // PAIR-LIST consumers (q_dedup_minhash, q_dedup_near, ... via
+    // [[bandPairsOf]]) still drop over-cap buckets outright — for them the
+    // star_edges column reads as "what the clustering path recovers that
+    // the pair lists don't". The fixture corpora already exercise every
+    // column: prefix template families are over-cap at sf0.01 (13 buckets)
+    // and simhash bands go over-cap at sf0.1 (28 buckets), all verified
+    // exactly by the oracle; at 100 TB a hot band value shows up HERE as a
+    // nonzero pairs_foregone instead of as silently-missing duplicates.
     // Cost: each pipeline's bucket table reduces to one size histogram —
     // three aggregates over already-built keys, no pair expansion
     // anywhere.
@@ -814,7 +891,7 @@ object TextQueries extends QueryPack {
         .groupBy(col("w")).agg(count(lit(1)).cast("long").as("sz"))
       val sh = bandedOf(simhashSigs(s, d), "simhash", nBands = 2)
         .groupBy(col("band"), col("bval")).agg(count(lit(1)).cast("long").as("sz"))
-      summarize("minhash", mh, starRecovery = false)
+      summarize("minhash", mh, starRecovery = true)
         .unionAll(summarize("prefix", pf, starRecovery = true))
         .unionAll(summarize("simhash", sh, starRecovery = true))
         .orderBy(col("pipeline"))
@@ -1228,7 +1305,14 @@ object TextQueries extends QueryPack {
     // qualifies (gap <= dist <= maxLen). The naive full-DP form measured
     // 48.7 s at the 20× soak; the banded form's DP is O(T·len) per pair.
     "q_text_editdist" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // Null texts are excluded EXPLICITLY, up front: the pruned pipeline's
+      // `dist >= 0` qualifier would silently drop null-text pairs, whereas
+      // the naive `orderBy(dist)` spelling sorts null distances FIRST
+      // (Spark asc default) — so the two spellings only agree on non-null
+      // text, and the exactness argument below assumes it (round-9 ADVICE;
+      // same filter in EditDistPruneSpec's naive yardstick).
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).where(col("text").isNotNull)
       val pairs = candidateEdges(s, d)
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
@@ -2247,13 +2331,24 @@ object TextQueries extends QueryPack {
        |         FROM sized x JOIN sized y
        |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
 
-  /** Shared CTE chain: LSH candidate edges → exact transitive closure
-    * (`reach`), the ground truth q_dedup_components / q_dedup_keep verify
-    * the star-contraction labels against.
+  /** Shared CTE chain: the clustering family's edge set → exact transitive
+    * closure (`reach`), the ground truth q_dedup_components / q_dedup_keep
+    * verify the star-contraction labels against. Mirrors [[starEdgesOf]]:
+    * since round 9 the clustering input star-recovers over-cap buckets
+    * (NO upper size gate — every bucket of ≥2 docs contributes min→member
+    * edges), so the closure here runs over the per-bucket star edge set,
+    * which is connectivity-identical to clique edges over the same
+    * buckets.
     */
   private lazy val reachCtes: String =
-    s"""$candCtes,
-       |e AS (SELECT a AS x, b AS y FROM cand UNION SELECT b, a FROM cand),
+    s"""$mhCtes,
+       |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
+       |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
+       |          FROM mh GROUP BY 1, 2),
+       |st AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bkey) AS mn
+       |       FROM bands),
+       |se AS (SELECT DISTINCT mn AS a, doc_id AS b FROM st WHERE doc_id <> mn),
+       |e AS (SELECT a AS x, b AS y FROM se UNION SELECT b, a FROM se),
        |reach(v, u) AS (
        |  SELECT x, x FROM e
        |  UNION
@@ -2469,8 +2564,8 @@ object TextQueries extends QueryPack {
          |SELECT 'minhash' AS pipeline, CAST(count(*) AS BIGINT) AS n_buckets,
          |       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_bucket,
          |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END), 0) AS BIGINT) AS overcap_buckets,
-         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT) AS pairs_foregone,
-         |       CAST(0 AS BIGINT) AS star_edges
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN (sz-1)*(sz-2)//2 ELSE 0 END), 0) AS BIGINT) AS pairs_foregone,
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz - 1 ELSE 0 END), 0) AS BIGINT) AS star_edges
          |FROM mhsz WHERE sz >= 2
          |UNION ALL
          |SELECT 'prefix', CAST(count(*) AS BIGINT),
@@ -2638,10 +2733,12 @@ object TextQueries extends QueryPack {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id""".stripMargin,
     // Full recontraction over the incremental path's exact edge sets:
-    // corpus candidates (corpus-only buckets, 2–100), new↔corpus via the
-    // skey store (corpus buckets > 100 excluded), new↔new (fresh-only
-    // buckets, 2–100). The recursive closure IS the "labels equal full
-    // recontraction" criterion the fold is judged against.
+    // corpus star edges (min→member over EVERY corpus-only bucket of ≥2,
+    // mirroring starEdgesOf's round-9 over-cap recovery), new↔corpus via
+    // the skey store (corpus buckets > 100 excluded — the ingest-join
+    // guard), new↔new (fresh-only buckets, 2–100 pair expansion). The
+    // recursive closure IS the "labels equal full recontraction" criterion
+    // the fold is judged against.
     "q_dedup_cluster_incremental" ->
       s"""WITH RECURSIVE $shCte,
          |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
@@ -2653,11 +2750,9 @@ object TextQueries extends QueryPack {
          |          FROM mh GROUP BY 1, 2),
          |cb AS (SELECT * FROM bands WHERE doc_id % 10 <> 7),
          |fb AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
-         |csz AS (SELECT * FROM cb
-         |        QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
-         |ccand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |          FROM csz x JOIN csz y
-         |            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |cst AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bkey) AS mn
+         |        FROM cb),
+         |ccand AS (SELECT DISTINCT mn AS a, doc_id AS b FROM cst WHERE doc_id <> mn),
          |cstore AS (SELECT * FROM cb
          |           QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 100),
          |nc AS (SELECT DISTINCT f.doc_id AS a, c.doc_id AS b

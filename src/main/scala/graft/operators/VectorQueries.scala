@@ -706,10 +706,20 @@ object VectorQueries extends QueryPack {
     }),
 
     // X5: opaque-binary feature pass — text bytes stand in for image/audio
-    // payloads (the container has no media codecs; see
-    // graft.multimodal.MediaPipeline for the stubbed decode plumbing). The
-    // Spark-side shape is the real thing: binary column + typed metadata +
-    // cheap header probes, all codegen'd.
+    // payloads. The Spark-side shape is the real thing: binary column +
+    // typed metadata + cheap header probes, all codegen'd — plus (round 9)
+    // an explicit PROVENANCE column: `arm` records which decode path would
+    // produce this row's features — 'exact' (PPM/BMP/PNG, bit-exact pure-JVM
+    // decode), 'imageio' (JPEG/GIF/TIFF via the JDK codecs), or 'stub'
+    // (no JVM codec exists — WebP/MP4 — or the payload is not an image at
+    // all). The decision is the REAL decode outcome (the same
+    // ppmLuma/codecLuma probes lumaOrRaw coalesces), not a magic-byte
+    // guess, so fake features can never be mistaken for pixels downstream;
+    // WebP is a documented PERMANENT stub boundary (no pure-JVM VP8/VP8L
+    // decoder; see MediaPipeline's scaladoc), and MediaPipelineSpec pins
+    // each arm label on crafted payloads including a WebP header. The
+    // fixture corpus is text-only, so every row here reads 'stub' — which
+    // is exactly the honest answer, and what the oracle mirrors.
     "q_multimodal_features" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("bin", encode(col("text"), "utf-8"))
@@ -717,7 +727,8 @@ object VectorQueries extends QueryPack {
           col("doc_id"),
           length(col("bin")).cast("long").as("n_bytes"),
           substring(hex(col("bin")), 1, 8).as("header8"),
-          concat(lit("text/plain;lang="), col("lang")).as("mime"))
+          concat(lit("text/plain;lang="), col("lang")).as("mime"),
+          graft.multimodal.MediaPipeline.decodeArm(col("bin")).as("arm"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1333,10 +1344,19 @@ object VectorQueries extends QueryPack {
          |       round(${normSql("embedding")}, 6) AS norm_r
          |FROM documents JOIN embeddings ON doc_id = vec_id
          |ORDER BY doc_id""".stripMargin,
+    // `arm` is constant-'stub' HERE because the fixture payloads are text
+    // bytes — no decoder can accept them, and the oracle states that fact
+    // rather than re-deriving it (DuckDB has no JVM decoders to ask). The
+    // non-constant behavior — 'exact' for PPM/BMP/PNG, 'imageio' for
+    // JPEG/GIF/TIFF, 'stub' for WebP magic — is pinned in
+    // MediaPipelineSpec on crafted payloads; if the Spark side ever
+    // labeled a text payload anything but 'stub', this oracle's hash
+    // comparison fails.
     "q_multimodal_features" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         |       substr(hex(CAST(text AS BLOB)), 1, 8) AS header8,
-        |       'text/plain;lang=' || lang AS mime
+        |       'text/plain;lang=' || lang AS mime,
+        |       'stub' AS arm
         |FROM documents ORDER BY doc_id""".stripMargin,
     // ASCII-fixture assumption (load-bearing): Spark slices the payload in
     // UTF-8 BYTES (MediaPipeline.sampleFrames over encode(text,'utf-8'))

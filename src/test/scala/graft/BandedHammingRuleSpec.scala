@@ -99,6 +99,52 @@ class BandedHammingRuleSpec extends AnyFunSuite with SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("cast-strip audit: CAST around bit_count rewrites exactly; operand casts band over the cast value; cast-free int operands are untouched") {
+    // Round-9 spec for the r8 BucketedRangeJoinRule lesson: stripCast here
+    // is only ever applied to the comparison sides (to find bit_count
+    // under a spelling like CAST(bit_count(..) AS BIGINT)) — always
+    // lossless because bit_count ∈ [0, 64] survives any numeric cast.
+    // Operand casts are NEVER stripped: a CAST(int_col AS BIGINT) operand
+    // is itself the LongType signature expression, so the bands compute
+    // over exactly the 64-bit value the naive predicate sees — exact by
+    // construction, pinned against the kill-switch run below.
+    def run(cond: String, disable: Boolean, intSigs: Boolean) = {
+      val s2 = spark.newSession()
+      if (disable) s2.conf.set("spark.graft.rewrite.hammingJoin", "false")
+      import s2.implicits._
+      val base = (0 until 80).map { i =>
+        val x = (i / 2).toLong * 0x9e3779b97f4a7c15L + 11L
+        val full = (x ^ (x >>> 31)) ^ (i % 2).toLong
+        (i.toLong, full)
+      }
+      val df =
+        if (intSigs) base.map { case (id, s) => (id, s.toInt) }.toDF("id", "sig")
+        else base.toDF("id", "sig")
+      val a = df.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+      val b = df.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+      a.join(b, expr(cond))
+        .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
+    }
+    // (a) cast AROUND bit_count: fires, row-identical
+    val castCond = "CAST(bit_count(sig_a ^ sig_b) AS BIGINT) <= 2"
+    val ca = run(castCond, disable = false, intSigs = false)
+    val cap = ca.queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(cap).size == 2, cap)
+    assert(ca.collect().toSeq == run(castCond, disable = true, intSigs = false).collect().toSeq)
+    // (b) casts on the OPERANDS (int sigs widened in the query): the cast
+    // IS the LongType signature; fires and stays row-identical
+    val opCond = "bit_count(CAST(sig_a AS BIGINT) ^ CAST(sig_b AS BIGINT)) <= 1"
+    val ob = run(opCond, disable = false, intSigs = true)
+    val obp = ob.queryExecution.executedPlan.toString
+    assert("Generate".r.findAllIn(obp).size == 2, obp)
+    val obRows = ob.collect().toSeq
+    assert(obRows == run(opCond, disable = true, intSigs = true).collect().toSeq)
+    assert(obRows.nonEmpty)
+    // (c) cast-free INT operands are not LongType → the gate rejects, plan untouched
+    val ic = run("bit_count(sig_a ^ sig_b) <= 1", disable = false, intSigs = true)
+    assert(!ic.queryExecution.executedPlan.toString.contains("Generate"))
+  }
+
   test("non-matching shapes are untouched: a condition with an extra equi conjunct keeps its plan") {
     import spark.implicits._
     val a = sigs(spark, 50, 1L).withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")

@@ -18,8 +18,11 @@ class EditDistPruneSpec extends AnyFunSuite with SparkSpec {
 
     // Naive spelling: full O(len^2) levenshtein on every candidate edge —
     // the SAME memoized edge set the query consumes, so the only difference
-    // under test is the pruning.
-    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    // under test is the pruning. Null texts are filtered identically to the
+    // query (the spellings only agree on non-null text: the pruned form's
+    // `dist >= 0` drops null distances, a naive asc sort puts them first).
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).where(col("text").isNotNull)
     val cand = graft.operators.TextQueries.candidateEdges(spark, d)
     val naive = cand
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")

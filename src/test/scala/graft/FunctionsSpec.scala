@@ -59,6 +59,34 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: BandedEditDistance counts code points on supplementary-plane text and survives huge thresholds") {
+    // Round-9 ADVICE regressions: (a) non-BMP inputs must match the
+    // builtin's CODE-POINT count (a char-indexed DP would charge an emoji
+    // 2 edits); (b) t >= 2^30 must not overflow the band index or leak the
+    // INF sentinel — the entry clamp bounds t at max(len).
+    val rnd = new scala.util.Random(47)
+    val cps = Seq(0x1F600, 0x1F4A9, 0x20000, 'a'.toInt, 'b'.toInt, 0x3042)
+    def word(n: Int) =
+      Seq.fill(n)(new String(Character.toChars(cps(rnd.nextInt(cps.length))))).mkString
+    val pairs = Seq.tabulate(120) { i =>
+      val a = word(rnd.nextInt(12))
+      val b = if (i % 2 == 0) word(rnd.nextInt(12))
+        else a.take(a.length / 2) + word(rnd.nextInt(3)) + a.drop(a.length / 2)
+      (a, b, if (i % 5 == 0) Int.MaxValue - 1 else rnd.nextInt(8))
+    } ++ Seq(
+      ("😀", "a", 1),            // emoji vs letter: 1 substitution, not 2
+      ("😀💩", "", 2), // two supplementary chars: distance 2
+      ("abc", "abd", Int.MaxValue),        // huge threshold on BMP text
+      ("", "", Int.MaxValue))
+    for ((a, b, t) <- pairs) {
+      val fast = graft.functions.expr.EditDistOps.banded(a, b, t)
+      val full = Seq((a, b)).toDF("a", "b")
+        .select(levenshtein(col("a"), col("b"))).as[Int].head()
+      val want = if (full <= t) full else -1
+      assert(fast == want, s"a='$a' b='$b' t=$t fast=$fast full=$full")
+    }
+  }
+
   test("property: fused CosineSimF32 equals the composed dot/norm form bit-for-bit") {
     val rnd = new scala.util.Random(31)
     val vecs = Seq.fill(50)((

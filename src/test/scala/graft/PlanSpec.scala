@@ -68,12 +68,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!joinConds.exists(_.matches(".*\\bsh#\\d+ = sh#\\d+.*")), joinConds.mkString("\n"))
   }
 
-  test("q_dedup_minhash: one pipeline pass — single scan, no join, no window") {
+  test("q_dedup_minhash: one pipeline pass — single scan, no join, one exchange-free truncation window") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, d)
     val plan = df.queryExecution.executedPlan
     assert(plan.collectLeaves().size == 1, plan.toString) // documents read ONCE
     val p = plan.toString
-    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // exactly ONE window — the rn<=101 pre-truncation that bounds the
+    // bucket collect state (round 9); it shares the (band, bkey) hash
+    // partitioning with the bucket aggregation, so the pre-pass adds no
+    // exchange (one hashpartitioning(band, bkey) serves window + collect) —
+    // and Spark's WindowGroupLimit runs a PARTIAL pass map-side, so a hot
+    // bucket is already truncated to 101 rows before it ever shuffles
+    assert(raw"Window \[".r.findAllIn(p).size == 1, p)
+    assert(raw"rn#\d+ <= 101".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(raw"Exchange hashpartitioning\(band".r.findAllIn(p).size == 1, p)
   }
 
   test("q_simsearch_ivf: centroid assignment is a partial aggregate, no Window anywhere") {
@@ -457,12 +467,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
-  test("q_dedup_prefix: pairs expand inside prefix buckets — exactly one join (the df lookup), no cartesian") {
+  test("q_dedup_prefix: pairs expand inside prefix buckets — no cartesian, joins only fetch endpoint token sets") {
     val p = plan("q_dedup_prefix")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // candidate pairs come from in-bucket array expansion (Generate), not a
-    // doc↔doc self-join; the only relational join is token → global df
-    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size == 1, p)
+    // candidate pairs come from in-bucket array expansion (Generate) plus
+    // the relational over-cap star, never a doc↔doc self-join; the only
+    // joins visible in the final plan are the TWO endpoint ws lookups onto
+    // surviving candidates (round 9 — the token → global-df join lives
+    // below the materialized per-doc prefix table)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size == 2, p)
     assert(p.contains("Generate explode"), p)
   }
 

