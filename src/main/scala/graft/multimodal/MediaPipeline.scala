@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * Decode has three arms, all real. Bit-exact: [[PpmDecode]] parses binary
   * PPM (P6) and 24bpp BMP, and [[PngDecode]] inflates and
-  * filter-reconstructs 8-bit PNG (pure JVM: java.util.zip.Inflater + Paeth
+  * filter-reconstructs 8/16-bit PNG incl. Adam7 (pure JVM: java.util.zip.Inflater + Paeth
   * et al.). JDK-codec: [[ImageIoDecode]] routes JPEG / GIF / TIFF through
   * `javax.imageio` (ships with every Java SE runtime — still zero added
   * dependencies; deterministic per pinned JVM, golden-pinned rather than
@@ -50,7 +50,7 @@ object MediaPipeline {
   val FeatureDim = 8
 
   /** Feature vector for a payload: when the payload decodes as a supported
-    * raster format (P6 PPM / 24bpp BMP / 8-bit PNG — [[PpmDecode]],
+    * raster format (P6 PPM / 24bpp BMP / 8/16-bit PNG incl. Adam7 — [[PpmDecode]],
     * [[PngDecode]]) or a JDK-codec format (JPEG / GIF / TIFF —
     * [[ImageIoDecode]]), features are REAL pixel statistics — per-block
     * mean luminance over [[FeatureDim]] contiguous plane blocks (the
@@ -159,12 +159,12 @@ object MediaPipeline {
       graft.functions.expr.CodecLuma.apply)(payload)
 
   /** Decode-arm PROVENANCE for a payload: 'exact' when the bit-exact
-    * pure-JVM decoders accept it (P6 PPM / 24bpp BMP / 8-bit PNG),
+    * pure-JVM decoders accept it (P6 PPM / 24bpp BMP / 8/16-bit PNG incl. Adam7),
     * 'imageio' when the JDK codecs do (JPEG / GIF / TIFF), 'stub'
     * otherwise (WebP/MP4 — the documented no-JVM-codec boundary — or any
     * non-image payload). The decision is the REAL decode outcome (the same
     * probes [[lumaOrRaw]] coalesces), not a magic-byte guess: a truncated
-    * PNG or an interlaced-subset reject labels 'stub', exactly matching
+    * PNG or a palette-subset reject labels 'stub', exactly matching
     * which bytes actually feed downstream features. Shared by
     * q_multimodal_features and MediaPipelineSpec so the label can never
     * drift from the decode routing.

@@ -8,10 +8,16 @@ package graft.multimodal
   * [[PpmDecode]], so PNG payloads feed the identical phash/banded-Hamming
   * dedup chain and the format stays invisible downstream.
   *
-  * Accepted subset (determinism-first, like the PPM/BMP arms): 8-bit depth,
-  * color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlacing
-  * (Adam7 rejected → null → opaque-bytes fallback), at most 2^24 pixels.
-  * IDAT chunks concatenate in order; every other chunk is skipped.
+  * Accepted subset (determinism-first, like the PPM/BMP arms): bit depth 8
+  * or 16, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+  * interlace 0 (none) or 1 (Adam7 — round 9: the seven passes are
+  * unfiltered independently, each against its own pass neighbors per the
+  * spec, and scattered to (xs + px·dx, ys + py·dy)), at most 2^24 pixels
+  * and 2^26 raw sample bytes (the byte cap only bites 16-bit inputs — the
+  * 8-bit acceptance set is unchanged). 16-bit samples reduce to their HIGH
+  * byte (network order, v >> 8 — pure integer, both engines reproduce it).
+  * Only palette PNGs (color type 3, needs PLTE handling) remain out of
+  * subset. IDAT chunks concatenate in order; every other chunk is skipped.
   *
   * Leniency, stated plainly: chunk CRC32s and the zlib Adler-32 trailer are
   * NOT verified (the stream is raw-inflated after a manual 2-byte zlib
@@ -19,7 +25,8 @@ package graft.multimodal
   * Verification guards against corruption, not decode correctness; a
   * 100 TB ingest wants the bytes decoded, with integrity handled by the
   * storage layer's checksums. MediaPipelineSpec's goldens decode
-  * fully-valid Deflater-compressed files, filter-by-filter.
+  * fully-valid Deflater-compressed files, filter-by-filter, including
+  * Adam7 and 16-bit planes.
   *
   * Luminance matches [[PpmDecode]] exactly: integer Rec.601 truncating
   * division `(299*R + 587*G + 114*B) / 1000`; gray samples pass through,
@@ -29,12 +36,22 @@ object PngDecode {
 
   private val Sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
   private val MaxPixels = 1 << 24 // 16 Mpx ≈ 16 MB plane: bounds executor memory per row
+  private val MaxSampleBytes = 1L << 26 // pixel plane bytes incl. 16-bit samples
+
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep), spec order. The
+    * non-interlaced image is the single pass (0, 0, 1, 1) — one code path
+    * serves both, so the interlaced arm can't drift from the plain one.
+    */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+  private val NoInterlace = Array((0, 0, 1, 1))
 
   private def beU32(p: Array[Byte], off: Int): Long =
     ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
       ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
 
-  /** The luminance plane of an 8-bit non-interlaced PNG payload (row-major,
+  /** The luminance plane of a PNG payload in the subset above (row-major,
     * one byte per pixel, top-down), or null when the payload is not a PNG
     * this subset decodes. Callable from generated code (static forwarder).
     */
@@ -43,7 +60,8 @@ object PngDecode {
     var i = 0
     while (i < Sig.length) { if (p(i) != Sig(i)) return null; i += 1 }
 
-    var w = 0; var h = 0; var channels = 0
+    var w = 0; var h = 0; var channels = 0; var sampleBytes = 0
+    var passes: Array[(Int, Int, Int, Int)] = null
     var sawIhdr = false
     val idat = new java.io.ByteArrayOutputStream()
     var off = Sig.length
@@ -65,11 +83,19 @@ object PngDecode {
         val compression = p(dataOff + 10) & 0xff
         val filterMethod = p(dataOff + 11) & 0xff
         val interlace = p(dataOff + 12) & 0xff
-        if (depth != 8 || compression != 0 || filterMethod != 0 || interlace != 0) return null
+        if ((depth != 8 && depth != 16) || compression != 0 || filterMethod != 0)
+          return null
+        sampleBytes = depth / 8
+        passes = interlace match {
+          case 0 => NoInterlace
+          case 1 => Adam7
+          case _ => return null
+        }
         channels = colorType match {
           case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
           case _ => return null // palette (3) needs PLTE handling — out of subset
         }
+        if (wL * hL * channels * sampleBytes > MaxSampleBytes) return null
       } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
         if (!sawIhdr) return null
         idat.write(p, dataOff, len.toInt)
@@ -85,8 +111,22 @@ object PngDecode {
     if (z.length < 3 || (z(0) & 0x0f) != 8 || (z(1) & 0x20) != 0 ||
       (((z(0) & 0xff) << 8) | (z(1) & 0xff)) % 31 != 0) return null
 
-    val stride = w * channels
-    val expected = h * (1 + stride) // 1 filter byte per scanline
+    val bpp = channels * sampleBytes // filter unit: BYTES per pixel (spec §9)
+    // pass dimensions + total inflated size (one filter byte per pass row;
+    // empty passes contribute no scanlines at all)
+    def passDims(pass: (Int, Int, Int, Int)): (Int, Int) = {
+      val (xs, ys, dx, dy) = pass
+      val pw = if (w > xs) (w - xs + dx - 1) / dx else 0
+      val ph = if (h > ys) (h - ys + dy - 1) / dy else 0
+      (pw, ph)
+    }
+    var expectedL = 0L
+    for (pass <- passes) {
+      val (pw, ph) = passDims(pass)
+      if (pw > 0 && ph > 0) expectedL += ph.toLong * (1L + pw.toLong * bpp)
+    }
+    if (expectedL > Int.MaxValue) return null // unreachable under the byte cap
+    val expected = expectedL.toInt
     val raw = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater(true) // raw: Adler-32 trailer unchecked
     try {
@@ -102,54 +142,73 @@ object PngDecode {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
 
-    // Filter reconstruction, in place per scanline. a = left, b = above,
-    // c = upper-left, all 0 outside the image (PNG spec §9).
-    val plane = new Array[Byte](h * stride)
-    val bpp = channels
-    var row = 0
-    while (row < h) {
-      val ft = raw(row * (1 + stride)) & 0xff
-      if (ft > 4) return null
-      val src = row * (1 + stride) + 1
-      val dst = row * stride
-      var x = 0
-      while (x < stride) {
-        val f = raw(src + x) & 0xff
-        val a = if (x >= bpp) plane(dst + x - bpp) & 0xff else 0
-        val b = if (row > 0) plane(dst - stride + x) & 0xff else 0
-        val c = if (row > 0 && x >= bpp) plane(dst - stride + x - bpp) & 0xff else 0
-        val recon = ft match {
-          case 0 => f
-          case 1 => f + a
-          case 2 => f + b
-          case 3 => f + ((a + b) >> 1)
-          case 4 => // Paeth: nearest of a,b,c to p=a+b-c, ties a > b > c
-            val pp = a + b - c
-            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
-            f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+    // Per pass: filter reconstruction against the PASS's own neighbors
+    // (a = left, b = above, c = upper-left, all 0 outside the pass — PNG
+    // spec §9), then scatter the pass pixels to their image positions.
+    val pix = new Array[Byte](w * h * bpp) // full raw sample plane
+    var rawOff = 0
+    for (pass <- passes) {
+      val (xs, ys, dx, dy) = pass
+      val (pw, ph) = passDims(pass)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val sub = new Array[Byte](ph * stride)
+        var row = 0
+        while (row < ph) {
+          val ft = raw(rawOff + row * (1 + stride)) & 0xff
+          if (ft > 4) return null
+          val src = rawOff + row * (1 + stride) + 1
+          val dst = row * stride
+          var x = 0
+          while (x < stride) {
+            val f = raw(src + x) & 0xff
+            val a = if (x >= bpp) sub(dst + x - bpp) & 0xff else 0
+            val b = if (row > 0) sub(dst - stride + x) & 0xff else 0
+            val c = if (row > 0 && x >= bpp) sub(dst - stride + x - bpp) & 0xff else 0
+            val recon = ft match {
+              case 0 => f
+              case 1 => f + a
+              case 2 => f + b
+              case 3 => f + ((a + b) >> 1)
+              case 4 => // Paeth: nearest of a,b,c to p=a+b-c, ties a > b > c
+                val pp = a + b - c
+                val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+                f + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            }
+            sub(dst + x) = recon.toByte
+            x += 1
+          }
+          row += 1
         }
-        plane(dst + x) = recon.toByte
-        x += 1
+        rawOff += ph * (1 + stride)
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            System.arraycopy(sub, (py * pw + px) * bpp, pix,
+              ((ys + py * dy) * w + (xs + px * dx)) * bpp, bpp)
+            px += 1
+          }
+          py += 1
+        }
       }
-      row += 1
     }
 
-    // Luminance: same integer Rec.601 as PpmDecode; gray passes through.
-    if (channels == 1) plane
-    else {
-      val out = new Array[Byte](w * h)
-      var k = 0
-      while (k < out.length) {
-        if (channels == 2) out(k) = plane(2 * k) // gray+alpha
-        else {
-          val r = plane(channels * k) & 0xff
-          val g = plane(channels * k + 1) & 0xff
-          val b = plane(channels * k + 2) & 0xff
-          out(k) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
-        }
-        k += 1
+    // Luminance: same integer Rec.601 as PpmDecode; gray passes through;
+    // 16-bit samples reduce to the high (first, big-endian) byte.
+    val out = new Array[Byte](w * h)
+    var k = 0
+    while (k < out.length) {
+      val base = k * bpp
+      if (channels <= 2) out(k) = pix(base) // gray / gray+alpha
+      else {
+        val r = pix(base) & 0xff
+        val g = pix(base + sampleBytes) & 0xff
+        val b = pix(base + 2 * sampleBytes) & 0xff
+        out(k) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
       }
-      out
+      k += 1
     }
+    out
   }
 }

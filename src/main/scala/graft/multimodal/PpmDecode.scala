@@ -57,7 +57,7 @@ object PpmDecode {
   }
 
   /** Luminance plane of a payload that parses as ANY supported raster
-    * format — P6 PPM, 24bpp BMP, or 8-bit PNG ([[PngDecode]], the real
+    * format — P6 PPM, 24bpp BMP, or 8/16-bit PNG incl. Adam7 ([[PngDecode]], the real
     * Inflater + filter-reconstruction arm) — else null. The magics are
     * mutually exclusive, so probe order is cosmetic. Callable from
     * generated code (static forwarder).

@@ -198,24 +198,20 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
   private val pngSig =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
-  /** Valid PNG of `pix` (row-major samples, `channels` per pixel), each row
-    * filtered with `filters(row % filters.length)`.
+  /** Encode one filtered scanline block: `rows` rows of `strideB` bytes from
+    * `src`, filter byte `ft(row)` per row, predictor unit `bpp` BYTES.
     */
-  private def pngOf(w: Int, h: Int, channels: Int, pix: Array[Byte],
-      filters: Seq[Int], depth: Int = 8, interlace: Int = 0,
-      splitIdat: Boolean = false): Array[Byte] = {
-    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
-    val stride = w * channels
-    val raw = new Array[Byte](h * (1 + stride))
-    for (row <- 0 until h) {
-      val ft = filters(row % filters.length)
-      raw(row * (1 + stride)) = ft.toByte
-      for (x <- 0 until stride) {
-        val cur = pix(row * stride + x) & 0xff
-        val a = if (x >= channels) pix(row * stride + x - channels) & 0xff else 0
-        val b = if (row > 0) pix((row - 1) * stride + x) & 0xff else 0
-        val c = if (row > 0 && x >= channels) pix((row - 1) * stride + x - channels) & 0xff else 0
-        val pred = ft match {
+  private def filterRows(src: Array[Byte], rows: Int, strideB: Int, bpp: Int,
+      ft: Int => Int, out: java.io.ByteArrayOutputStream): Unit =
+    for (row <- 0 until rows) {
+      val f = ft(row)
+      out.write(f)
+      for (x <- 0 until strideB) {
+        val cur = src(row * strideB + x) & 0xff
+        val a = if (x >= bpp) src(row * strideB + x - bpp) & 0xff else 0
+        val b = if (row > 0) src((row - 1) * strideB + x) & 0xff else 0
+        val c = if (row > 0 && x >= bpp) src((row - 1) * strideB + x - bpp) & 0xff else 0
+        val pred = f match {
           case 0 => 0
           case 1 => a
           case 2 => b
@@ -225,9 +221,13 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
             val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
             if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
         }
-        raw(row * (1 + stride) + 1 + x) = (cur - pred).toByte
+        out.write((cur - pred) & 0xff)
       }
     }
+
+  private def pngWrap(w: Int, h: Int, channels: Int, depth: Int, interlace: Int,
+      raw: Array[Byte], splitIdat: Boolean): Array[Byte] = {
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
@@ -237,6 +237,45 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
         pngChunk("IDAT", z.take(3)) ++ pngChunk("IDAT", z.drop(3))
       else pngChunk("IDAT", z)
     pngSig ++ pngChunk("IHDR", ihdr) ++ idats ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Valid PNG of `pix` (row-major samples, `channels` per pixel,
+    * `sampleBytes` bytes per sample — 2 for 16-bit), each row filtered with
+    * `filters(row % filters.length)`.
+    */
+  private def pngOf(w: Int, h: Int, channels: Int, pix: Array[Byte],
+      filters: Seq[Int], depth: Int = 8, interlace: Int = 0,
+      splitIdat: Boolean = false, sampleBytes: Int = 1): Array[Byte] = {
+    val bpp = channels * sampleBytes
+    val out = new java.io.ByteArrayOutputStream()
+    filterRows(pix, h, w * bpp, bpp, row => filters(row % filters.length), out)
+    pngWrap(w, h, channels, if (depth != 8) depth else 8 * sampleBytes, interlace,
+      out.toByteArray, splitIdat)
+  }
+
+  private val adam7 = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Valid Adam7-interlaced PNG of `pix`: per pass, gather the pass pixels,
+    * filter every pass row with `ft` against the PASS's own neighbors (the
+    * spec's per-pass filtering), concatenate pass streams in order.
+    */
+  private def pngAdam7(w: Int, h: Int, channels: Int, pix: Array[Byte], ft: Int,
+      sampleBytes: Int = 1): Array[Byte] = {
+    val bpp = channels * sampleBytes
+    val out = new java.io.ByteArrayOutputStream()
+    for ((xs, ys, dx, dy) <- adam7) {
+      val pw = if (w > xs) (w - xs + dx - 1) / dx else 0
+      val ph = if (h > ys) (h - ys + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val sub = new Array[Byte](ph * pw * bpp)
+        for (py <- 0 until ph; px <- 0 until pw; ch <- 0 until bpp)
+          sub((py * pw + px) * bpp + ch) =
+            pix(((ys + py * dy) * w + (xs + px * dx)) * bpp + ch)
+        filterRows(sub, ph, pw * bpp, bpp, _ => ft, out)
+      }
+    }
+    pngWrap(w, h, channels, 8 * sampleBytes, 1, out.toByteArray, splitIdat = false)
   }
 
   private def rec601(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
@@ -282,13 +321,58 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     val pix = Array.tabulate(8)(_.toByte)
     val good = pngOf(4, 2, 1, pix, filters = Seq(0))
     assert(pngLumaOrNull(good) != null) // control
-    assert(pngLumaOrNull(pngOf(4, 2, 1, pix, Seq(0), interlace = 1)) == null) // Adam7
+    // header/stream mismatches: an Adam7 (resp. 16-bit) IHDR over a plain
+    // 8-bit non-interlaced stream inflates short of the declared layout
+    assert(pngLumaOrNull(pngOf(4, 2, 1, pix, Seq(0), interlace = 1)) == null)
     assert(pngLumaOrNull(pngOf(4, 2, 1, pix, Seq(0), depth = 16)) == null)
     assert(pngLumaOrNull(good.dropRight(20)) == null) // truncated inside IDAT
     assert(pngLumaOrNull("not a png at all, truly".getBytes("UTF-8")) == null)
     // palette color type: patch IHDR's colorType byte (offset 8+8+17=33... sig 8 + len 4 + type 4 + 9)
     val pal = good.clone(); pal(8 + 4 + 4 + 9) = 3
     assert(pngLumaOrNull(pal) == null)
+  }
+
+  test("PngDecode: Adam7 interlaced planes reconstruct exactly — format and interlacing invisible") {
+    // 8×9 exercises all seven passes with ragged pass heights; Paeth per
+    // pass row exercises the per-pass neighbor rule (a/b/c reset at pass
+    // boundaries — a decoder unfiltering against the full image would
+    // corrupt every pass after the first).
+    val pix = Array.tabulate(72)(i => ((i * 37 + 11) & 0xff).toByte)
+    val viaAdam7 = graft.multimodal.PngDecode.pngLumaOrNull(pngAdam7(8, 9, 1, pix, ft = 4))
+    assert(viaAdam7 != null && viaAdam7.toSeq == pix.toSeq)
+    // identical plane through the non-interlaced spelling
+    val plain = graft.multimodal.PngDecode.pngLumaOrNull(pngOf(8, 9, 1, pix, Seq(0, 1, 2, 3, 4)))
+    assert(viaAdam7.toSeq == plain.toSeq)
+    // RGB Adam7 with an edge-size image (1×1: only pass 1 non-empty)
+    val one = Array[Byte](100.toByte, 50.toByte, 200.toByte)
+    val lum1 = graft.multimodal.PngDecode.pngLumaOrNull(pngAdam7(1, 1, 3, one, ft = 0))
+    assert(lum1 != null && (lum1(0) & 0xff) == rec601(100, 50, 200))
+  }
+
+  test("PngDecode: 16-bit samples reduce to the high byte (gray with Sub filter, RGB)") {
+    // gray 16-bit, Sub-filtered: bpp=2, so the predictor offset is the
+    // previous SAMPLE's byte pair — a bpp=1 decoder would mis-reconstruct
+    val hi = Array.tabulate(12)(i => ((i * 17 + 3) & 0xff).toByte)
+    val pix16 = hi.flatMap(b => Array(b, 0xAB.toByte)) // (hi, lo) big-endian
+    val luma = graft.multimodal.PngDecode.pngLumaOrNull(
+      pngOf(4, 3, 1, pix16, Seq(1), sampleBytes = 2))
+    assert(luma != null && luma.toSeq == hi.toSeq)
+    // RGB 16-bit: luminance from the three high bytes
+    val rgb16 = Array(
+      30, 0xFF, 60, 0x01, 90, 0x80, // pixel 0: r=30 g=60 b=90
+      200, 0x00, 10, 0x10, 250, 0x7F // pixel 1
+    ).map(_.toByte)
+    val luma2 = graft.multimodal.PngDecode.pngLumaOrNull(
+      pngOf(2, 1, 3, rgb16, Seq(0), sampleBytes = 2))
+    assert(luma2 != null)
+    assert((luma2(0) & 0xff) == rec601(30, 60, 90))
+    assert((luma2(1) & 0xff) == rec601(200, 10, 250))
+    // 16-bit Adam7 compose: both extensions at once
+    val pixA = Array.tabulate(10)(i => ((i * 29 + 7) & 0xff).toByte)
+    val pixA16 = pixA.flatMap(b => Array(b, 0x55.toByte))
+    val lumA = graft.multimodal.PngDecode.pngLumaOrNull(
+      pngAdam7(5, 2, 1, pixA16, ft = 2, sampleBytes = 2))
+    assert(lumA != null && lumA.toSeq == pixA.toSeq)
   }
 
   test("lumaOrRaw routes PNG through the real decode arm (phash of pixels, not bytes)") {
