@@ -76,7 +76,12 @@ object PngDecode {
         if (sawIhdr || len != 13) return null
         sawIhdr = true
         val wL = beU32(p, dataOff); val hL = beU32(p, dataOff + 4)
-        if (wL < 1 || hL < 1 || wL * hL > MaxPixels) return null
+        // Each axis is bounded BEFORE the product: beU32 values reach
+        // 2^32−1, so a crafted 0xFFFFFFFF×0xFFFFFFFF header would wrap
+        // wL*hL negative and sail past both caps, decoding to a bogus
+        // 1-byte "plane" (spec-pinned reject).
+        if (wL < 1 || hL < 1 || wL > MaxPixels || hL > MaxPixels ||
+          wL * hL > MaxPixels) return null
         w = wL.toInt; h = hL.toInt
         val depth = p(dataOff + 8) & 0xff
         val colorType = p(dataOff + 9) & 0xff
@@ -152,7 +157,13 @@ object PngDecode {
       val (pw, ph) = passDims(pass)
       if (pw > 0 && ph > 0) {
         val stride = pw * bpp
-        val sub = new Array[Byte](ph * stride)
+        // The non-interlaced single pass has exactly pix's layout:
+        // reconstruct straight into it — no second plane, no scatter — so
+        // the dominant hot path keeps the pre-Adam7 cost. Interlaced
+        // passes reconstruct into a pass-local plane first (the filters
+        // reference PASS neighbors, not image neighbors).
+        val direct = dx == 1 && dy == 1 && xs == 0 && ys == 0
+        val sub = if (direct) pix else new Array[Byte](ph * stride)
         var row = 0
         while (row < ph) {
           val ft = raw(rawOff + row * (1 + stride)) & 0xff
@@ -181,21 +192,30 @@ object PngDecode {
           row += 1
         }
         rawOff += ph * (1 + stride)
-        var py = 0
-        while (py < ph) {
-          var px = 0
-          while (px < pw) {
-            System.arraycopy(sub, (py * pw + px) * bpp, pix,
-              ((ys + py * dy) * w + (xs + px * dx)) * bpp, bpp)
-            px += 1
+        if (!direct) {
+          var py = 0
+          while (py < ph) {
+            if (dx == 1) // contiguous pass row (Adam7 pass 7): one copy
+              System.arraycopy(sub, py * stride, pix,
+                ((ys + py * dy) * w + xs) * bpp, stride)
+            else {
+              var px = 0
+              while (px < pw) {
+                System.arraycopy(sub, (py * pw + px) * bpp, pix,
+                  ((ys + py * dy) * w + (xs + px * dx)) * bpp, bpp)
+                px += 1
+              }
+            }
+            py += 1
           }
-          py += 1
         }
       }
     }
 
     // Luminance: same integer Rec.601 as PpmDecode; gray passes through;
-    // 16-bit samples reduce to the high (first, big-endian) byte.
+    // 16-bit samples reduce to the high (first, big-endian) byte. 8-bit
+    // grayscale IS the plane already — return it without a copy.
+    if (channels == 1 && sampleBytes == 1) return pix
     val out = new Array[Byte](w * h)
     var k = 0
     while (k < out.length) {

@@ -20,6 +20,19 @@ import graft.functions.TextFns
   */
 object TextQueries extends QueryPack {
 
+  /** The LSH over-cap bucket boundary (standard practice: a bucket shared
+    * by more members is boilerplate; enumerating its pairs is the n²
+    * blowup banding exists to avoid). ONE Scala-side landing for every
+    * expansion gate — the pair caps, the star switchovers, the cap audit,
+    * the ingest-join hot-bucket guard, and [[bandPairsOf]]'s
+    * `BucketCap + 1` row pre-truncation (101 distinguishes "over cap"
+    * from "exactly full"). The DuckDB oracles and the plan-pinning specs
+    * mirror the literals 100/101; the correctness gate fails loudly if
+    * the sides ever drift, so changing this constant forces the oracle
+    * edit rather than silently diverging.
+    */
+  private[graft] val BucketCap = 100
+
   private def docTokens(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("w"))
@@ -187,10 +200,10 @@ object TextQueries extends QueryPack {
     val byBucket = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
     buckets
       .withColumn("rn", row_number().over(byBucket))
-      .filter(col("rn") <= 101)
+      .filter(col("rn") <= BucketCap + 1)
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, 100))
+      .filter(size(col("ds")).between(2, BucketCap))
       .select(explode(flatten(transform(col("ds"), (a, i) =>
         transform(
           slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
@@ -364,12 +377,12 @@ object TextQueries extends QueryPack {
         slice(col("vs"), i + lit(2), size(col("vs")) - i - 1),
         b => pairStruct(a, b))))
     val small = marked
-      .filter(col("sz").between(2, 100))
+      .filter(col("sz").between(2, BucketCap))
       .groupBy(col("band"), col("bval"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("vs"))
       .select(explode(allPairs).as("p"))
     val star = marked
-      .filter(col("sz") > 100 && col("doc_id") =!= col("mn.doc_id"))
+      .filter(col("sz") > BucketCap && col("doc_id") =!= col("mn.doc_id"))
       .select(pairStruct(col("mn"), struct(col("doc_id"), col("sig"))).as("p"))
     small.unionAll(star)
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
@@ -587,7 +600,7 @@ object TextQueries extends QueryPack {
     val fresh = Tables.documents(s, d).filter(col("doc_id") % 10 === 7)
     val store = s.table(corpusSigTable(s, d))
     val hot = store.groupBy(col("skey")).agg(count(lit(1)).as("csz"))
-      .filter(col("csz") > 100).select(col("skey"))
+      .filter(col("csz") > BucketCap).select(col("skey"))
     val freshKeys = bandKeysOf(fresh)
     val newCorpus = freshKeys
       .join(hot, Seq("skey"), "left_anti")
@@ -821,7 +834,7 @@ object TextQueries extends QueryPack {
         .withColumn("sz", count(lit(1)).over(byTok))
         .localCheckpoint() // thin: (doc_id, n, w, rep struct, sz)
       val small = marked
-        .filter(col("sz").between(2, 100))
+        .filter(col("sz").between(2, BucketCap))
         .groupBy(col("w"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
         .select(explode(flatten(transform(col("ds"), (a, i) =>
@@ -830,7 +843,7 @@ object TextQueries extends QueryPack {
               b.getField("doc_id").as("doc_b"), b.getField("n").as("nb")))))).as("p"))
         .select(col("p.*"))
       val star = marked
-        .filter(col("sz") > 100 && col("doc_id") =!= col("mn.doc_id"))
+        .filter(col("sz") > BucketCap && col("doc_id") =!= col("mn.doc_id"))
         .select(col("mn.doc_id").as("doc_a"), col("mn.n").as("na"),
           col("doc_id").as("doc_b"), col("n").as("nb"))
       small.unionAll(star)
@@ -846,7 +859,7 @@ object TextQueries extends QueryPack {
     }),
 
     // X2y: CAP AUDIT — the "no silent caps" rule applied to the dedup
-    // family's own candidate generation. Since round 9 ALL THREE pipelines
+    // family's own candidate generation. Since round 9 all three pipelines
     // (minhash bands via [[starEdgesOf]] for the clustering consumers,
     // prefix-filter buckets, simhash/banded-Hamming byte-bands) reduce each
     // over-cap bucket (>100 members) to a verified STAR around its
@@ -855,14 +868,16 @@ object TextQueries extends QueryPack {
     // connectivity is not. This query makes the cap OBSERVABLE: per
     // pipeline, the exact number of pairable buckets, the largest bucket,
     // how many buckets exceeded the cap, the candidate pairs NOT
-    // enumerated in them (C(sz,2) − (sz−1), the star keeps sz−1), and the
-    // star edges emitted — all integers, all oracled. The minhash
-    // PAIR-LIST consumers (q_dedup_minhash, q_dedup_near, ... via
-    // [[bandPairsOf]]) still drop over-cap buckets outright — for them the
-    // star_edges column reads as "what the clustering path recovers that
-    // the pair lists don't". The fixture corpora already exercise every
-    // column: prefix template families are over-cap at sf0.01 (13 buckets)
-    // and simhash bands go over-cap at sf0.1 (28 buckets), all verified
+    // enumerated in them, and the star edges emitted — all integers, all
+    // oracled. The minhash band table is audited under BOTH of its
+    // consumers' semantics, one row each, so neither column ever means two
+    // things: `minhash` is the clustering path (star recovery — foregone
+    // = C(sz,2) − (sz−1)) and `minhash_pairs` is the pair-list path
+    // (q_dedup_minhash / q_dedup_near / ... via [[bandPairsOf]], which
+    // drops over-cap buckets outright — foregone = all C(sz,2),
+    // star_edges = 0). The fixture corpora already exercise every column:
+    // prefix template families are over-cap at sf0.01 (13 buckets) and
+    // simhash bands go over-cap at sf0.1 (28 buckets), all verified
     // exactly by the oracle; at 100 TB a hot band value shows up HERE as a
     // nonzero pairs_foregone instead of as silently-missing duplicates.
     // Cost: each pipeline's bucket table reduces to one size histogram —
@@ -874,24 +889,29 @@ object TextQueries extends QueryPack {
         sizes.filter(col("sz") >= 2).agg(
           count(lit(1)).cast("long").as("n_buckets"),
           coalesce(max(col("sz")), lit(0L)).cast("long").as("max_bucket"),
-          coalesce(sum(when(col("sz") > 100, lit(1L)).otherwise(lit(0L))), lit(0L))
+          coalesce(sum(when(col("sz") > BucketCap, lit(1L)).otherwise(lit(0L))), lit(0L))
             .cast("long").as("overcap_buckets"),
-          coalesce(sum(when(col("sz") > 100,
+          coalesce(sum(when(col("sz") > BucketCap,
             if (starRecovery) expr("(sz - 1) * (sz - 2) div 2")
             else expr("sz * (sz - 1) div 2"))
             .otherwise(lit(0L))), lit(0L)).cast("long").as("pairs_foregone"),
-          coalesce(sum(when(col("sz") > 100,
+          coalesce(sum(when(col("sz") > BucketCap,
             if (starRecovery) col("sz") - 1 else lit(0L))
             .otherwise(lit(0L))), lit(0L)).cast("long").as("star_edges"))
           .select(lit(name).as("pipeline"), col("n_buckets"), col("max_bucket"),
             col("overcap_buckets"), col("pairs_foregone"), col("star_edges"))
+      // one bucket histogram, two semantic rows — localCheckpoint so the
+      // minhash pipeline builds once, not once per row (tiny: one row per
+      // non-singleton bucket)
       val mh = bandBuckets(s, d)
         .groupBy(col("band"), col("bkey")).agg(count(lit(1)).cast("long").as("sz"))
+        .localCheckpoint()
       val pf = prefixTokensOf(s, d)
         .groupBy(col("w")).agg(count(lit(1)).cast("long").as("sz"))
       val sh = bandedOf(simhashSigs(s, d), "simhash", nBands = 2)
         .groupBy(col("band"), col("bval")).agg(count(lit(1)).cast("long").as("sz"))
       summarize("minhash", mh, starRecovery = true)
+        .unionAll(summarize("minhash_pairs", mh, starRecovery = false))
         .unionAll(summarize("prefix", pf, starRecovery = true))
         .unionAll(summarize("simhash", sh, starRecovery = true))
         .orderBy(col("pipeline"))
@@ -2566,6 +2586,13 @@ object TextQueries extends QueryPack {
          |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END), 0) AS BIGINT) AS overcap_buckets,
          |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN (sz-1)*(sz-2)//2 ELSE 0 END), 0) AS BIGINT) AS pairs_foregone,
          |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz - 1 ELSE 0 END), 0) AS BIGINT) AS star_edges
+         |FROM mhsz WHERE sz >= 2
+         |UNION ALL
+         |SELECT 'minhash_pairs', CAST(count(*) AS BIGINT),
+         |       CAST(coalesce(max(sz), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT),
+         |       CAST(0 AS BIGINT)
          |FROM mhsz WHERE sz >= 2
          |UNION ALL
          |SELECT 'prefix', CAST(count(*) AS BIGINT),

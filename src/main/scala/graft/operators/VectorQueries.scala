@@ -126,7 +126,7 @@ object VectorQueries extends QueryPack {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkt")
     val sized = banded
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bkt"))))
-      .filter(col("bsz").between(2, 100))
+      .filter(col("bsz").between(2, TextQueries.BucketCap))
     sized.select(col("band"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
       .join(
         sized.select(col("band"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("eb")),

@@ -343,7 +343,7 @@ object StreamingDaemon {
               // in the store.
               val hot = stored.groupBy(col("ekey"))
                 .agg(count(lit(1)).as("esz"))
-                .filter(col("esz") > 100).select(col("ekey"))
+                .filter(col("esz") > graft.operators.TextQueries.BucketCap).select(col("ekey"))
               // Dedup (batch doc, stored embedding) candidates ACROSS bands
               // before the cosine — up to 8 band collisions per pair must
               // pay the exact-cosine confirm once, the same groupBy+first
@@ -367,7 +367,7 @@ object StreamingDaemon {
               // exact cosine ONCE (deduped across bands first).
               val sized = bs.withColumn("bsz",
                   count(lit(1)).over(Window.partitionBy(col("ekey"))))
-                .filter(col("bsz").between(2, 100))
+                .filter(col("bsz").between(2, graft.operators.TextQueries.BucketCap))
               val vsBatch = sized.select(col("ekey"),
                   col("doc_id").as("doc_a"), col("embedding").as("ea"))
                 .join(sized.select(col("ekey"),

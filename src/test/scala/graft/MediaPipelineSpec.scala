@@ -326,6 +326,16 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(pngLumaOrNull(pngOf(4, 2, 1, pix, Seq(0), interlace = 1)) == null)
     assert(pngLumaOrNull(pngOf(4, 2, 1, pix, Seq(0), depth = 16)) == null)
     assert(pngLumaOrNull(good.dropRight(20)) == null) // truncated inside IDAT
+    // crafted 0xFFFFFFFF × 0xFFFFFFFF header: the axis product wraps Long
+    // negative and would sail past a product-only pixel cap, "decoding" to
+    // a bogus 1-byte plane — each axis must be bounded BEFORE multiplying
+    val hugeIhdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(-1).putInt(-1).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val huge = pngSig ++ pngChunk("IHDR", hugeIhdr) ++
+      pngChunk("IDAT", zlibDeflate(Array.emptyByteArray)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(pngLumaOrNull(huge) == null)
     assert(pngLumaOrNull("not a png at all, truly".getBytes("UTF-8")) == null)
     // palette color type: patch IHDR's colorType byte (offset 8+8+17=33... sig 8 + len 4 + type 4 + 9)
     val pal = good.clone(); pal(8 + 4 + 4 + 9) = 3
