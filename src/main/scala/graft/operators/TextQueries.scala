@@ -884,36 +884,42 @@ object TextQueries extends QueryPack {
     // three aggregates over already-built keys, no pair expansion
     // anywhere.
     "q_dedup_cap_audit" -> ((s, d) => {
-      def summarize(name: String, sizes: org.apache.spark.sql.DataFrame,
-          starRecovery: Boolean) =
-        sizes.filter(col("sz") >= 2).agg(
+      // Summarize a bucket-size histogram under one or BOTH cap semantics
+      // in a SINGLE aggregation pass: the star/drop variants differ only
+      // in the pairs_foregone / star_edges formulas, so both are computed
+      // as sibling aggregates on the one row and exploded into the
+      // requested rows — no second pass over the histogram, no checkpoint
+      // (the minhash pipeline builds exactly once for its two rows).
+      def summarize(sizes: org.apache.spark.sql.DataFrame,
+          rows: Seq[(String, Boolean)]) = {
+        val agg = sizes.filter(col("sz") >= 2).agg(
           count(lit(1)).cast("long").as("n_buckets"),
           coalesce(max(col("sz")), lit(0L)).cast("long").as("max_bucket"),
           coalesce(sum(when(col("sz") > BucketCap, lit(1L)).otherwise(lit(0L))), lit(0L))
             .cast("long").as("overcap_buckets"),
-          coalesce(sum(when(col("sz") > BucketCap,
-            if (starRecovery) expr("(sz - 1) * (sz - 2) div 2")
-            else expr("sz * (sz - 1) div 2"))
-            .otherwise(lit(0L))), lit(0L)).cast("long").as("pairs_foregone"),
-          coalesce(sum(when(col("sz") > BucketCap,
-            if (starRecovery) col("sz") - 1 else lit(0L))
-            .otherwise(lit(0L))), lit(0L)).cast("long").as("star_edges"))
-          .select(lit(name).as("pipeline"), col("n_buckets"), col("max_bucket"),
-            col("overcap_buckets"), col("pairs_foregone"), col("star_edges"))
-      // one bucket histogram, two semantic rows — localCheckpoint so the
-      // minhash pipeline builds once, not once per row (tiny: one row per
-      // non-singleton bucket)
+          coalesce(sum(when(col("sz") > BucketCap, expr("(sz - 1) * (sz - 2) div 2"))
+            .otherwise(lit(0L))), lit(0L)).cast("long").as("pf_star"),
+          coalesce(sum(when(col("sz") > BucketCap, col("sz") - 1)
+            .otherwise(lit(0L))), lit(0L)).cast("long").as("se_star"),
+          coalesce(sum(when(col("sz") > BucketCap, expr("sz * (sz - 1) div 2"))
+            .otherwise(lit(0L))), lit(0L)).cast("long").as("pf_drop"))
+        agg.select(explode(array(rows.map { case (name, starRecovery) =>
+          struct(lit(name).as("pipeline"), col("n_buckets"), col("max_bucket"),
+            col("overcap_buckets"),
+            (if (starRecovery) col("pf_star") else col("pf_drop")).as("pairs_foregone"),
+            (if (starRecovery) col("se_star") else lit(0L)).as("star_edges"))
+        }: _*)).as("r"))
+          .select(col("r.*"))
+      }
       val mh = bandBuckets(s, d)
         .groupBy(col("band"), col("bkey")).agg(count(lit(1)).cast("long").as("sz"))
-        .localCheckpoint()
       val pf = prefixTokensOf(s, d)
         .groupBy(col("w")).agg(count(lit(1)).cast("long").as("sz"))
       val sh = bandedOf(simhashSigs(s, d), "simhash", nBands = 2)
         .groupBy(col("band"), col("bval")).agg(count(lit(1)).cast("long").as("sz"))
-      summarize("minhash", mh, starRecovery = true)
-        .unionAll(summarize("minhash_pairs", mh, starRecovery = false))
-        .unionAll(summarize("prefix", pf, starRecovery = true))
-        .unionAll(summarize("simhash", sh, starRecovery = true))
+      summarize(mh, Seq("minhash" -> true, "minhash_pairs" -> false))
+        .unionAll(summarize(pf, Seq("prefix" -> true)))
+        .unionAll(summarize(sh, Seq("simhash" -> true)))
         .orderBy(col("pipeline"))
     }),
 
