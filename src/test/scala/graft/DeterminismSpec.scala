@@ -18,4 +18,22 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     }
     assert(diffs.isEmpty, s"nondeterministic queries: $diffs")
   }
+
+  test("bounded-state dedup shapes are shuffle-partition-count invariant") {
+    // The round-9 rewrites lean on windows, dropDuplicates and two-branch
+    // unions — shapes where a partition-order dependence (first() over an
+    // unstable order, a tie without a total key) would pass the
+    // run-to-run check above on the SAME session config and still flake
+    // on a cluster with different parallelism. Re-run the rewritten
+    // queries on a session with a different (prime) shuffle partition
+    // count and require identical rows.
+    val s7 = spark.newSession()
+    s7.conf.set("spark.sql.shuffle.partitions", "7")
+    for (n <- Seq("q_dedup_prefix", "q_dedup_simhash_pairs", "q_dedup_minhash",
+        "q_dedup_cap_audit", "q_dedup_components")) {
+      val a = SparkEntry.queries(n)(spark, d).collect().toSeq
+      val b = SparkEntry.queries(n)(s7, d).collect().toSeq
+      assert(a == b, s"$n differs at shuffle.partitions=7")
+    }
+  }
 }
