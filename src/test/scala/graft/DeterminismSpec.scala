@@ -29,10 +29,23 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // count and require identical rows.
     val s7 = spark.newSession()
     s7.conf.set("spark.sql.shuffle.partitions", "7")
+    // q_dedup_components' chain is memoized, and Memo.key embeds the sfDir
+    // STRING plus the CONTEXT identity — which newSession() shares — so
+    // running it on `d` under s7 would be served the base session's
+    // checkpointed artifacts and never execute a single stage at 7
+    // partitions (a vacuous pass). Spell the same directory differently
+    // for the s7 leg: same files, same fingerprint, different key → the
+    // whole chain genuinely replans and runs at shuffle.partitions=7. The
+    // assert pins the mechanism so a future key normalization can't
+    // silently re-vacuate the test.
+    val d7 = d + "/."
+    assert(graft.sources.Memo.key(s7, d7, "documents") !=
+      graft.sources.Memo.key(spark, d, "documents"),
+      "d7 spelling no longer yields a distinct memo key; fix the test")
     for (n <- Seq("q_dedup_prefix", "q_dedup_simhash_pairs", "q_dedup_minhash",
         "q_dedup_cap_audit", "q_dedup_components")) {
       val a = SparkEntry.queries(n)(spark, d).collect().toSeq
-      val b = SparkEntry.queries(n)(s7, d).collect().toSeq
+      val b = SparkEntry.queries(n)(s7, d7).collect().toSeq
       assert(a == b, s"$n differs at shuffle.partitions=7")
     }
   }
