@@ -25,7 +25,17 @@ import org.apache.spark.sql.functions._
   * Cosine is scale-invariant and L2 scales uniformly under tiling, so
   * neighbor rankings are preserved while per-element vector work grows K×.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [K] [query,query,...] [rows|length|dims]
+  * A fourth axis, `hotbucket` mode: the FIRST FIVE docs each get K
+  * near-dup replicas (tail token per copy) while the rest of the corpus
+  * rides along at 1× — the DEGENERATE-bucket direction uniform row
+  * amplification can't isolate. At K=20 000 one template family's
+  * shared prefix-token / minhash-band / simhash-band buckets hold ~K
+  * members, far past every cap: exactly the single-aggregation-row
+  * blowup the bounded-state shapes (window pre-truncation, relational
+  * stars) exist to survive. Pass = bounded wall time, no OOM, cap audit
+  * reporting max_bucket ≈ K with star_edges recovered.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [K] [query,query,...] [rows|length|dims|hotbucket]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -34,7 +44,7 @@ object ScaleProbe {
     // positional-ish: mode is whichever arg says length/rows (default rows);
     // the query list is whichever arg starts with "q_" — so a run can skip
     // the list without shell-quoting an empty placeholder
-    val mode = args.find(Set("length", "rows", "dims")).getOrElse("rows")
+    val mode = args.find(Set("length", "rows", "dims", "hotbucket")).getOrElse("rows")
     val out = java.nio.file.Files.createTempDirectory("scaleprobe").toString
     val spark = Sessions.tuned("local[32]", "32")
     spark.sparkContext.setLogLevel("WARN")
@@ -53,6 +63,18 @@ object ScaleProbe {
           col("lang"), col("source"))
           .withColumn("n_chars", length(col("text")).cast("long"))
       else if (mode == "dims") docs // vector axis only
+      else if (mode == "hotbucket")
+        // Five template families of K near-dup replicas each (rep 0 keeps
+        // the original text so the original ids stay present), rest of the
+        // corpus unamplified: a targeted degenerate-bucket stress rather
+        // than uniform growth.
+        docs.filter(col("doc_id") < 5).crossJoin(reps)
+          .select(
+            (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+            when(col("rep") === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .unionByName(docs.filter(col("doc_id") >= 5))
       else docs.crossJoin(reps)
         .select(
           (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
@@ -74,7 +96,7 @@ object ScaleProbe {
       if (mode == "dims")
         Tables.embeddings(spark, sf).select(col("vec_id"),
           flatten(array_repeat(col("embedding"), k)).as("embedding"), col("label"))
-      else if (mode == "length") Tables.embeddings(spark, sf)
+      else if (mode != "rows") Tables.embeddings(spark, sf) // length/hotbucket: text axis only
       else Tables.embeddings(spark, sf).crossJoin(reps)
         .select((col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
           col("embedding"), col("label"))
@@ -113,9 +135,16 @@ object ScaleProbe {
       "q_text_winnow", "q_dedup_minhash", "q_dedup_near", "q_dedup_prefix",
       "q_dedup_simhash_pairs", "q_dedup_substring", "q_text_editdist",
       "q_text_bm25", "q_pack_sequences")
+    val hotbucketDefaults = Seq(
+      // every consumer of a capped/banded bucket expansion, plus the audit
+      // that prices what the caps forgo at this scale
+      "q_dedup_prefix", "q_dedup_minhash", "q_dedup_near",
+      "q_dedup_simhash_pairs", "q_dedup_components", "q_dedup_keep",
+      "q_dedup_cap_audit", "q_dedup_lsh_sweep", "q_text_editdist")
     val names = args.find(_.startsWith("q_")).map(_.split(",").toSeq)
       .getOrElse(if (mode == "length") lengthDefaults
       else if (mode == "dims") dimsDefaults
+      else if (mode == "hotbucket") hotbucketDefaults
       else Seq(
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_near",
       "q_dedup_components", "q_dedup_keep", "q_dedup_prefix",
