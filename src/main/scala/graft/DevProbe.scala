@@ -67,6 +67,20 @@ object DevProbe {
       pairAgg(sh)
     }
 
+    // time mode: repeated interleaved timing of named registry queries on
+    // `d` — args(1)=time, args(2)=comma-separated names, args(3)=reps.
+    // Long-running reps give jstack something to sample.
+    if (args.lift(1).contains("time")) {
+      val qs = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq("q_dedup_lsh_sweep"))
+      val reps = args.lift(3).map(_.toInt).getOrElse(5)
+      for (rep <- 1 to reps; name <- qs) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, d).count()
+        println(f"[probe] $name%-28s rep$rep rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
+
     // editdist A/B: naive full-DP vs adaptive banded DP, same memoized
     // candidate edges, 3 reps each interleaved (run with args(1)=editdist).
     if (args.lift(1).contains("editdist")) {
