@@ -57,16 +57,19 @@ object PpmDecode {
   }
 
   /** Luminance plane of a payload that parses as ANY supported raster
-    * format — P6 PPM, 24bpp BMP, or 8/16-bit PNG incl. Adam7 ([[PngDecode]], the real
-    * Inflater + filter-reconstruction arm) — else null. The magics are
-    * mutually exclusive, so probe order is cosmetic. Callable from
-    * generated code (static forwarder).
+    * format — P6 PPM, 24bpp BMP, 8/16-bit PNG incl. Adam7 ([[PngDecode]], the real
+    * Inflater + filter-reconstruction arm), or lossless WebP
+    * ([[Vp8lDecode]], the hand-rolled VP8L bitstream arm) — else null. The
+    * magics are mutually exclusive, so probe order is cosmetic. Callable
+    * from generated code (static forwarder).
     */
   def lumaOrNull(p: Array[Byte]): Array[Byte] = {
     val ppm = ppmLumaOrNull(p)
     if (ppm != null) return ppm
     val bmp = bmpLumaOrNull(p)
-    if (bmp != null) bmp else PngDecode.pngLumaOrNull(p)
+    if (bmp != null) return bmp
+    val png = PngDecode.pngLumaOrNull(p)
+    if (png != null) png else Vp8lDecode.webpLumaOrNull(p)
   }
 
   /** The luminance plane of a binary P6 PPM payload (row-major, one byte per

@@ -401,29 +401,31 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(feats(0) == pix.slice(0, 5).map(_ & 0xff).sum / 5.0f)
   }
 
-  test("decodeArm provenance: 'exact' for PPM/PNG, 'imageio' for JPEG, 'stub' for WebP magic and plain text") {
-    // Round-9 pin for the permanent WebP boundary: the arm label must be
-    // the REAL decode outcome, so a WebP payload (valid RIFF container, no
-    // JVM codec) and a non-image payload both read 'stub' — the provenance
-    // q_multimodal_features carries so stub features are never mistaken
-    // for pixels downstream.
+  test("decodeArm provenance: 'exact' for PPM/PNG/VP8L, 'imageio' for JPEG, 'stub' for lossy WebP and plain text") {
+    // The arm label must be the REAL decode outcome: LOSSLESS WebP (VP8L,
+    // hand-decoded since round 9) reads 'exact'; LOSSY WebP (VP8 — the
+    // remaining no-JVM-codec boundary) and a non-image payload both read
+    // 'stub' — the provenance q_multimodal_features carries so stub
+    // features are never mistaken for pixels downstream.
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val ppm = "P6\n2 1\n255\n".getBytes("UTF-8") ++ Array[Byte](1, 2, 3, 40, 50, 60)
     val png = pngOf(2, 2, 1, Array[Byte](1, 2, 3, 4), filters = Seq(0, 0))
     val jpeg = graft.multimodal.ImageIoDecode.encodeGrayJpeg(
       Array.tabulate(64)(i => (i * 4).toByte), width = 8)
-    val webp = "RIFF".getBytes("UTF-8") ++ leU32(20) ++
+    val webpLossy = "RIFF".getBytes("UTF-8") ++ leU32(20) ++
       "WEBPVP8 ".getBytes("UTF-8") ++ Array.fill[Byte](12)(0)
+    val webpLossless = Vp8lTestEncoder.encode(
+      Array(0xff102030, 0xff405060, 0xff708090, 0xffa0b0c0), 2, 2, Vp8lTestEncoder.Cfg())
     val text = "plain utf8 text payload".getBytes("UTF-8")
     val truncatedPng = png.take(png.length / 2)
-    val got = Seq((1L, ppm), (2L, png), (3L, jpeg), (4L, webp), (5L, text),
-        (6L, truncatedPng))
+    val got = Seq((1L, ppm), (2L, png), (3L, jpeg), (4L, webpLossy), (5L, text),
+        (6L, truncatedPng), (7L, webpLossless))
       .toDF("id", "payload")
       .select(col("id"), MediaPipeline.decodeArm(col("payload")).as("arm"))
       .orderBy(col("id")).as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "exact"), (2L, "exact"), (3L, "imageio"),
-      (4L, "stub"), (5L, "stub"), (6L, "stub")), got.toString)
+      (4L, "stub"), (5L, "stub"), (6L, "stub"), (7L, "exact")), got.toString)
   }
 
   test("sampleFrames slices every k-th fixed-size frame") {
