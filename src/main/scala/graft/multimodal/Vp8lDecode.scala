@@ -15,8 +15,10 @@ package graft.multimodal
   * Supported: the full VP8L still-image stream — simple (1-2 symbol) and
   * code-length-coded prefix codes, meta prefix groups, color cache (1-11
   * bits), LZ77 with the 120-entry 2D distance map, and all four transforms
-  * (predictor with its 14 modes, cross-color, subtract-green, and
-  * color-indexing with sub-byte pixel bundling). Bounds, determinism-first
+  * (predictor with its 14 modes plus libwebp's 14/15→black table padding,
+  * cross-color, subtract-green, and color-indexing with sub-byte pixel
+  * bundling) — in both the plain RIFF layout and the VP8X extended
+  * container (metadata chunks walked past). Bounds, determinism-first
   * like every exact arm: at most 2^24 pixels; color-indexing combined with
   * predictor / cross-color transforms is rejected (no real encoder emits
   * the combination, and the spec leaves the interleaving of packed widths
@@ -24,15 +26,16 @@ package graft.multimodal
   * out-of-subset stream returns null and the caller falls through to the
   * opaque-bytes path — never a wrong pixel, never a throw.
   *
-  * Residual risk, stated plainly: with no reference codec in the
-  * environment the decoder cannot be differential-tested against real
-  * encoder output. The prefix/LZ77/transform machinery is round-trip
-  * property-tested against an independent test-side encoder (Vp8lSpec),
-  * and the 120-entry distance map is GENERATED from the spec's rule
-  * (neighborhood (x ∈ [-7,8], y ∈ [0,7]) sorted by x²+y², then |x|, then
-  * sign) with its head pinned against the published table — a tie-break
-  * error beyond the pinned prefix would misplace backward references for
-  * streams using those exact codes.
+  * Correctness evidence, two independent sources: (1) round-trip property
+  * tests against a test-side encoder (Vp8lSpec) plus a hand-verified
+  * byte-exact golden; (2) DIFFERENTIAL decode against libwebp 7.1.5
+  * (`dev/vp8l_diff.py`: images of every shape encoded with
+  * `WebPEncodeLosslessRGBA`, decoded here, compared pixel-exact against
+  * `WebPDecodeRGBA` — this caught a DEFLATE-style code-length-order
+  * constant the symmetric round-trip tests could not see). The 120-entry
+  * distance map is GENERATED from the spec's rule (neighborhood
+  * (x ∈ [-7,8], y ∈ [0,7]) sorted by x²+y², then |x|, then sign), head-
+  * pinned in the spec and byte-identical to libwebp's kCodeToPlane table.
   *
   * Luminance matches [[PpmDecode]]/[[PngDecode]] exactly: integer Rec.601
   * truncating division `(299*R + 587*G + 114*B) / 1000`; alpha ignored.
@@ -63,11 +66,14 @@ object Vp8lDecode {
     }
   }
 
-  /** Canonical prefix code: either a zero-bit singleton or a (len,code) →
-    * symbol table (deflate-style canonical assignment: codes ordered by
-    * (length, symbol), first-read bit most significant).
+  /** Canonical prefix code: either a zero-bit singleton or the flat
+    * per-length `(firstCode, firstIdx, count)` arrays of the canonical
+    * assignment (codes ordered by (length, symbol), first-read bit most
+    * significant) — decode is two int-array reads per bit, no allocation
+    * and no boxing in the per-pixel hot path.
     */
-  private final class Prefix(val singleton: Int, val table: java.util.HashMap[Integer, Integer], val maxLen: Int) {
+  private final class Prefix(val singleton: Int, count: Array[Int], firstCode: Array[Int],
+      firstIdx: Array[Int], symbols: Array[Int], val maxLen: Int) {
     def decode(br: Br): Int = {
       if (singleton >= 0) return singleton
       var code = 0
@@ -76,8 +82,8 @@ object Vp8lDecode {
         code = (code << 1) | br.bits(1)
         len += 1
         if (!br.ok) return -1
-        val s = table.get(Integer.valueOf((len << 16) | code))
-        if (s != null) return s.intValue()
+        val off = code - firstCode(len)
+        if (off >= 0 && off < count(len)) return symbols(firstIdx(len) + off)
       }
       -1
     }
@@ -96,7 +102,7 @@ object Vp8lDecode {
       i += 1
     }
     if (used == 0 || maxLen > 15) return null
-    if (used == 1) return new Prefix(only, null, 0)
+    if (used == 1) return new Prefix(only, null, null, null, null, 0)
     // Kraft sum must be exactly 1 for an unambiguous complete code.
     var kraft = 0L
     i = 0
@@ -105,27 +111,38 @@ object Vp8lDecode {
       i += 1
     }
     if (kraft != (1L << 15)) return null
-    val blCount = new Array[Int](maxLen + 1)
+    val count = new Array[Int](maxLen + 1)
     i = 0
-    while (i < lengths.length) { if (lengths(i) > 0) blCount(lengths(i)) += 1; i += 1 }
-    val nextCode = new Array[Int](maxLen + 1)
+    while (i < lengths.length) { if (lengths(i) > 0) count(lengths(i)) += 1; i += 1 }
+    val firstCode = new Array[Int](maxLen + 1)
+    val firstIdx = new Array[Int](maxLen + 1)
     var code = 0
+    var idx = 0
     var l = 1
-    while (l <= maxLen) { code = (code + blCount(l - 1)) << 1; nextCode(l) = code; l += 1 }
-    val t = new java.util.HashMap[Integer, Integer]()
+    while (l <= maxLen) {
+      code = (code + count(l - 1)) << 1
+      firstCode(l) = code
+      firstIdx(l) = idx
+      idx += count(l)
+      l += 1
+    }
+    val symbols = new Array[Int](used)
+    val fill = firstIdx.clone()
     i = 0
     while (i < lengths.length) {
       val len = lengths(i)
-      if (len > 0) {
-        t.put(Integer.valueOf((len << 16) | nextCode(len)), Integer.valueOf(i))
-        nextCode(len) += 1
-      }
+      if (len > 0) { symbols(fill(len)) = i; fill(len) += 1 }
       i += 1
     }
-    new Prefix(-1, t, maxLen)
+    new Prefix(-1, count, firstCode, firstIdx, symbols, maxLen)
   }
 
-  private val ClOrder = Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+  // VP8L's code-length-code order puts symbol 16 at position 8 (NOT last,
+  // as DEFLATE does) — verified against libwebp 7.1.5 by differential
+  // decode (dev/vp8l_diff.py): with the DEFLATE-style order 40/48 real
+  // encoder streams were rejected; with this one, 48/48 decode
+  // byte-identically.
+  private val ClOrder = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
   /** One prefix code from the stream (spec §3.5.2): 1-2 symbol "simple"
     * form or the code-length-coded canonical form with 16/17/18 repeats.
@@ -143,8 +160,7 @@ object Vp8lDecode {
         lengths(s0) = 1; lengths(s1) = 1
       } else lengths(s0) = 1 // canonical() turns the lone symbol into a zero-bit code
     } else {
-      val numCl = br.bits(4) + 4
-      if (numCl > ClOrder.length) return null
+      val numCl = br.bits(4) + 4 // 4..19 by construction — covers ClOrder exactly
       val clLens = new Array[Int](19)
       var i = 0
       while (i < numCl) { clLens(ClOrder(i)) = br.bits(3); i += 1 }
@@ -156,6 +172,7 @@ object Vp8lDecode {
           val lnb = 2 + 2 * br.bits(3)
           2 + br.bits(lnb)
         } else alphabetSize
+      if (maxSymbol > alphabetSize) return null // libwebp rejects a declared overrun
       var symbol = 0
       var prev = 8
       while (symbol < alphabetSize && maxSymbol > 0) {
@@ -222,8 +239,9 @@ object Vp8lDecode {
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
     val nPix = w * h
 
-    val cacheBits = if (br.bits(1) == 1) br.bits(4) else 0
-    if (!br.ok || cacheBits > 11) return null
+    val hasCache = br.bits(1) == 1
+    val cacheBits = if (hasCache) br.bits(4) else 0
+    if (!br.ok || (hasCache && (cacheBits < 1 || cacheBits > 11))) return null
     val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
     val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
 
@@ -243,8 +261,7 @@ object Vp8lDecode {
         if (g > m) m = g
         i += 1
       }
-      numGroups = m + 1
-      if (numGroups > (1 << 16)) return null // spec bound: 16-bit group ids
+      numGroups = m + 1 // bounded by the 16-bit (red<<8|green) group id
     }
     if (!br.ok) return null
 
@@ -395,7 +412,7 @@ object Vp8lDecode {
     (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
   }
 
-  private def inversePredictor(argb: Array[Int], w: Int, h: Int, bits: Int, tiles: Array[Int]): Boolean = {
+  private def inversePredictor(argb: Array[Int], w: Int, h: Int, bits: Int, tiles: Array[Int]): Unit = {
     val tw = divCeil(w, 1 << bits)
     def add(res: Int, pred: Int): Int = {
       val a = (((res >>> 24) + (pred >>> 24)) & 0xff) << 24
@@ -414,14 +431,17 @@ object Vp8lDecode {
           else if (y == 0) argb(pos - 1)     // top row: L
           else if (x == 0) argb(pos - w)     // left column: T
           else {
-            val mode = (tiles((y >> bits) * tw + (x >> bits)) >> 8) & 0xff
-            if (mode > 13) return false
+            // libwebp masks the green byte to 4 bits and pads table slots
+            // 14/15 with Predictor0 (black) — mirror that, don't reject.
+            val mode0 = (tiles((y >> bits) * tw + (x >> bits)) >> 8) & 0xf
+            val mode = if (mode0 > 13) 0 else mode0
             val l = argb(pos - 1)
             val t = argb(pos - w)
             val tl = argb(pos - w - 1)
-            // TR of the rightmost column is the current row's first pixel
-            // (the spec's contiguous-buffer addressing).
-            val tr = if (x == w - 1) argb(y * w) else argb(pos - w + 1)
+            // pos-w+1 is the contiguous-buffer TR; at x == w-1 it lands on
+            // the current row's first (already reconstructed) pixel —
+            // exactly the spec's addressing, no special case needed.
+            val tr = argb(pos - w + 1)
             mode match {
               case 0  => 0xff000000
               case 1  => l
@@ -444,7 +464,6 @@ object Vp8lDecode {
       }
       y += 1
     }
-    true
   }
 
   private final case class Transform(ttype: Int, bits: Int, data: Array[Int])
@@ -456,10 +475,23 @@ object Vp8lDecode {
   private[graft] def argbOrNull(p: Array[Byte]): (Int, Int, Array[Int]) = {
     if (p == null || p.length < 26) return null
     if (p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
-      p(8) != 'W' || p(9) != 'E' || p(10) != 'B' || p(11) != 'P' ||
-      p(12) != 'V' || p(13) != 'P' || p(14) != '8' || p(15) != 'L') return null
-    if ((p(20) & 0xff) != 0x2f) return null
-    val br = new Br(p, 21)
+      p(8) != 'W' || p(9) != 'E' || p(10) != 'B' || p(11) != 'P') return null
+    // Walk the RIFF chunks for the VP8L payload: plain lossless files have
+    // it at offset 12; files saved with ICC/EXIF/XMP metadata wrap it in a
+    // VP8X extended container with the VP8L chunk further in. A file with
+    // only a lossy "VP8 " chunk walks off the end and returns null.
+    var off = 12L
+    var vp8lOff = -1L
+    while (vp8lOff < 0 && off + 8 <= p.length) {
+      val o = off.toInt
+      val size = (p(o + 4) & 0xffL) | ((p(o + 5) & 0xffL) << 8) |
+        ((p(o + 6) & 0xffL) << 16) | ((p(o + 7) & 0xffL) << 24)
+      if (p(o) == 'V' && p(o + 1) == 'P' && p(o + 2) == '8' && p(o + 3) == 'L') vp8lOff = off + 8
+      else off += 8 + size + (size & 1)
+    }
+    if (vp8lOff < 0 || vp8lOff + 5 > p.length) return null
+    if ((p(vp8lOff.toInt) & 0xff) != 0x2f) return null
+    val br = new Br(p, vp8lOff.toInt + 1)
     val w0 = br.bits(14) + 1
     val h = br.bits(14) + 1
     br.bits(1) // alpha-is-used hint
@@ -518,7 +550,7 @@ object Vp8lDecode {
     // reversed by the prepending above).
     for (tr <- transforms) tr.ttype match {
       case 0 =>
-        if (!inversePredictor(argb, w0, h, tr.bits, tr.data)) return null
+        inversePredictor(argb, w0, h, tr.bits, tr.data)
       case 1 =>
         inverseColor(argb, w0, h, tr.bits, tr.data)
       case 2 =>

@@ -711,13 +711,14 @@ object VectorQueries extends QueryPack {
     // an explicit PROVENANCE column: `arm` records which decode path would
     // produce this row's features — 'exact' (PPM/BMP/PNG, bit-exact pure-JVM
     // decode), 'imageio' (JPEG/GIF/TIFF via the JDK codecs), or 'stub'
-    // (no JVM codec exists — WebP/MP4 — or the payload is not an image at
-    // all). The decision is the REAL decode outcome (the same
-    // ppmLuma/codecLuma probes lumaOrRaw coalesces), not a magic-byte
+    // (no JVM codec exists — lossy WebP (VP8) / MP4 — or the payload is
+    // not an image at all). The decision is the REAL decode outcome (the
+    // same ppmLuma/codecLuma probes lumaOrRaw coalesces), not a magic-byte
     // guess, so fake features can never be mistaken for pixels downstream;
-    // WebP is a documented PERMANENT stub boundary (no pure-JVM VP8/VP8L
-    // decoder; see MediaPipeline's scaladoc), and MediaPipelineSpec pins
-    // each arm label on crafted payloads including a WebP header. The
+    // LOSSLESS WebP decodes for real since round 9 (Vp8lDecode, in the
+    // 'exact' arm), leaving lossy VP8/MP4 as the stub boundary (see
+    // MediaPipeline's scaladoc), and MediaPipelineSpec pins each arm label
+    // on crafted payloads including lossy and lossless WebP headers. The
     // fixture corpus is text-only, so every row here reads 'stub' — which
     // is exactly the honest answer, and what the oracle mirrors.
     "q_multimodal_features" -> ((s, d) => {
@@ -1347,8 +1348,8 @@ object VectorQueries extends QueryPack {
     // `arm` is constant-'stub' HERE because the fixture payloads are text
     // bytes — no decoder can accept them, and the oracle states that fact
     // rather than re-deriving it (DuckDB has no JVM decoders to ask). The
-    // non-constant behavior — 'exact' for PPM/BMP/PNG, 'imageio' for
-    // JPEG/GIF/TIFF, 'stub' for WebP magic — is pinned in
+    // non-constant behavior — 'exact' for PPM/BMP/PNG/lossless-WebP,
+    // 'imageio' for JPEG/GIF/TIFF, 'stub' for lossy-WebP magic — is pinned in
     // MediaPipelineSpec on crafted payloads; if the Spark side ever
     // labeled a text payload anything but 'stub', this oracle's hash
     // comparison fails.

@@ -71,7 +71,8 @@ object Vp8lTestEncoder {
     }.toMap
   }
 
-  private val ClOrder = Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+  // Must match the decoder's (spec) order: symbol 16 sits at position 8.
+  private val ClOrder = Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
   /** One prefix code: simple form when possible, else the code-length-coded
     * complex form. Returns the per-symbol writer. `zeroRuns` compresses
@@ -594,6 +595,28 @@ class Vp8lSpec extends AnyFunSuite {
       val got = decodeArgb(encode(img, w, h, cfg), w, h)
       assert(got.toSeq == img.toSeq, s"trial $trial ${w}x$h cfg=$cfg")
     }
+  }
+
+  test("VP8X extended container: the chunk walk finds VP8L behind metadata chunks") {
+    // Files saved with ICC/EXIF/XMP metadata wrap the VP8L chunk in a VP8X
+    // container — build one by hand: VP8X header chunk, a dummy EXIF chunk
+    // (odd-sized, exercising the pad byte), then the VP8L chunk from a
+    // plain encode.
+    val img = Array(0xff112233, 0xff445566, 0xff778899, 0xffaabbcc)
+    val plain = encode(img, 2, 2, Cfg())
+    val vp8lChunk = plain.drop(12) // "VP8L" + size + payload (+pad)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val vp8x = "VP8X".getBytes ++ le32(10) ++ Array[Byte](2, 0, 0, 0) ++ // flags: EXIF
+      Array[Byte](1, 0, 0) ++ Array[Byte](1, 0, 0) // canvas w-1, h-1 (24-bit LE)
+    val exif = "EXIF".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // odd size + pad
+    val body = "WEBP".getBytes ++ vp8x ++ exif ++ vp8lChunk
+    val bytes = "RIFF".getBytes ++ le32(body.length) ++ body
+    assert(decodeArgb(bytes, 2, 2).toSeq == img.toSeq)
+    // and a container with ONLY a lossy chunk still walks off and rejects
+    val lossyOnly = "RIFF".getBytes ++ le32(16) ++ "WEBP".getBytes ++
+      "VP8 ".getBytes ++ le32(4) ++ Array[Byte](0, 0, 0, 0)
+    assert(Vp8lDecode.webpLumaOrNull(lossyOnly) == null)
   }
 
   test("luma plane matches the shared Rec.601 integer formula") {
