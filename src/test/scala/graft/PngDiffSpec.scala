@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.PngDecode
+
+/** Differential test of [[PngDecode]] against an INDEPENDENT encoder: the
+  * JDK's own PNG writer (javax.imageio) — real zlib streams and
+  * encoder-chosen row filters, none of it shared with the hand-crafted
+  * `pngOf` fixtures in MediaPipelineSpec. The reference plane is the pixel
+  * array we wrote into the BufferedImage (not ImageIO's reader, whose gray
+  * paths gamma-convert), so agreement means the inflate + filter
+  * reconstruction matches a real encoder's output exactly. The round-9
+  * VP8L lesson ([[Vp8lDecode]]): symmetric round-trip tests cannot catch a
+  * convention shared between a test encoder and the decoder.
+  */
+class PngDiffSpec extends AnyFunSuite {
+
+  private def pngBytes(bi: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", baos), "JDK PNG writer refused the image")
+    baos.toByteArray
+  }
+
+  private def rec601(r: Int, g: Int, b: Int): Byte =
+    ((299 * r + 587 * g + 114 * b) / 1000).toByte
+
+  test("RGB and ARGB images: PngDecode matches the source pixels through the JDK encoder") {
+    val rnd = new scala.util.Random(61)
+    for (trial <- 0 until 12;
+        imgType <- Seq(java.awt.image.BufferedImage.TYPE_INT_RGB,
+          java.awt.image.BufferedImage.TYPE_INT_ARGB)) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val bi = new java.awt.image.BufferedImage(w, h, imgType)
+      val want = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = rnd.nextInt(256); val g = rnd.nextInt(256); val b = rnd.nextInt(256)
+        bi.setRGB(x, y, 0xff000000 | (r << 16) | (g << 8) | b)
+        want(y * w + x) = rec601(r, g, b)
+      }
+      val got = PngDecode.pngLumaOrNull(pngBytes(bi))
+      assert(got != null, s"trial $trial type=$imgType ${w}x$h: rejected")
+      assert(got.toSeq == want.toSeq, s"trial $trial type=$imgType ${w}x$h")
+    }
+  }
+
+  test("8-bit gray images: gray samples pass through untouched") {
+    val rnd = new scala.util.Random(67)
+    for (trial <- 0 until 12) {
+      val w = 1 + rnd.nextInt(60)
+      val h = 1 + rnd.nextInt(60)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = bi.getRaster
+      val want = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = rnd.nextInt(256)
+        raster.setSample(x, y, 0, v) // raw sample write — no colorspace conversion
+        want(y * w + x) = v.toByte
+      }
+      val got = PngDecode.pngLumaOrNull(pngBytes(bi))
+      assert(got != null, s"trial $trial ${w}x$h: rejected")
+      assert(got.toSeq == want.toSeq, s"trial $trial ${w}x$h")
+    }
+  }
+
+  test("16-bit gray images: high byte kept, network order") {
+    val rnd = new scala.util.Random(71)
+    for (trial <- 0 until 6) {
+      val w = 1 + rnd.nextInt(30)
+      val h = 1 + rnd.nextInt(30)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+      val raster = bi.getRaster
+      val want = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = rnd.nextInt(65536)
+        raster.setSample(x, y, 0, v)
+        want(y * w + x) = (v >> 8).toByte
+      }
+      val got = PngDecode.pngLumaOrNull(pngBytes(bi))
+      assert(got != null, s"trial $trial ${w}x$h: rejected")
+      assert(got.toSeq == want.toSeq, s"trial $trial ${w}x$h")
+    }
+  }
+
+  test("smooth gradients push the JDK encoder into non-trivial row filters") {
+    // Random noise compresses best with filter None; gradients make the
+    // adaptive chooser emit Sub/Up/Average/Paeth rows — the reconstruction
+    // paths a real crawl thumbnail actually exercises.
+    for ((w, h) <- Seq((64, 64), (97, 31), (128, 5))) {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val want = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (x * 255) / math.max(w - 1, 1)
+        val g = (y * 255) / math.max(h - 1, 1)
+        val b = ((x + y) * 255) / math.max(w + h - 2, 1)
+        bi.setRGB(x, y, 0xff000000 | (r << 16) | (g << 8) | b)
+        want(y * w + x) = rec601(r, g, b)
+      }
+      val got = PngDecode.pngLumaOrNull(pngBytes(bi))
+      assert(got != null, s"${w}x$h: rejected")
+      assert(got.toSeq == want.toSeq, s"${w}x$h")
+    }
+  }
+}
