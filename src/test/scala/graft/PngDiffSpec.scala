@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.PngDecode
 
-/** Differential test of [[PngDecode]] against an INDEPENDENT encoder: the
+/** Differential test of [[PngDecode]] (and the BMP arm) against an INDEPENDENT encoder: the
   * JDK's own PNG writer (javax.imageio) — real zlib streams and
   * encoder-chosen row filters, none of it shared with the hand-crafted
   * `pngOf` fixtures in MediaPipelineSpec. The reference plane is the pixel
@@ -79,6 +79,29 @@ class PngDiffSpec extends AnyFunSuite {
         want(y * w + x) = (v >> 8).toByte
       }
       val got = PngDecode.pngLumaOrNull(pngBytes(bi))
+      assert(got != null, s"trial $trial ${w}x$h: rejected")
+      assert(got.toSeq == want.toSeq, s"trial $trial ${w}x$h")
+    }
+  }
+
+  test("BMP arm: PpmDecode.bmpLumaOrNull matches source pixels through the JDK BMP writer") {
+    // Same independent-encoder idea for the 24bpp BMP parser (incl. its
+    // 4-byte row padding and bottom-up row order assumptions).
+    val rnd = new scala.util.Random(73)
+    for (trial <- 0 until 8) {
+      val w = 1 + rnd.nextInt(40) // odd widths exercise the row padding
+      val h = 1 + rnd.nextInt(40)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val want = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = rnd.nextInt(256); val g = rnd.nextInt(256); val b = rnd.nextInt(256)
+        bi.setRGB(x, y, 0xff000000 | (r << 16) | (g << 8) | b)
+        want(y * w + x) = rec601(r, g, b)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "bmp", baos), "JDK BMP writer refused")
+      val got = graft.multimodal.PpmDecode.bmpLumaOrNull(baos.toByteArray)
       assert(got != null, s"trial $trial ${w}x$h: rejected")
       assert(got.toSeq == want.toSeq, s"trial $trial ${w}x$h")
     }
