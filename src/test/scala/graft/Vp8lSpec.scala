@@ -631,6 +631,26 @@ class Vp8lSpec extends AnyFunSuite {
     assert(luma.toSeq == want.toSeq)
   }
 
+  test("real libwebp-encoded fixtures decode to libwebp's own luma plane") {
+    // Four streams produced by the REAL encoder (WebPEncodeLosslessRGBA,
+    // libwebp 7.1.5) with its own transform/entropy choices — palette,
+    // gradient (predictor/cross-color), a 220x140 mix that gets meta
+    // prefix groups, and a photo-like random walk. The .luma reference
+    // beside each .webp is libwebp's decode through the shared Rec.601
+    // integer formula, so this pins real-encoder compatibility inside
+    // `sbt test` (dev/vp8l_diff.py is the wider, generative version).
+    for (name <- Seq("palette", "gradient", "metamix", "photowalk")) {
+      def res(ext: String): Array[Byte] = {
+        val in = getClass.getResourceAsStream(s"/vp8l/$name.$ext")
+        assert(in != null, s"missing resource $name.$ext")
+        try in.readAllBytes() finally in.close()
+      }
+      val got = Vp8lDecode.webpLumaOrNull(res("webp"))
+      assert(got != null, s"$name: rejected")
+      assert(got.toSeq == res("luma").toSeq, s"$name: luma mismatch")
+    }
+  }
+
   test("rejects: lossy VP8, truncated, wrong signature, garbage — null, never a throw") {
     val good = encode(Array(0xff123456), 1, 1, Cfg())
     val lossy = good.clone(); lossy(15) = ' ' // "VP8 " (lossy chunk tag)
