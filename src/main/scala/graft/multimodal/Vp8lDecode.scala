@@ -107,57 +107,69 @@ object Vp8lDecode {
     */
   private final class Prefix(val singleton: Int, count: Array[Int], firstCode: Array[Int],
       firstIdx: Array[Int], symbols: Array[Int], val maxLen: Int) {
-    /** Root LUT over the next 8 STREAM bits (LSB-first lookahead): entry =
-      * (symbol << 4) | codeLen for codes of length ≤ 8, -1 → slow walk
-      * (codes 9..15 bits, rare symbols by construction). The stream serves
-      * a canonical code MSB-first, so a code c of length l occupies the
-      * lookahead's low l bits BIT-REVERSED, with all 2^(8-l) high fillers.
+    /** Root LUT over the next `rootBits` STREAM bits (LSB-first
+      * lookahead): entry = (symbol << 4) | codeLen for codes of length
+      * ≤ rootBits, -1 → slow walk (codes 9..15 bits, rare symbols by
+      * construction). The stream serves a canonical code MSB-first, so a
+      * code c of length l occupies the lookahead's low l bits
+      * BIT-REVERSED, with all 2^(rootBits-l) high fillers.
+      *
+      * Built LAZILY on first decode and sized 2^min(maxLen,8): an
+      * adversarial stream declaring 65536 meta groups of throwaway codes
+      * retains nothing for groups never selected by a tile, and a
+      * shallow code's table is a few entries, so retained LUT memory is
+      * proportional to codes the pixel loop actually exercises. Trivial
+      * 1-bit codes skip the table entirely.
       */
-    private val lut: Array[Int] =
-      if (singleton >= 0) null
-      else {
-        val t = Array.fill(256)(-1)
-        var len = 1
-        while (len <= math.min(maxLen, 8)) {
-          var off = 0
-          while (off < count(len)) {
-            val code = firstCode(len) + off
-            var rev = 0
-            var b = 0
-            while (b < len) { rev |= ((code >> b) & 1) << (len - 1 - b); b += 1 }
-            val entry = (symbols(firstIdx(len) + off) << 4) | len
-            var filler = 0
-            while (filler < (1 << (8 - len))) {
-              t(rev | (filler << len)) = entry
-              filler += 1
-            }
-            off += 1
-          }
-          len += 1
-        }
-        t
-      }
+    private val rootBits = math.min(maxLen, 8)
+    private var lut: Array[Int] = null
+    private val lutSkip = singleton >= 0 || (symbols != null && symbols.length <= 2)
     def decode(br: Br): Int = {
       if (singleton >= 0) return singleton
-      val e = lut(br.peek8())
-      if (e >= 0) {
-        br.consume(e & 0xf)
-        if (!br.ok) return -1
-        return e >> 4
+      if (!lutSkip) {
+        if (lut == null) buildLut()
+        val e = lut(br.peek8() & ((1 << rootBits) - 1))
+        if (e >= 0) {
+          br.consume(e & 0xf)
+          if (!br.ok) return -1
+          return e >> 4
+        }
       }
-      // slow path: codes longer than the 8-bit root
+      // slow path: no LUT (1-bit codes) or codes longer than the root
       var code = 0
       var len = 0
       while (len < maxLen) {
         code = (code << 1) | br.bit()
         len += 1
         if (!br.ok) return -1
-        if (len > 8) {
+        if (lutSkip || len > rootBits) {
           val off = code - firstCode(len)
           if (off >= 0 && off < count(len)) return symbols(firstIdx(len) + off)
         }
       }
       -1
+    }
+    private def buildLut(): Unit = {
+      val t = Array.fill(1 << rootBits)(-1)
+      var len = 1
+      while (len <= rootBits) {
+        var off = 0
+        while (off < count(len)) {
+          val code = firstCode(len) + off
+          var rev = 0
+          var b = 0
+          while (b < len) { rev |= ((code >> b) & 1) << (len - 1 - b); b += 1 }
+          val entry = (symbols(firstIdx(len) + off) << 4) | len
+          var filler = 0
+          while (filler < (1 << (rootBits - len))) {
+            t(rev | (filler << len)) = entry
+            filler += 1
+          }
+          off += 1
+        }
+        len += 1
+      }
+      lut = t
     }
   }
 

@@ -32,10 +32,14 @@ class PngDiffSpec extends AnyFunSuite {
       val w = 1 + rnd.nextInt(40)
       val h = 1 + rnd.nextInt(40)
       val bi = new java.awt.image.BufferedImage(w, h, imgType)
+      val hasAlpha = imgType == java.awt.image.BufferedImage.TYPE_INT_ARGB
       val want = new Array[Byte](w * h)
       for (y <- 0 until h; x <- 0 until w) {
         val r = rnd.nextInt(256); val g = rnd.nextInt(256); val b = rnd.nextInt(256)
-        bi.setRGB(x, y, 0xff000000 | (r << 16) | (g << 8) | b)
+        // random alpha on the ARGB trials pins the ignore-alpha convention
+        // (alpha=255 would let a premultiply/composite regression pass)
+        val a = if (hasAlpha) rnd.nextInt(256) else 0xff
+        bi.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
         want(y * w + x) = rec601(r, g, b)
       }
       val got = PngDecode.pngLumaOrNull(pngBytes(bi))
