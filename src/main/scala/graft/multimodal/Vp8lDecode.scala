@@ -47,9 +47,9 @@ object Vp8lDecode {
   /** LSB-first bit reader over the VP8L payload, buffered 64 bits at a
     * time with an un-consuming 8-bit lookahead for the prefix LUT.
     * Measured on a 1 Mpx random-walk image: naive per-bit indexing
-    * 12 Mpx/s → buffered 14 → buffered+LUT 34 (the walk, not the reader,
-    * was the bottleneck). Reads past the end flip `ok` and return 0 —
-    * every caller checks `ok` before trusting output.
+    * 12 Mpx/s → buffered 14 → buffered + lazy LUT ~31 (the walk, not the
+    * reader, was the bottleneck). Reads past the end flip `ok` and return
+    * 0 — every caller checks `ok` before trusting output.
     */
   private final class Br(p: Array[Byte], startByte: Int) {
     private var bytePos = startByte
