@@ -651,7 +651,13 @@ object Vp8lDecode {
           while (xf < w0) {
             val packed = argb(y * w + xf / perByte)
             val idx = (((packed >> 8) & 0xff) >> ((xf % perByte) * bpp)) & mask
-            out(y * w0 + xf) = if (idx < pal.length) pal(idx) else 0
+            // Out-of-range index → reject the stream (round 10): every other
+            // malformation path returns null, and real encoders never emit
+            // indices >= palette length, so keeping the never-a-wrong-pixel
+            // invariant uniform costs nothing in acceptance — previously this
+            // one case decoded to pixel 0, bytes libwebp would not produce.
+            if (idx >= pal.length) return null
+            out(y * w0 + xf) = pal(idx)
             xf += 1
           }
           y += 1

@@ -325,8 +325,11 @@ object TextQueries extends QueryPack {
     * byte bucket is boilerplate and is dropped, never expanded
     * quadratically), in-bucket pair expansion without a self-join, exact
     * `bit_count(xor)` on candidates only, `distinct` because several bands
-    * can surface the same pair, top-100 closest under a total order. A
-    * banding/cap/tie-break fix lands in every consumer at once.
+    * can surface the same pair. Returns the FULL bounded pair set (what a
+    * production dedup pass consumes); report-shaped consumers apply their
+    * own top-n via [[closestPairs]] (round 10 — the cap is a query-layer
+    * choice, not baked into the shared helper). A banding/cap/tie-break
+    * fix lands in every consumer at once.
     */
   /** The 8-bit byte-banding of a long signature column — one row per
     * (doc, band) with the band's byte value; shared by the pairing pass and
@@ -388,9 +391,17 @@ object TextQueries extends QueryPack {
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-      .limit(100)
   }
+
+  /** Top-n closest pairs under the total order (hamming, doc_a, doc_b) —
+    * the REPORT shape the four perceptual-dedup queries share. Round 10:
+    * lifted out of [[bandedHammingPairs]] so the shared helper returns the
+    * FULL (capped-per-bucket) pair set a production dedup pass consumes,
+    * and each query applies its own report cap at the query layer.
+    */
+  private[graft] def closestPairs(pairs: org.apache.spark.sql.DataFrame,
+      n: Int = 100): org.apache.spark.sql.DataFrame =
+    pairs.orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(n)
 
   /** n-bit SimHash signature per doc (token-hash bit votes): bit j's vote
     * comes from bit j of rollingHash(w) for j < 30 and bit j−30 of
@@ -1213,7 +1224,8 @@ object TextQueries extends QueryPack {
     }),
 
     "q_dedup_simhash_pairs" -> ((s, d) =>
-      bandedHammingPairs(simhashSigs(s, d), "simhash", nBands = 2, maxHamming = 3)),
+      closestPairs(
+        bandedHammingPairs(simhashSigs(s, d), "simhash", nBands = 2, maxHamming = 3))),
 
     // X2h: PARAGRAPH-level dedup — boilerplate passages that doc-level sha2
     // misses: split each doc into non-overlapping 10-token chunks (the

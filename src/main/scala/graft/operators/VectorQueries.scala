@@ -776,12 +776,12 @@ object VectorQueries extends QueryPack {
       val payload = concat(
         encode(concat(lit("P6\n4 "), hRows.cast("string"), lit("\n255\n")), "utf-8"),
         bin.substr(lit(1), hRows * lit(12)))
-      TextQueries.bandedHammingPairs(
+      TextQueries.closestPairs(TextQueries.bandedHammingPairs(
         Tables.documents(s, d).select(
           col("doc_id"),
           graft.multimodal.MediaPipeline.phash(
             graft.multimodal.MediaPipeline.lumaOrRaw(payload)).as("phash")),
-        "phash", nBands = 4, maxHamming = 3)
+        "phash", nBands = 4, maxHamming = 3))
     }),
 
     // X5c-png: the same perceptual-dedup chain through the COMPRESSED-format
@@ -826,11 +826,11 @@ object VectorQueries extends QueryPack {
         lit("0000000D"), ihdrFull, crcHex(ihdrFull),
         hexBe32(rawLen + lit(11)), idatFull, crcHex(idatFull),
         lit("0000000049454E44AE426082")))
-      TextQueries.bandedHammingPairs(
+      TextQueries.closestPairs(TextQueries.bandedHammingPairs(
         base.select(col("doc_id"),
           graft.multimodal.MediaPipeline.phash(
             graft.multimodal.MediaPipeline.lumaOrRaw(payload)).as("phash")),
-        "phash", nBands = 4, maxHamming = 3)
+        "phash", nBands = 4, maxHamming = 3))
     }),
 
     // X5d: FRAME-level perceptual dedup — the video near-dup shape: two
@@ -855,7 +855,8 @@ object VectorQueries extends QueryPack {
         // identities — and the oracle — at real video sizes.
         .select((shiftleft(col("id"), 32) + col("frame_idx")).as("doc_id"),
           graft.multimodal.MediaPipeline.phash(col("frame")).as("phash"))
-      TextQueries.bandedHammingPairs(sigs, "phash", nBands = 4, maxHamming = 1)
+      TextQueries.closestPairs(
+          TextQueries.bandedHammingPairs(sigs, "phash", nBands = 4, maxHamming = 1))
         .select(col("doc_a").as("frame_a"), col("doc_b").as("frame_b"), col("hamming"))
     }),
 
