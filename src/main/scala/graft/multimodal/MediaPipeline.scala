@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   *
   * Decode has three arms, all real. Bit-exact: [[PpmDecode]] parses binary
   * PPM (P6) and 24bpp BMP, [[PngDecode]] inflates and filter-reconstructs
-  * 8/16-bit PNG incl. Adam7 (pure JVM: java.util.zip.Inflater + Paeth et
+  * 8/16-bit and palette (1/2/4/8-bit PLTE, round 11) PNG incl. Adam7
+  * (pure JVM: java.util.zip.Inflater + Paeth et
   * al.), and [[Vp8lDecode]] hand-decodes LOSSLESS WebP (VP8L: canonical
   * prefix codes + pixel LZ77 + color cache + all four transforms,
   * round-trip property-tested). JDK-codec: [[ImageIoDecode]] routes
@@ -170,7 +171,8 @@ object MediaPipeline {
     * otherwise (lossy WebP / MP4 — the documented no-JVM-codec boundary — or any
     * non-image payload). The decision is the REAL decode outcome (the same
     * probes [[lumaOrRaw]] coalesces), not a magic-byte guess: a truncated
-    * PNG or a palette-subset reject labels 'stub', exactly matching
+    * PNG or an out-of-range-palette-index reject labels 'stub', exactly
+    * matching
     * which bytes actually feed downstream features. Shared by
     * q_multimodal_features and MediaPipelineSpec so the label can never
     * drift from the decode routing.

@@ -9,15 +9,25 @@ package graft.multimodal
   * dedup chain and the format stays invisible downstream.
   *
   * Accepted subset (determinism-first, like the PPM/BMP arms): bit depth 8
-  * or 16, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
-  * interlace 0 (none) or 1 (Adam7 — round 9: the seven passes are
-  * unfiltered independently, each against its own pass neighbors per the
-  * spec, and scattered to (xs + px·dx, ys + py·dy)), at most 2^24 pixels
-  * and 2^26 raw sample bytes (the byte cap only bites 16-bit inputs — the
-  * 8-bit acceptance set is unchanged). 16-bit samples reduce to their HIGH
-  * byte (network order, v >> 8 — pure integer, both engines reproduce it).
-  * Only palette PNGs (color type 3, needs PLTE handling) remain out of
-  * subset. IDAT chunks concatenate in order; every other chunk is skipped.
+  * or 16 for color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA);
+  * bit depth 1, 2, 4 or 8 for color type 3 (palette — round 11: PLTE
+  * lookup, sub-byte indices unpacked MSB-first per spec §7.2, the row's
+  * trailing pad bits ignored); interlace 0 (none) or 1 (Adam7 — round 9:
+  * the seven passes are unfiltered independently, each against its own
+  * pass neighbors per the spec, and scattered to (xs + px·dx, ys + py·dy)),
+  * at most 2^24 pixels and 2^26 raw sample bytes (the byte cap only bites
+  * 16-bit inputs — the 8-bit acceptance set is unchanged). 16-bit samples
+  * reduce to their HIGH byte (network order, v >> 8 — pure integer, both
+  * engines reproduce it). IDAT chunks concatenate in order; every other
+  * chunk is skipped (tRNS included — alpha is ignored for luminance).
+  *
+  * Palette strictness: PLTE must be well-formed (len % 3 == 0, 1..256
+  * entries, before IDAT, exactly one) and every decoded index must be in
+  * range, else the whole payload is rejected — the never-a-wrong-pixel
+  * invariant shared with [[Vp8lDecode]]. (libpng errors on out-of-range
+  * indices too; some decoders zero-fill instead — a differential against
+  * such a decoder would see accept-vs-reject mismatches on malformed
+  * streams only, which is expected and intentional.)
   *
   * Leniency, stated plainly: chunk CRC32s and the zlib Adler-32 trailer are
   * NOT verified (the stream is raw-inflated after a manual 2-byte zlib
@@ -61,6 +71,8 @@ object PngDecode {
     while (i < Sig.length) { if (p(i) != Sig(i)) return null; i += 1 }
 
     var w = 0; var h = 0; var channels = 0; var sampleBytes = 0
+    var isPalette = false; var depth = 0
+    var palette: Array[Byte] = null
     var passes: Array[(Int, Int, Int, Int)] = null
     var sawIhdr = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -83,24 +95,35 @@ object PngDecode {
         if (wL < 1 || hL < 1 || wL > MaxPixels || hL > MaxPixels ||
           wL * hL > MaxPixels) return null
         w = wL.toInt; h = hL.toInt
-        val depth = p(dataOff + 8) & 0xff
+        depth = p(dataOff + 8) & 0xff
         val colorType = p(dataOff + 9) & 0xff
         val compression = p(dataOff + 10) & 0xff
         val filterMethod = p(dataOff + 11) & 0xff
         val interlace = p(dataOff + 12) & 0xff
-        if ((depth != 8 && depth != 16) || compression != 0 || filterMethod != 0)
-          return null
-        sampleBytes = depth / 8
+        if (compression != 0 || filterMethod != 0) return null
+        isPalette = colorType == 3
+        if (isPalette) {
+          if (depth != 1 && depth != 2 && depth != 4 && depth != 8) return null
+          channels = 1; sampleBytes = 1 // one index byte per pixel once unpacked
+        } else {
+          if (depth != 8 && depth != 16) return null
+          sampleBytes = depth / 8
+          channels = colorType match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+            case _ => return null
+          }
+        }
         passes = interlace match {
           case 0 => NoInterlace
           case 1 => Adam7
           case _ => return null
         }
-        channels = colorType match {
-          case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-          case _ => return null // palette (3) needs PLTE handling — out of subset
-        }
         if (wL * hL * channels * sampleBytes > MaxSampleBytes) return null
+      } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
+        // PLTE: 1..256 RGB triples, exactly one, before any IDAT (spec §11.2.3).
+        if (!sawIhdr || palette != null || idat.size() > 0 ||
+          len == 0 || len % 3 != 0 || len > 768) return null
+        palette = java.util.Arrays.copyOfRange(p, dataOff, dataOff + len.toInt)
       } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
         if (!sawIhdr) return null
         idat.write(p, dataOff, len.toInt)
@@ -111,12 +134,19 @@ object PngDecode {
       if (!done && off > p.length) return null
     }
     if (!sawIhdr) return null
+    if (isPalette && palette == null) return null
     val z = idat.toByteArray
     // zlib wrapper: CM=deflate, no preset dictionary, header checksum valid.
     if (z.length < 3 || (z(0) & 0x0f) != 8 || (z(1) & 0x20) != 0 ||
       (((z(0) & 0xff) << 8) | (z(1) & 0xff)) % 31 != 0) return null
 
-    val bpp = channels * sampleBytes // filter unit: BYTES per pixel (spec §9)
+    val bpp = channels * sampleBytes // per-pixel bytes in the UNPACKED plane
+    // Filter unit (spec §9): bytes per pixel rounded UP to one — sub-byte
+    // palette rows filter on packed bytes with a 1-byte lookback.
+    val fbpp = if (isPalette) 1 else bpp
+    // Scanline bytes for a pw-pixel pass row (packed for sub-byte palette).
+    def rowBytes(pw: Int): Int =
+      if (isPalette) (pw * depth + 7) / 8 else pw * bpp
     // pass dimensions + total inflated size (one filter byte per pass row;
     // empty passes contribute no scanlines at all)
     def passDims(pass: (Int, Int, Int, Int)): (Int, Int) = {
@@ -128,7 +158,7 @@ object PngDecode {
     var expectedL = 0L
     for (pass <- passes) {
       val (pw, ph) = passDims(pass)
-      if (pw > 0 && ph > 0) expectedL += ph.toLong * (1L + pw.toLong * bpp)
+      if (pw > 0 && ph > 0) expectedL += ph.toLong * (1L + rowBytes(pw).toLong)
     }
     if (expectedL > Int.MaxValue) return null // unreachable under the byte cap
     val expected = expectedL.toInt
@@ -156,13 +186,15 @@ object PngDecode {
       val (xs, ys, dx, dy) = pass
       val (pw, ph) = passDims(pass)
       if (pw > 0 && ph > 0) {
-        val stride = pw * bpp
+        val stride = rowBytes(pw)
         // The non-interlaced single pass has exactly pix's layout:
         // reconstruct straight into it — no second plane, no scatter — so
         // the dominant hot path keeps the pre-Adam7 cost. Interlaced
-        // passes reconstruct into a pass-local plane first (the filters
+        // passes (and sub-byte palette rows, which need bit-unpacking)
+        // reconstruct into a pass-local plane first (the filters
         // reference PASS neighbors, not image neighbors).
-        val direct = dx == 1 && dy == 1 && xs == 0 && ys == 0
+        val direct = dx == 1 && dy == 1 && xs == 0 && ys == 0 &&
+          (!isPalette || depth == 8)
         val sub = if (direct) pix else new Array[Byte](ph * stride)
         var row = 0
         while (row < ph) {
@@ -173,9 +205,9 @@ object PngDecode {
           var x = 0
           while (x < stride) {
             val f = raw(src + x) & 0xff
-            val a = if (x >= bpp) sub(dst + x - bpp) & 0xff else 0
+            val a = if (x >= fbpp) sub(dst + x - fbpp) & 0xff else 0
             val b = if (row > 0) sub(dst - stride + x) & 0xff else 0
-            val c = if (row > 0 && x >= bpp) sub(dst - stride + x - bpp) & 0xff else 0
+            val c = if (row > 0 && x >= fbpp) sub(dst - stride + x - fbpp) & 0xff else 0
             val recon = ft match {
               case 0 => f
               case 1 => f + a
@@ -193,23 +225,68 @@ object PngDecode {
         }
         rawOff += ph * (1 + stride)
         if (!direct) {
-          var py = 0
-          while (py < ph) {
-            if (dx == 1) // contiguous pass row (Adam7 pass 7): one copy
-              System.arraycopy(sub, py * stride, pix,
-                ((ys + py * dy) * w + xs) * bpp, stride)
-            else {
+          if (isPalette && depth < 8) {
+            // Unpack MSB-first sub-byte indices (spec §7.2; trailing pad
+            // bits in each packed row are ignored) and scatter one index
+            // byte per pixel.
+            val mask = (1 << depth) - 1
+            var py = 0
+            while (py < ph) {
+              val rowBase = py * stride
               var px = 0
               while (px < pw) {
-                System.arraycopy(sub, (py * pw + px) * bpp, pix,
-                  ((ys + py * dy) * w + (xs + px * dx)) * bpp, bpp)
+                val bitPos = px * depth
+                val shift = 8 - depth - (bitPos & 7)
+                val idxv = ((sub(rowBase + (bitPos >> 3)) & 0xff) >> shift) & mask
+                pix((ys + py * dy) * w + (xs + px * dx)) = idxv.toByte
                 px += 1
               }
+              py += 1
             }
-            py += 1
+          } else {
+            var py = 0
+            while (py < ph) {
+              if (dx == 1) // contiguous pass row (Adam7 pass 7): one copy
+                System.arraycopy(sub, py * stride, pix,
+                  ((ys + py * dy) * w + xs) * bpp, stride)
+              else {
+                var px = 0
+                while (px < pw) {
+                  System.arraycopy(sub, (py * pw + px) * bpp, pix,
+                    ((ys + py * dy) * w + (xs + px * dx)) * bpp, bpp)
+                  px += 1
+                }
+              }
+              py += 1
+            }
           }
         }
       }
+    }
+
+    // Palette: indices → PLTE RGB → the same integer Rec.601. A 256-entry
+    // LUT makes the per-pixel step one load; any index at-or-past the
+    // palette end rejects the payload (see the scaladoc's strictness note).
+    if (isPalette) {
+      val n = palette.length / 3
+      val lut = new Array[Byte](256)
+      var j = 0
+      while (j < n) {
+        val r = palette(3 * j) & 0xff
+        val g = palette(3 * j + 1) & 0xff
+        val b = palette(3 * j + 2) & 0xff
+        lut(j) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+        j += 1
+      }
+      val out = new Array[Byte](w * h)
+      var k = 0
+      while (k < out.length) {
+        val idx = pix(k) & 0xff
+        if (idx >= n) return null
+        out(k) = lut(idx)
+        k += 1
+      }
+      return out
     }
 
     // Luminance: same integer Rec.601 as PpmDecode; gray passes through;

@@ -57,7 +57,8 @@ object PpmDecode {
   }
 
   /** Luminance plane of a payload that parses as ANY supported raster
-    * format — P6 PPM, 24bpp BMP, 8/16-bit PNG incl. Adam7 ([[PngDecode]], the real
+    * format — P6 PPM, 24bpp BMP, 8/16-bit or palette PNG incl. Adam7
+    * ([[PngDecode]], the real
     * Inflater + filter-reconstruction arm), or lossless WebP
     * ([[Vp8lDecode]], the hand-rolled VP8L bitstream arm) — else null. The
     * magics are mutually exclusive, so probe order is cosmetic. Callable

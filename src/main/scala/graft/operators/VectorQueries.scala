@@ -718,18 +718,54 @@ object VectorQueries extends QueryPack {
     // LOSSLESS WebP decodes for real since round 9 (Vp8lDecode, in the
     // 'exact' arm), leaving lossy VP8/MP4 as the stub boundary (see
     // MediaPipeline's scaladoc), and MediaPipelineSpec pins each arm label
-    // on crafted payloads including lossy and lossless WebP headers. The
-    // fixture corpus is text-only, so every row here reads 'stub' — which
-    // is exactly the honest answer, and what the oracle mirrors.
+    // on crafted payloads including lossy and lossless WebP headers.
+    // Round 11: every 7th document's bytes are wrapped into a genuine
+    // PALETTE PNG (color type 3, depth 8, 4-wide — the q_dedup_phash_png
+    // chunk construction plus a 256-entry identity-gray PLTE, so the
+    // decoded plane is exactly the index bytes) — those rows read 'exact'
+    // THROUGH the real PLTE decode path ([[graft.multimodal.PngDecode]],
+    // palette support since round 11), while the untouched text rows keep
+    // the honest 'stub'. The oracle asserts the split, so a palette-decode
+    // regression (arm falling back to 'stub') hash-mismatches immediately.
     "q_multimodal_features" -> ((s, d) => {
+      val bin = encode(col("text"), "utf-8")
+      val h = least(length(bin) / lit(4), lit(128)).cast("int")
+      val rawLen = col("h") * lit(5) // per row: 1 filter byte + 4 indices
+      def hexByte(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def hexBe32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      def crcHex(bodyHex: org.apache.spark.sql.Column) = hexBe32(crc32(unhex(bodyHex)))
+      val scan = expr(
+        "array_join(transform(sequence(0, h-1), r -> concat('00', substr(hx, r*8+1, 8))), '')")
+      val zlibHex = concat(lit("780101"),
+        hexByte(rawLen.bitwiseAND(lit(255))), hexByte(shiftright(rawLen, 8)),
+        hexByte((lit(65535) - rawLen).bitwiseAND(lit(255))),
+        hexByte(shiftright(lit(65535) - rawLen, 8)),
+        scan, lit("00000000"))
+      // IHDR: w=4, h, depth 8, color type 3 (palette), no interlace
+      val ihdrFull = concat(lit("49484452"),
+        lit("00000004"), hexBe32(col("h")), lit("0803000000"))
+      // PLTE: identity gray ramp — entry i = (i,i,i), so Rec.601 luma of
+      // index i is exactly i and the decoded plane equals the text bytes
+      val plteFull = lit("504C5445" +
+        (0 until 256).map(i => f"$i%02X" * 3).mkString)
+      val idatFull = concat(lit("49444154"), zlibHex)
+      val palettePng = unhex(concat(
+        lit("89504E470D0A1A0A"),
+        lit("0000000D"), ihdrFull, crcHex(ihdrFull),
+        lit("00000300"), plteFull, crcHex(plteFull),
+        hexBe32(rawLen + lit(11)), idatFull, crcHex(idatFull),
+        lit("0000000049454E44AE426082")))
+      val wrapped = pmod(col("doc_id"), lit(7)) === 0
       Tables.documents(s, d)
-        .withColumn("bin", encode(col("text"), "utf-8"))
+        .withColumn("hx", hex(bin)).withColumn("h", h)
+        .withColumn("payload", when(wrapped, palettePng).otherwise(bin))
         .select(
           col("doc_id"),
-          length(col("bin")).cast("long").as("n_bytes"),
-          substring(hex(col("bin")), 1, 8).as("header8"),
-          concat(lit("text/plain;lang="), col("lang")).as("mime"),
-          graft.multimodal.MediaPipeline.decodeArm(col("bin")).as("arm"))
+          length(col("payload")).cast("long").as("n_bytes"),
+          substring(hex(col("payload")), 1, 8).as("header8"),
+          when(wrapped, lit("image/png"))
+            .otherwise(concat(lit("text/plain;lang="), col("lang"))).as("mime"),
+          graft.multimodal.MediaPipeline.decodeArm(col("payload")).as("arm"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1354,11 +1390,21 @@ object VectorQueries extends QueryPack {
     // MediaPipelineSpec on crafted payloads; if the Spark side ever
     // labeled a text payload anything but 'stub', this oracle's hash
     // comparison fails.
+    // Round 11: rows with doc_id % 7 = 0 carry a crafted palette PNG whose
+    // size/header/arm the oracle derives arithmetically (848 fixed chunk
+    // bytes + 5 per scanline row; see the query comment) — 'exact' is a
+    // REAL claim: if PngDecode's PLTE path rejected the payload, the Spark
+    // side would emit 'stub' and the hash comparison would fail.
     "q_multimodal_features" ->
-      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
-        |       substr(hex(CAST(text AS BLOB)), 1, 8) AS header8,
-        |       'text/plain;lang=' || lang AS mime,
-        |       'stub' AS arm
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 0
+        |            THEN 848 + 5 * LEAST(octet_length(CAST(text AS BLOB)) // 4, 128)
+        |            ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes,
+        |       CASE WHEN doc_id % 7 = 0 THEN '89504E47'
+        |            ELSE substr(hex(CAST(text AS BLOB)), 1, 8) END AS header8,
+        |       CASE WHEN doc_id % 7 = 0 THEN 'image/png'
+        |            ELSE 'text/plain;lang=' || lang END AS mime,
+        |       CASE WHEN doc_id % 7 = 0 THEN 'exact' ELSE 'stub' END AS arm
         |FROM documents ORDER BY doc_id""".stripMargin,
     // ASCII-fixture assumption (load-bearing): Spark slices the payload in
     // UTF-8 BYTES (MediaPipeline.sampleFrames over encode(text,'utf-8'))

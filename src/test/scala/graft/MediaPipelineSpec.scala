@@ -280,6 +280,41 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
 
   private def rec601(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
 
+  /** Valid color-type-3 (palette) PNG of `idx` (row-major palette indices),
+    * packed `depth` bits per index MSB-first (spec §7.2, rows padded to a
+    * byte boundary), each row filtered with `filters(row % n)` (filter unit
+    * = 1 byte for packed rows), optionally Adam7-interlaced. `plte` = flat
+    * RGB triples. `plteAfterIdat` mis-orders the chunks for reject tests.
+    */
+  private def pngPalette(w: Int, h: Int, depth: Int, idx: Array[Byte],
+      plte: Array[Byte], filters: Seq[Int], interlace: Int = 0,
+      plteAfterIdat: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val passes = if (interlace == 1) adam7 else Seq((0, 0, 1, 1))
+    for ((xs, ys, dx, dy) <- passes) {
+      val pw = if (w > xs) (w - xs + dx - 1) / dx else 0
+      val ph = if (h > ys) (h - ys + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val stride = (pw * depth + 7) / 8
+        val packed = new Array[Byte](ph * stride)
+        for (py <- 0 until ph; px <- 0 until pw) {
+          val v = idx((ys + py * dy) * w + (xs + px * dx)) & ((1 << depth) - 1)
+          val bit = px * depth
+          packed(py * stride + (bit >> 3)) = (packed(py * stride + (bit >> 3)) |
+            (v << (8 - depth - (bit & 7)))).toByte
+        }
+        filterRows(packed, ph, stride, 1, row => filters(row % filters.length), out)
+      }
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(depth.toByte).put(3.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+    val plteChunk = pngChunk("PLTE", plte)
+    val idatChunk = pngChunk("IDAT", zlibDeflate(out.toByteArray))
+    val mid = if (plteAfterIdat) idatChunk ++ plteChunk else plteChunk ++ idatChunk
+    pngSig ++ pngChunk("IHDR", ihdr) ++ mid ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
   test("PngDecode: grayscale with every filter type reconstructs the exact plane") {
     // 4×5 deterministic pseudo-random grayscale; rows cycle through all five
     // filters, so Sub/Up/Average/Paeth reconstruction is each exercised.
@@ -337,9 +372,51 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
       pngChunk("IEND", Array.emptyByteArray)
     assert(pngLumaOrNull(huge) == null)
     assert(pngLumaOrNull("not a png at all, truly".getBytes("UTF-8")) == null)
-    // palette color type: patch IHDR's colorType byte (offset 8+8+17=33... sig 8 + len 4 + type 4 + 9)
+    // palette color type WITHOUT a PLTE chunk: patch IHDR's colorType byte
+    // (sig 8 + len 4 + type 4 + 9). The stream layout matches (1 index byte
+    // = 1 gray byte) so the reject is the missing-PLTE gate, not a length
+    // mismatch — palette PNGs themselves decode since round 11.
     val pal = good.clone(); pal(8 + 4 + 4 + 9) = 3
     assert(pngLumaOrNull(pal) == null)
+  }
+
+  test("PngDecode palette: PLTE lookup, sub-byte packing, Adam7, and strict rejects") {
+    import graft.multimodal.PngDecode.pngLumaOrNull
+    // 17-entry palette (non-multiple-of-4 size, ≠ a full 2^depth table)
+    val plte = Array.tabulate(17 * 3) { i =>
+      (i % 3 match { case 0 => 40 + i; case 1 => 200 - i; case _ => 3 * i }).toByte
+    }
+    def lumaOf(i: Int) =
+      rec601(plte(3 * i) & 0xff, plte(3 * i + 1) & 0xff, plte(3 * i + 2) & 0xff).toByte
+    // depth 8, every filter type exercised on packed index rows
+    val idx8 = Array.tabulate(5 * 5)(k => (k % 17).toByte)
+    val via8 = pngLumaOrNull(pngPalette(5, 5, 8, idx8, plte, Seq(0, 1, 2, 3, 4)))
+    assert(via8 != null)
+    assert(via8.toSeq == idx8.map(i => lumaOf(i & 0xff)).toSeq)
+    // depth 4 with an odd width: every row carries pad bits
+    val idx4 = Array.tabulate(7 * 4)(k => (k % 16).toByte)
+    val via4 = pngLumaOrNull(pngPalette(7, 4, 4, idx4, plte, Seq(0, 1, 2)))
+    assert(via4 != null)
+    assert(via4.toSeq == idx4.map(i => lumaOf(i & 0xff)).toSeq)
+    // depth 2 Adam7: interlacing and packing compose; matches the plain plane
+    val idx2 = Array.tabulate(9 * 10)(k => (k % 4).toByte)
+    val plain2 = pngLumaOrNull(pngPalette(9, 10, 2, idx2, plte, Seq(0)))
+    val inter2 = pngLumaOrNull(pngPalette(9, 10, 2, idx2, plte, Seq(1, 2), interlace = 1))
+    assert(plain2 != null && inter2 != null)
+    assert(inter2.toSeq == plain2.toSeq)
+    assert(plain2.toSeq == idx2.map(i => lumaOf(i & 0xff)).toSeq)
+    // strict rejects: out-of-range index (17 with a 17-entry palette),
+    // PLTE after IDAT, non-triple PLTE length, oversize PLTE, 16-bit depth
+    val bad = idx8.clone(); bad(7) = 17
+    assert(pngLumaOrNull(pngPalette(5, 5, 8, bad, plte, Seq(0))) == null)
+    assert(pngLumaOrNull(
+      pngPalette(5, 5, 8, idx8, plte, Seq(0), plteAfterIdat = true)) == null)
+    assert(pngLumaOrNull(pngPalette(5, 5, 8, idx8, plte.dropRight(1), Seq(0))) == null)
+    assert(pngLumaOrNull(
+      pngPalette(5, 5, 8, idx8, new Array[Byte](257 * 3), Seq(0))) == null)
+    val d16 = pngPalette(5, 5, 8, idx8, plte, Seq(0))
+    d16(8 + 4 + 4 + 8) = 16 // IHDR depth byte
+    assert(pngLumaOrNull(d16) == null)
   }
 
   test("PngDecode: Adam7 interlaced planes reconstruct exactly — format and interlacing invisible") {

@@ -88,6 +88,59 @@ class PngDiffSpec extends AnyFunSuite {
     }
   }
 
+  test("palette images (TYPE_BYTE_INDEXED, depth 8): PLTE lookup matches stored colors") {
+    // The JDK writer emits a real color-type-3 PNG (PLTE + index plane) for
+    // indexed images. The reference plane is getRGB AFTER the write — the
+    // palette color actually stored for each pixel — so agreement means the
+    // PLTE parse + index lookup match the encoder's own mapping.
+    val rnd = new scala.util.Random(79)
+    for (trial <- 0 until 8) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      val want = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        bi.setRGB(x, y, 0xff000000 | rnd.nextInt(1 << 24))
+        val stored = bi.getRGB(x, y) // nearest palette color, post-quantization
+        want(y * w + x) =
+          rec601((stored >> 16) & 0xff, (stored >> 8) & 0xff, stored & 0xff)
+      }
+      val got = PngDecode.pngLumaOrNull(pngBytes(bi))
+      assert(got != null, s"trial $trial ${w}x$h: rejected")
+      assert(got.toSeq == want.toSeq, s"trial $trial ${w}x$h")
+    }
+  }
+
+  test("sub-byte palette images (depths 1/2/4): MSB-first unpacking and row pad bits") {
+    // TYPE_BYTE_BINARY with an n-color IndexColorModel makes the JDK writer
+    // emit 1/2/4-bit palette PNGs — packed indices, trailing pad bits in
+    // every row whose width doesn't fill the last byte. Odd widths are
+    // deliberate: they exercise the pad-bit handling.
+    val rnd = new scala.util.Random(83)
+    for (bits <- Seq(1, 2, 4); trial <- 0 until 6) {
+      val n = 1 << bits
+      val rs = Array.fill(n)(rnd.nextInt(256).toByte)
+      val gs = Array.fill(n)(rnd.nextInt(256).toByte)
+      val bs = Array.fill(n)(rnd.nextInt(256).toByte)
+      val icm = new java.awt.image.IndexColorModel(bits, n, rs, gs, bs)
+      val w = 1 + rnd.nextInt(41)
+      val h = 1 + rnd.nextInt(30)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+      val raster = bi.getRaster
+      val want = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = rnd.nextInt(n)
+        raster.setSample(x, y, 0, idx) // raw index write — no quantization
+        want(y * w + x) = rec601(rs(idx) & 0xff, gs(idx) & 0xff, bs(idx) & 0xff)
+      }
+      val got = PngDecode.pngLumaOrNull(pngBytes(bi))
+      assert(got != null, s"bits=$bits trial $trial ${w}x$h: rejected")
+      assert(got.toSeq == want.toSeq, s"bits=$bits trial $trial ${w}x$h")
+    }
+  }
+
   test("BMP arm: PpmDecode.bmpLumaOrNull matches source pixels through the JDK BMP writer") {
     // Same independent-encoder idea for the 24bpp BMP parser (incl. its
     // 4-byte row padding and bottom-up row order assumptions).
