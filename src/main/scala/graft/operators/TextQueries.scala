@@ -150,10 +150,11 @@ object TextQueries extends QueryPack {
     * Oversized-bucket guard (standard LSH practice): a bucket shared by
     * >100 docs is boilerplate, and expanding it would reintroduce the n²
     * blowup LSH exists to avoid; singleton buckets can't produce pairs. The
-    * cap also bounds the HOF expansion at C(100,2) pairs per bucket, and a
-    * row_number pre-truncation inside [[bandPairsOf]] bounds the collect
-    * state itself at 101 ids per bucket. Connectivity-only consumers read
-    * [[starEdgesOf]] instead, which has no cap at all (stars are O(sz)).
+    * cap bounds the HOF expansion at C(100,2) pairs per bucket; over-cap
+    * buckets star-recover around their minimum member (round 11 — see
+    * [[bandPairsOf]]) instead of dropping. Connectivity-only consumers
+    * read [[starEdgesOf]] instead, which has no cap at all (stars are
+    * O(sz)).
     */
   private def bandPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     bandPairsOf(bandBuckets(s, d))
@@ -185,30 +186,47 @@ object TextQueries extends QueryPack {
 
   /** [[bandPairs]] over an arbitrary bucket set — the incremental
     * clustering path pairs the corpus and the new snapshot separately.
+    *
+    * Two-phase, bounded-state expansion (round 11: the
+    * [[bandedHammingPairs]] shape, replacing the round-9 truncate-and-drop
+    * form so the pair path keeps the verified-star semantics the prefix
+    * and Hamming paths already have): each bucket row is first marked with
+    * its bucket's minimum doc_id and size via ONE window pass (spillable
+    * sort — never a collect buffer), then
+    *   · buckets of 2..100 members take the all-pairs collect path — the
+    *     collect buffer is bounded at 100 ids by the sz filter BEFORE the
+    *     aggregation, not after it;
+    *   · over-cap buckets (hot template families at real scale) emit a
+    *     STAR around the bucket minimum RELATIONALLY — one output row per
+    *     member row, no membership list ever materialized — so their
+    *     members stay candidates instead of silently vanishing from the
+    *     pair list. Every consumer verifies candidates exactly downstream
+    *     (3-gram Jaccard, signature agreement), so a star pair is a
+    *     genuine candidate; only the in-bucket clique ENUMERATION stays
+    *     capped (expanding a hot bucket is inherently quadratic), and
+    *     q_dedup_cap_audit prices exactly that difference.
+    * The marked table is localCheckpoint'ed because both phases read it —
+    * thin rows (doc_id, band, bkey string, mn, sz), sized by n·nBands.
     */
   private def bandPairsOf(buckets: org.apache.spark.sql.DataFrame) = {
-    // Pre-truncate each bucket to its first 101 members (row_number over
-    // the bucket, a spillable window sort) BEFORE anything is collected:
-    // the old collect-then-filter shape materialized a hot bucket's ENTIRE
-    // membership in one aggregation buffer row only to throw it away (a
-    // degenerate 10 M-doc bucket ≈ 80 MB in a single row). 101 is exactly
-    // enough to distinguish "over cap" (truncated list has 101 elements →
-    // dropped by the 2..100 gate below) from a full 100-member bucket —
-    // output is bit-identical to the unbounded collect, state is bounded
-    // at 101 longs per bucket. The window and the groupBy share the
-    // (band, bkey) hash partitioning, so the pre-pass adds no exchange.
-    val byBucket = Window.partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))
-    buckets
-      .withColumn("rn", row_number().over(byBucket))
-      .filter(col("rn") <= BucketCap + 1)
+    val byBucket = Window.partitionBy(col("band"), col("bkey"))
+    val marked = buckets
+      .withColumn("mn", min(col("doc_id")).over(byBucket))
+      .withColumn("sz", count(lit(1)).over(byBucket))
+      .localCheckpoint()
+    val small = marked
+      .filter(col("sz").between(2, BucketCap))
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, BucketCap))
       .select(explode(flatten(transform(col("ds"), (a, i) =>
         transform(
           slice(col("ds"), i + lit(2), size(col("ds")) - i - 1),
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
+    val star = marked
+      .filter(col("sz") > BucketCap && col("doc_id") =!= col("mn"))
+      .select(col("mn").as("doc_a"), col("doc_id").as("doc_b"))
+    small.unionAll(star)
   }
 
   /** LSH candidate edge set, computed once per (context, source fingerprint) and
@@ -881,12 +899,14 @@ object TextQueries extends QueryPack {
     // how many buckets exceeded the cap, the candidate pairs NOT
     // enumerated in them, and the star edges emitted — all integers, all
     // oracled. The minhash band table is audited under BOTH of its
-    // consumers' semantics, one row each, so neither column ever means two
-    // things: `minhash` is the clustering path (star recovery — foregone
-    // = C(sz,2) − (sz−1)) and `minhash_pairs` is the pair-list path
-    // (q_dedup_minhash / q_dedup_near / ... via [[bandPairsOf]], which
-    // drops over-cap buckets outright — foregone = all C(sz,2),
-    // star_edges = 0). The fixture corpora already exercise every column:
+    // consumers' semantics, one row each: `minhash` is the clustering
+    // path ([[starEdgesOf]]) and `minhash_pairs` the pair-list path
+    // (q_dedup_minhash / q_dedup_near / ... via [[bandPairsOf]]). Since
+    // round 11 both star-recover over-cap buckets, so the two rows report
+    // the same star formulas (foregone = C(sz,2) − (sz−1), star_edges =
+    // sz−1) — kept as separate rows because they audit separate consumers
+    // and would diverge again if either path's semantics moved. The
+    // fixture corpora already exercise every column:
     // prefix template families are over-cap at sf0.01 (13 buckets) and
     // simhash bands go over-cap at sf0.1 (28 buckets), all verified
     // exactly by the oracle; at 100 TB a hot band value shows up HERE as a
@@ -928,7 +948,7 @@ object TextQueries extends QueryPack {
         .groupBy(col("w")).agg(count(lit(1)).cast("long").as("sz"))
       val sh = bandedOf(simhashSigs(s, d), "simhash", nBands = 2)
         .groupBy(col("band"), col("bval")).agg(count(lit(1)).cast("long").as("sz"))
-      summarize(mh, Seq("minhash" -> true, "minhash_pairs" -> false))
+      summarize(mh, Seq("minhash" -> true, "minhash_pairs" -> true))
         .unionAll(summarize(pf, Seq("prefix" -> true)))
         .unionAll(summarize(sh, Seq("simhash" -> true)))
         .orderBy(col("pipeline"))
@@ -2363,11 +2383,17 @@ object TextQueries extends QueryPack {
        |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
        |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
        |          FROM mh GROUP BY 1, 2),
-       |sized AS (SELECT * FROM bands
-       |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
-       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |         FROM sized x JOIN sized y
-       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+       |st AS (SELECT doc_id, band, bkey,
+       |              min(doc_id) OVER (PARTITION BY band, bkey) AS mn,
+       |              count(*) OVER (PARTITION BY band, bkey) AS sz
+       |       FROM bands),
+       |cand AS (SELECT DISTINCT a, b FROM (
+       |           SELECT x.doc_id AS a, y.doc_id AS b
+       |           FROM st x JOIN st y
+       |             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |           WHERE x.sz BETWEEN 2 AND 100
+       |           UNION ALL
+       |           SELECT mn, doc_id FROM st WHERE sz > 100 AND doc_id <> mn))""".stripMargin
 
   /** Shared CTE chain: the clustering family's edge set → exact transitive
     * closure (`reach`), the ground truth q_dedup_components / q_dedup_keep
@@ -2406,11 +2432,17 @@ object TextQueries extends QueryPack {
          |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
          |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
          |          FROM mh GROUP BY 1, 2),
-         |sized AS (SELECT * FROM bands
-         |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM sized x JOIN sized y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |st AS (SELECT doc_id, band, bkey,
+         |              min(doc_id) OVER (PARTITION BY band, bkey) AS mn,
+         |              count(*) OVER (PARTITION BY band, bkey) AS sz
+         |       FROM bands),
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |           FROM st x JOIN st y
+         |             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |           WHERE x.sz BETWEEN 2 AND 100
+         |           UNION ALL
+         |           SELECT mn, doc_id FROM st WHERE sz > 100 AND doc_id <> mn)),
          |docs AS (SELECT doc_id,
          |                list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
          |                  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
@@ -2431,12 +2463,18 @@ object TextQueries extends QueryPack {
          |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
          |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
          |          FROM mh GROUP BY 1, 2),
-         |sized AS (SELECT * FROM bands
-         |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100)
-         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
-         |FROM sized x JOIN sized y
-         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |st AS (SELECT doc_id, band, bkey,
+         |              min(doc_id) OVER (PARTITION BY band, bkey) AS mn,
+         |              count(*) OVER (PARTITION BY band, bkey) AS sz
+         |       FROM bands),
+         |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |          FROM st x JOIN st y
+         |            ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |          WHERE x.sz BETWEEN 2 AND 100
+         |          UNION ALL
+         |          SELECT mn, doc_id FROM st WHERE sz > 100 AND doc_id <> mn)
+         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_bands
+         |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_dedup_components" ->
       s"""WITH RECURSIVE $reachCtes
          |SELECT v AS doc_id, min(u) AS cluster_id
@@ -2609,8 +2647,8 @@ object TextQueries extends QueryPack {
          |SELECT 'minhash_pairs', CAST(count(*) AS BIGINT),
          |       CAST(coalesce(max(sz), 0) AS BIGINT),
          |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END), 0) AS BIGINT),
-         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz*(sz-1)//2 ELSE 0 END), 0) AS BIGINT),
-         |       CAST(0 AS BIGINT)
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN (sz-1)*(sz-2)//2 ELSE 0 END), 0) AS BIGINT),
+         |       CAST(coalesce(sum(CASE WHEN sz > 100 THEN sz - 1 ELSE 0 END), 0) AS BIGINT)
          |FROM mhsz WHERE sz >= 2
          |UNION ALL
          |SELECT 'prefix', CAST(count(*) AS BIGINT),
@@ -2648,11 +2686,17 @@ object TextQueries extends QueryPack {
          |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
          |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
          |          FROM mh GROUP BY 1, 2),
-         |sized AS (SELECT * FROM bands
-         |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM sized x JOIN sized y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |st AS (SELECT doc_id, band, bkey,
+         |              min(doc_id) OVER (PARTITION BY band, bkey) AS mn,
+         |              count(*) OVER (PARTITION BY band, bkey) AS sz
+         |       FROM bands),
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |           FROM st x JOIN st y
+         |             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |           WHERE x.sz BETWEEN 2 AND 100
+         |           UNION ALL
+         |           SELECT mn, doc_id FROM st WHERE sz > 100 AND doc_id <> mn)),
          |ag AS (SELECT c.doc_a, c.doc_b,
          |              sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS agree8
          |       FROM cand c JOIN mh a ON a.doc_id = c.doc_a
@@ -2697,11 +2741,17 @@ object TextQueries extends QueryPack {
          |bands AS (SELECT doc_id, CAST(i // 2 AS INT) AS band,
          |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
          |          FROM mh GROUP BY 1, 2),
-         |sized AS (SELECT * FROM bands
-         |          QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM sized x JOIN sized y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |st AS (SELECT doc_id, band, bkey,
+         |              min(doc_id) OVER (PARTITION BY band, bkey) AS mn,
+         |              count(*) OVER (PARTITION BY band, bkey) AS sz
+         |       FROM bands),
+         |cand AS (SELECT DISTINCT a, b FROM (
+         |           SELECT x.doc_id AS a, y.doc_id AS b
+         |           FROM st x JOIN st y
+         |             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |           WHERE x.sz BETWEEN 2 AND 100
+         |           UNION ALL
+         |           SELECT mn, doc_id FROM st WHERE sz > 100 AND doc_id <> mn)),
          |e AS (SELECT a AS u, b AS v FROM cand UNION ALL SELECT b, a FROM cand),
          |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY 1),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
@@ -2778,12 +2828,14 @@ object TextQueries extends QueryPack {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id""".stripMargin,
     // Full recontraction over the incremental path's exact edge sets:
-    // corpus star edges (min→member over EVERY corpus-only bucket of ≥2,
-    // mirroring starEdgesOf's round-9 over-cap recovery), new↔corpus via
-    // the skey store (corpus buckets > 100 excluded — the ingest-join
-    // guard), new↔new (fresh-only buckets, 2–100 pair expansion). The
-    // recursive closure IS the "labels equal full recontraction" criterion
-    // the fold is judged against.
+    // corpus star edges (min→member over EVERY corpus-only bucket of ≥2 —
+    // connectivity-identical to bandPairsOf's round-11 clique+star output
+    // at every bucket size, so the mirror is exact at any scale),
+    // new↔corpus via the skey store (corpus buckets > 100 excluded — the
+    // ingest-join guard), new↔new (fresh-only buckets: 2–100 pair
+    // expansion plus min→member stars for over-cap buckets, mirroring
+    // bandPairsOf). The recursive closure IS the "labels equal full
+    // recontraction" criterion the fold is judged against.
     "q_dedup_cluster_incremental" ->
       s"""WITH RECURSIVE $shCte,
          |hs AS (SELECT doc_id, sh, ${rhSql("sh")} AS h FROM sh),
@@ -2802,11 +2854,17 @@ object TextQueries extends QueryPack {
          |           QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 100),
          |nc AS (SELECT DISTINCT f.doc_id AS a, c.doc_id AS b
          |       FROM fb f JOIN cstore c ON f.band = c.band AND f.bkey = c.bkey),
-         |fsz AS (SELECT * FROM fb
-         |        QUALIFY count(*) OVER (PARTITION BY band, bkey) BETWEEN 2 AND 100),
-         |nn AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |       FROM fsz x JOIN fsz y
-         |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |fst AS (SELECT doc_id, band, bkey,
+         |               min(doc_id) OVER (PARTITION BY band, bkey) AS mn,
+         |               count(*) OVER (PARTITION BY band, bkey) AS sz
+         |        FROM fb),
+         |nn AS (SELECT DISTINCT a, b FROM (
+         |         SELECT x.doc_id AS a, y.doc_id AS b
+         |         FROM fst x JOIN fst y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |         WHERE x.sz BETWEEN 2 AND 100
+         |         UNION ALL
+         |         SELECT mn, doc_id FROM fst WHERE sz > 100 AND doc_id <> mn)),
          |alle AS (SELECT a, b FROM ccand UNION
          |         SELECT a, b FROM nc UNION
          |         SELECT a, b FROM nn),

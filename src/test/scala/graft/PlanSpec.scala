@@ -68,22 +68,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!joinConds.exists(_.matches(".*\\bsh#\\d+ = sh#\\d+.*")), joinConds.mkString("\n"))
   }
 
-  test("q_dedup_minhash: one pipeline pass — single scan, no join, one exchange-free truncation window") {
+  test("q_dedup_minhash: both pair phases read the ONE checkpointed marked table — no join, no re-scan") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, d)
     val plan = df.queryExecution.executedPlan
-    assert(plan.collectLeaves().size == 1, plan.toString) // documents read ONCE
+    // Round 11: bandPairsOf marks each bucket row with (mn, sz) in one
+    // window pass and localCheckpoints the marked table; the small-bucket
+    // collect phase and the over-cap star phase each scan THAT, so the
+    // final plan's only leaves are the checkpoint RDD — the minhash
+    // pipeline (and the documents parquet) is never rebuilt per phase.
     val p = plan.toString
+    // (string-counted: collectLeaves does not descend into the AQE wrapper)
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2, p) // one per union branch
+    assert(!p.contains("FileScan"), p) // parquet never re-read
     assert(!p.contains("Join"), p)
-    // exactly ONE window — the rn<=101 pre-truncation that bounds the
-    // bucket collect state (round 9); it shares the (band, bkey) hash
-    // partitioning with the bucket aggregation, so the pre-pass adds no
-    // exchange (one hashpartitioning(band, bkey) serves window + collect) —
-    // and Spark's WindowGroupLimit runs a PARTIAL pass map-side, so a hot
-    // bucket is already truncated to 101 rows before it ever shuffles
-    assert(raw"Window \[".r.findAllIn(p).size == 1, p)
-    assert(raw"rn#\d+ <= 101".r.findFirstIn(p).isDefined, p)
-    assert(p.contains("WindowGroupLimit"), p)
-    assert(raw"Exchange hashpartitioning\(band".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Union"), p)
+    // pair rows from both phases collapse in ONE final (doc_a, doc_b) agg
+    assert(raw"Exchange hashpartitioning\(doc_a".r.findAllIn(p).size == 1, p)
   }
 
   test("q_simsearch_ivf: centroid assignment is a partial aggregate, no Window anywhere") {

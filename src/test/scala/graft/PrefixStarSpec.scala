@@ -46,9 +46,9 @@ class PrefixStarSpec extends AnyFunSuite with SparkSpec {
     // bucket whose size was not bounded FIRST. In q_dedup_prefix and
     // q_dedup_simhash_pairs the bucket membership collect runs on rows
     // pre-filtered to sz ∈ [2, 100] (over-cap buckets take the relational
-    // star and never reach a buffer); in the bandPairsOf consumers
-    // (q_dedup_minhash) the collect input is pre-truncated to row_number
-    // <= 101. The gates live ABOVE the localCheckpoint scans, so they are
+    // star and never reach a buffer) — since round 11 the bandPairsOf
+    // consumers (q_dedup_minhash) share exactly that shape.
+    // The gates live ABOVE the localCheckpoint scans, so they are
     // visible in the final physical plan. Checked on the PRINTED tree
     // (children print after parents, so "gate index > collect index" means
     // the gate is applied upstream of the aggregation); structural
@@ -72,6 +72,6 @@ class PrefixStarSpec extends AnyFunSuite with SparkSpec {
     pin("q_dedup_simhash_pairs",
       raw"partial_collect_list\(struct\(doc_id".r, raw"sz#\d+L? <= 100".r)
     pin("q_dedup_minhash",
-      raw"partial_collect_list\(doc_id".r, raw"rn#\d+ <= 101".r)
+      raw"partial_collect_list\(doc_id".r, raw"sz#\d+L? <= 100".r)
   }
 }
