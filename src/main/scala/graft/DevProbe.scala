@@ -81,6 +81,26 @@ object DevProbe {
       spark.stop(); return
     }
 
+    // bucketmark A/B: the shared bucket-marking pre-pass (TextQueries
+    // .markBuckets) spelled as a window aggregate vs groupBy+join-back,
+    // interleaved same-JVM over the three NON-memoized consumers (memoized
+    // paths — starEdges/candidateEdges — would cache variant A's edges and
+    // poison variant B's timing; starEdgesOf's marking is the minhash
+    // window minus the count, so q_dedup_minhash covers its shape). Run on
+    // a hotbucket-amplified dir (ScaleProbe) so degenerate buckets dominate.
+    if (args.lift(1).contains("bucketmark")) {
+      val reps = args.lift(2).map(_.toInt).getOrElse(3)
+      val qs = Seq("q_dedup_minhash", "q_dedup_prefix", "q_dedup_simhash_pairs")
+      for (rep <- 1 to reps; variant <- Seq("window", "groupjoin"); name <- qs) {
+        sys.props("graft.markBuckets") = variant
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, d).count()
+        println(f"[probe] bucketmark-$variant%-9s $name%-24s rep$rep rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      sys.props.remove("graft.markBuckets")
+      spark.stop(); return
+    }
+
     // editdist A/B: naive full-DP vs adaptive banded DP, same memoized
     // candidate edges, 3 reps each interleaved (run with args(1)=editdist).
     if (args.lift(1).contains("editdist")) {

@@ -170,18 +170,16 @@ object MediaPipeline {
     * 'imageio' when the JDK codecs do (JPEG / GIF / TIFF), 'stub'
     * otherwise (lossy WebP / MP4 — the documented no-JVM-codec boundary — or any
     * non-image payload). The decision is the REAL decode outcome (the same
-    * probes [[lumaOrRaw]] coalesces), not a magic-byte guess: a truncated
-    * PNG or an out-of-range-palette-index reject labels 'stub', exactly
-    * matching
+    * probe [[lumaOrRaw]] reads — both are field extractions of ONE
+    * [[decoded]] struct since round 11), not a magic-byte guess: a
+    * truncated PNG or an out-of-range-palette-index reject labels 'stub',
+    * exactly matching
     * which bytes actually feed downstream features. Shared by
     * q_multimodal_features and MediaPipelineSpec so the label can never
     * drift from the decode routing.
     */
   def decodeArm(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.when(ppmLuma(payload).isNotNull,
-        org.apache.spark.sql.functions.lit("exact"))
-      .when(codecLuma(payload).isNotNull, org.apache.spark.sql.functions.lit("imageio"))
-      .otherwise(org.apache.spark.sql.functions.lit("stub"))
+    decoded(payload).getField("arm")
 
   /** The decode-or-opaque idiom: pixel data for payloads any real arm
     * decodes (bit-exact formats probed first — their magics are disjoint
@@ -190,8 +188,18 @@ object MediaPipeline {
     * media tables.
     */
   def lumaOrRaw(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.coalesce(
-      ppmLuma(payload), codecLuma(payload), payload)
+    decoded(payload).getField("luma")
+
+  /** The fused probe both helpers extract from
+    * ([[graft.functions.expr.DecodeProbe]], round 11): one expression
+    * returning struct(arm, luma), so a plan that reads BOTH provenance and
+    * pixels runs the decode chain ONCE by construction — the two
+    * extractions share one semantically-equal probe subtree and can never
+    * double-decode or drift apart.
+    */
+  def decoded(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.GraftColumn.lift1(
+      graft.functions.expr.DecodeProbe.apply)(payload)
 
   /** Exact-integer PCM stats for "audio" payloads: decode the byte stream as
     * little-endian int16 samples (trailing odd byte dropped, the WAV data

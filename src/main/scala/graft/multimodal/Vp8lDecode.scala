@@ -631,38 +631,54 @@ object Vp8lDecode {
     if (argb == null) return null
 
     // Inverse transforms in reverse read order (transforms list is already
-    // reversed by the prepending above).
-    for (tr <- transforms) tr.ttype match {
-      case 0 =>
-        inversePredictor(argb, w0, h, tr.bits, tr.data)
-      case 1 =>
-        inverseColor(argb, w0, h, tr.bits, tr.data)
-      case 2 =>
-        addGreen(argb)
-      case _ =>
-        val pal = tr.data
-        val out = new Array[Int](w0 * h)
-        val bpp = 8 >> tr.bits
-        val perByte = 1 << tr.bits
-        val mask = (1 << bpp) - 1
-        var y = 0
-        while (y < h) {
-          var xf = 0
-          while (xf < w0) {
-            val packed = argb(y * w + xf / perByte)
-            val idx = (((packed >> 8) & 0xff) >> ((xf % perByte) * bpp)) & mask
-            // Out-of-range index → reject the stream (round 10): every other
-            // malformation path returns null, and real encoders never emit
-            // indices >= palette length, so keeping the never-a-wrong-pixel
-            // invariant uniform costs nothing in acceptance — previously this
-            // one case decoded to pixel 0, bytes libwebp would not produce.
-            if (idx >= pal.length) return null
-            out(y * w0 + xf) = pal(idx)
-            xf += 1
+    // reversed by the prepending above). A plain while loop, not a foreach
+    // closure: the palette arm rejects with `return null`, which must stay
+    // a LOCAL return — inside a `for` lambda it would compile to a
+    // NonLocalReturnControl throw caught at the method boundary (round-11
+    // ADVICE: works today, breaks silently under a broad catch or Scala 3).
+    var rest = transforms
+    while (rest.nonEmpty) {
+      val tr = rest.head
+      rest = rest.tail
+      tr.ttype match {
+        case 0 =>
+          inversePredictor(argb, w0, h, tr.bits, tr.data)
+        case 1 =>
+          inverseColor(argb, w0, h, tr.bits, tr.data)
+        case 2 =>
+          addGreen(argb)
+        case _ =>
+          val pal = tr.data
+          val out = new Array[Int](w0 * h)
+          val bpp = 8 >> tr.bits
+          val perByte = 1 << tr.bits
+          val mask = (1 << bpp) - 1
+          var y = 0
+          while (y < h) {
+            var xf = 0
+            while (xf < w0) {
+              val packed = argb(y * w + xf / perByte)
+              val idx = (((packed >> 8) & 0xff) >> ((xf % perByte) * bpp)) & mask
+              // Out-of-range index → reject the stream (round 10): every
+              // other malformation path returns null, and real encoders
+              // never emit indices >= palette length, so keeping the
+              // never-a-wrong-pixel invariant uniform costs nothing in
+              // acceptance — previously this one case decoded to pixel 0.
+              // NOTE: libwebp's bundled (<=16-color) path zero-fills the
+              // color map's tail and decodes such indices as 0x00000000
+              // instead of failing. dev/vp8l_diff.py only feeds
+              // well-formed encoder output, so it never reaches this; a
+              // future fuzz-differential on MALFORMED bundled streams WILL
+              // report accept-vs-reject mismatches here — expected and
+              // intentional, not a decode bug.
+              if (idx >= pal.length) return null
+              out(y * w0 + xf) = pal(idx)
+              xf += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        argb = out
+          argb = out
+      }
     }
     (w0, h, argb)
   }

@@ -176,13 +176,41 @@ object TextQueries extends QueryPack {
     * membership list (the round-9 pre-count hygiene; q_dedup_cap_audit
     * prices what the star still leaves non-enumerated).
     */
-  private def starEdgesOf(buckets: org.apache.spark.sql.DataFrame) = {
-    val byBucket = Window.partitionBy(col("band"), col("bkey"))
-    buckets
-      .withColumn("mn", min(col("doc_id")).over(byBucket))
+  /** Mark every bucket row with its bucket's representative (`mn` =
+    * min(mnExpr)) and size (`sz`) — the shared pre-pass of all four
+    * bounded-state expansions (bandPairsOf, starEdgesOf,
+    * bandedHammingPairs, q_dedup_prefix). Two spellings compute identical
+    * rows (MarkBucketsSpec pins it):
+    *   · `window` (default): min/count over Window.partitionBy(part) —
+    *     ONE exchange on the bucket key; a degenerate bucket is one
+    *     task's spillable sort.
+    *   · `groupjoin` (-Dgraft.markBuckets=groupjoin): groupBy(part)
+    *     .agg(min, count) + join back — map-side partial aggregation
+    *     collapses each bucket to one row BEFORE the shuffle, then a
+    *     second exchange joins the tiny bucket table back to the members.
+    * Kept switchable (read per plan construction, dev/test only) so the
+    * hot-bucket soak can A/B them in one JVM (DevProbe `bucketmark`);
+    * BASELINE.md records the round-11 numbers behind the default.
+    * Unused marks are column-pruned, so min-only consumers (starEdgesOf)
+    * pay nothing for the uniform helper.
+    */
+  private[graft] def markBuckets(df: org.apache.spark.sql.DataFrame,
+      part: Seq[String], mnExpr: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    if (sys.props.get("graft.markBuckets").contains("groupjoin"))
+      df.join(
+        df.groupBy(part.map(col): _*)
+          .agg(min(mnExpr).as("mn"), count(lit(1)).as("sz")),
+        part)
+    else {
+      val w = Window.partitionBy(part.map(col): _*)
+      df.withColumn("mn", min(mnExpr).over(w))
+        .withColumn("sz", count(lit(1)).over(w))
+    }
+
+  private def starEdgesOf(buckets: org.apache.spark.sql.DataFrame) =
+    markBuckets(buckets, Seq("band", "bkey"), col("doc_id"))
       .filter(col("doc_id") =!= col("mn")) // singleton buckets emit nothing
       .select(col("mn").as("doc_a"), col("doc_id").as("doc_b"))
-  }
 
   /** [[bandPairs]] over an arbitrary bucket set — the incremental
     * clustering path pairs the corpus and the new snapshot separately.
@@ -209,10 +237,7 @@ object TextQueries extends QueryPack {
     * thin rows (doc_id, band, bkey string, mn, sz), sized by n·nBands.
     */
   private def bandPairsOf(buckets: org.apache.spark.sql.DataFrame) = {
-    val byBucket = Window.partitionBy(col("band"), col("bkey"))
-    val marked = buckets
-      .withColumn("mn", min(col("doc_id")).over(byBucket))
-      .withColumn("sz", count(lit(1)).over(byBucket))
+    val marked = markBuckets(buckets, Seq("band", "bkey"), col("doc_id"))
       .localCheckpoint()
     val small = marked
       .filter(col("sz").between(2, BucketCap))
@@ -382,10 +407,8 @@ object TextQueries extends QueryPack {
     // reports what the star leaves non-enumerated. The marked table is
     // localCheckpoint'ed because both phases read it — thin rows (two
     // longs, two band bytes, the rep struct), sized by n·nBands.
-    val byBucket = Window.partitionBy(col("band"), col("bval"))
-    val marked = bandedOf(sigs, sigCol, nBands)
-      .withColumn("mn", min(struct(col("doc_id"), col("sig"))).over(byBucket))
-      .withColumn("sz", count(lit(1)).over(byBucket))
+    val marked = markBuckets(bandedOf(sigs, sigCol, nBands),
+        Seq("band", "bval"), struct(col("doc_id"), col("sig")))
       .localCheckpoint()
     def pairStruct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       struct(
@@ -857,10 +880,8 @@ object TextQueries extends QueryPack {
       // Output is bit-identical to the round-8 spelling (same oracle);
       // PrefixStarSpec pins both the star semantics and the bounded plan.
       val docsT = prefixDocsOf(s, d).localCheckpoint()
-      val byTok = Window.partitionBy(col("w"))
-      val marked = prefixTokensFrom(docsT)
-        .withColumn("mn", min(struct(col("doc_id"), col("n"))).over(byTok))
-        .withColumn("sz", count(lit(1)).over(byTok))
+      val marked = markBuckets(prefixTokensFrom(docsT),
+          Seq("w"), struct(col("doc_id"), col("n")))
         .localCheckpoint() // thin: (doc_id, n, w, rep struct, sz)
       val small = marked
         .filter(col("sz").between(2, BucketCap))

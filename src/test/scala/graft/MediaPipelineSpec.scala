@@ -505,6 +505,42 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
       (4L, "stub"), (5L, "stub"), (6L, "stub"), (7L, "exact")), got.toString)
   }
 
+  test("decoded struct: arm and luma extract from ONE probe and match the per-helper routing") {
+    // Round 11: decodeArm and lumaOrRaw are field extractions of the fused
+    // DecodeProbe struct, so a plan reading both runs the decode chain
+    // once. Pin (a) the pair is consistent per payload — arm 'exact'/'
+    // imageio' comes with decoded pixels, 'stub' with the raw bytes — and
+    // (b) both extractions appear as the SAME unconditional probe in the
+    // projection (two semantically-equal occurrences, CSE-able), never a
+    // when/coalesce re-spelling that could drift.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ppm = "P6\n2 1\n255\n".getBytes("UTF-8") ++ Array[Byte](1, 2, 3, 40, 50, 60)
+    val png = pngOf(2, 2, 1, Array[Byte](1, 2, 3, 4), filters = Seq(0, 0))
+    val jpeg = graft.multimodal.ImageIoDecode.encodeGrayJpeg(
+      Array.tabulate(64)(i => (i * 4).toByte), width = 8)
+    val text = "plain utf8 text payload".getBytes("UTF-8")
+    val df = Seq((1L, ppm), (2L, png), (3L, jpeg), (4L, text))
+      .toDF("id", "payload")
+      .select(col("id"), col("payload"),
+        MediaPipeline.decodeArm(col("payload")).as("arm"),
+        MediaPipeline.lumaOrRaw(col("payload")).as("luma"))
+    assert("graft_decode_probe".r
+      .findAllIn(df.queryExecution.analyzed.toString).size == 2,
+      df.queryExecution.analyzed.toString)
+    val rows = df.orderBy(col("id")).collect()
+    val expect = Map(
+      1L -> ("exact", graft.multimodal.PpmDecode.lumaOrNull(ppm).toSeq),
+      2L -> ("exact", graft.multimodal.PngDecode.pngLumaOrNull(png).toSeq),
+      3L -> ("imageio", graft.multimodal.ImageIoDecode.lumaOrNull(jpeg).toSeq),
+      4L -> ("stub", text.toSeq))
+    rows.foreach { r =>
+      val (arm, luma) = expect(r.getLong(0))
+      assert(r.getString(2) == arm, s"id=${r.getLong(0)}")
+      assert(r.getAs[Array[Byte]](3).toSeq == luma, s"id=${r.getLong(0)}")
+    }
+  }
+
   test("sampleFrames slices every k-th fixed-size frame") {
     val payload = Array.tabulate(100)(_.toByte)
     import spark.implicits._
