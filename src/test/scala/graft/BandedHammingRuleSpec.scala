@@ -42,9 +42,9 @@ class BandedHammingRuleSpec extends AnyFunSuite with SparkSpec {
   test("rewritten plan joins on band keys — no cartesian, no nested loop, a Generate per side") {
     val df = naiveJoin(3, disableRule = false)
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     assert("Generate".r.findAllIn(p).size == 2, p)
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashJoin") || p.contains(PlanPins.SortMergeJoin), p)
   }
 
   test("rewrite is row-identical to the naive join for k = 0, 3, 7") {
@@ -92,7 +92,7 @@ class BandedHammingRuleSpec extends AnyFunSuite with SparkSpec {
       .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
     val p = df.queryExecution.executedPlan.toString
     assert("Generate".r.findAllIn(p).size == 2, p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     // and the residual tiebreak still applies
     val rows = df.collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))

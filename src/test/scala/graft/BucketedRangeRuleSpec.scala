@@ -48,9 +48,9 @@ class BucketedRangeRuleSpec extends AnyFunSuite with SparkSpec {
   test("rewritten plan joins on the bucket key — no cartesian/nested loop, one Generate (interval side)") {
     val df = naive(disableRule = false)
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     assert("Generate".r.findAllIn(p).size == 1, p)
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashJoin") || p.contains(PlanPins.SortMergeJoin), p)
   }
 
   test("rewrite is row-identical to the naive join, negatives included") {
@@ -93,7 +93,7 @@ class BucketedRangeRuleSpec extends AnyFunSuite with SparkSpec {
     val df = naive(disableRule = false, "p >= lo AND p <= hi AND pid < tid")
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("__graft_bkt"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     val rows = df.collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.toSeq == naive(disableRule = true, "p >= lo AND p <= hi AND pid < tid").collect().toSeq)
@@ -141,7 +141,7 @@ class BucketedRangeRuleSpec extends AnyFunSuite with SparkSpec {
     val got = run(disable = false, maxBuckets = 16)
     val plan = got.queryExecution.optimizedPlan.toString
     assert(plan.contains("__graft_bkt"), plan)  // narrow branch still equi
-    assert(plan.contains("Union"), plan)        // wide branch split off
+    assert(plan.contains(PlanPins.Union), plan)        // wide branch split off
     val want = run(disable = true, maxBuckets = 16).collect().toSeq
     assert(got.collect().toSeq == want)
     assert(want.nonEmpty)

@@ -18,8 +18,8 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       spark, "li_bucketed", "ord_bucketed", "l_orderkey", "o_orderkey")
     val plan = joined.queryExecution.executedPlan.toString
 
-    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"), plan)
-    if (plan.contains("SortMergeJoin")) {
+    assert(plan.contains(PlanPins.SortMergeJoin) || plan.contains(PlanPins.BroadcastHashJoin), plan)
+    if (plan.contains(PlanPins.SortMergeJoin)) {
       assert(!plan.contains("Exchange hashpartitioning"), plan) // buckets ARE the partitioning
     }
     // row-count equivalence with the shuffled join

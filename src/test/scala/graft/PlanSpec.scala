@@ -28,18 +28,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("q_join_broadcast: both dims broadcast, no shuffle of the fact side for the join") {
     val p = plan("q_join_broadcast")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains(PlanPins.BroadcastHashJoin), p)
+    assert(!p.contains(PlanPins.SortMergeJoin), p)
   }
 
   test("q_topk_files: top-k runs as TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topk_files")
-    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains(PlanPins.TakeOrderedAndProject), p)
   }
 
   test("q_compact_lww: single shuffle, partial+final aggregation, no window") {
     val p = plan("q_compact_lww")
-    assert(!p.contains("Window"), p)
+    assert(!p.contains(PlanPins.Window), p)
     // max_by over a struct buffer is not hash-aggregable, so Spark picks
     // SortAggregate — still partial (map-side) + final around ONE hash
     // exchange, which is the point: versions reduce before the shuffle.
@@ -49,18 +49,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("q_join_theta_range: range predicate rides the equi join, no BNLJ/cartesian") {
     val p = plan("q_join_theta_range")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains(PlanPins.BroadcastNestedLoopJoin) && !p.contains(PlanPins.CartesianProduct), p)
   }
 
   test("q_dedup_embed: LSH candidate join — no cartesian product, no nested-loop join") {
     val p = plan("q_dedup_embed")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
   }
 
   test("q_dedup_near: candidates from in-bucket expansion, never a raw-shingle join") {
     val df = SparkEntry.queries("q_dedup_near")(spark, d)
     val p = df.queryExecution.optimizedPlan.toString
-    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(PlanPins.CartesianProduct), p)
     // Joins key on doc ids only; the exploded shingle column must not appear
     // as a join key anywhere (the round-1 quadratic form).
     val joinConds = "Join .*".r.findAllIn(p).toList
@@ -78,17 +78,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // pipeline (and the documents parquet) is never rebuilt per phase.
     val p = plan.toString
     // (string-counted: collectLeaves does not descend into the AQE wrapper)
-    assert("Scan ExistingRDD".r.findAllIn(p).size == 2, p) // one per union branch
-    assert(!p.contains("FileScan"), p) // parquet never re-read
-    assert(!p.contains("Join"), p)
-    assert(p.contains("Union"), p)
+    assert(PlanPins.ExistingRDD.r.findAllIn(p).size == 2, p) // one per union branch
+    assert(!p.contains(PlanPins.FileScan), p) // parquet never re-read
+    assert(!p.contains(PlanPins.AnyJoin), p)
+    assert(p.contains(PlanPins.Union), p)
     // pair rows from both phases collapse in ONE final (doc_a, doc_b) agg
-    assert(raw"Exchange hashpartitioning\(doc_a".r.findAllIn(p).size == 1, p)
+    assert(PlanPins.PairExchange.findAllIn(p).size == 1, p)
   }
 
   test("q_simsearch_ivf: centroid assignment is a partial aggregate, no Window anywhere") {
     val p = plan("q_simsearch_ivf")
-    assert(!p.contains("Window"), p)
+    assert(!p.contains(PlanPins.Window), p)
     // max_by partial+final pair proves the map-side combine survived.
     assert(p.contains("max_by") || p.contains("SortAggregate") || p.contains("HashAggregate"), p)
   }
@@ -101,7 +101,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // if the query stops using a global window, update the scale comment in
     // MetaQueries too.
     val p = plan("q_round_robin_cursor")
-    assert(p.contains("Window"), p)
+    assert(p.contains(PlanPins.Window), p)
     assert("SinglePartition".r.findAllIn(p).nonEmpty, p)
   }
 
@@ -134,14 +134,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val df = SparkEntry.queries("q_simsearch_knn")(spark, d)
     val plan = df.queryExecution.executedPlan
     assert(plan.collectLeaves().size == 1, plan.toString)
-    assert(!plan.toString.contains("Join"), plan.toString)
+    assert(!plan.toString.contains(PlanPins.AnyJoin), plan.toString)
   }
 
   test("q_dedup_paragraph: one corpus pass — single scan, no join, no window") {
     val df = SparkEntry.queries("q_dedup_paragraph")(spark, d)
     val plan = df.queryExecution.executedPlan
     assert(plan.collectLeaves().size == 1, plan.toString)
-    assert(!plan.toString.contains("Join") && !plan.toString.contains("Window"), plan.toString)
+    assert(!plan.toString.contains(PlanPins.AnyJoin) && !plan.toString.contains(PlanPins.Window), plan.toString)
   }
 
   test("q_text_tfidf: tf materialized once — exactly one scan of documents") {
@@ -170,8 +170,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val plan = df.queryExecution.executedPlan
     assert(plan.collectLeaves().size == 1, plan.toString) // documents read ONCE
     val p = plan.toString
-    assert(!p.contains("Join") && !p.contains("Window"), p)
-    assert(p.contains("TakeOrderedAndProject"), p) // bounded report, no Sort+Limit
+    assert(!p.contains(PlanPins.AnyJoin) && !p.contains(PlanPins.Window), p)
+    assert(p.contains(PlanPins.TakeOrderedAndProject), p) // bounded report, no Sort+Limit
     // partial+final aggregation pair: a doc's internal repeats collapse
     // map-side before the gram shuffle.
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
@@ -189,9 +189,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q_join_skew_salted: salted hot path (replicating Generate) + cold path united, no cartesian") {
     val df = SparkEntry.queries("q_join_skew_salted")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("Generate explode"), p) // the S-way hot-side replication
-    assert(p.contains("Union"), p)            // hot and cold paths
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains(PlanPins.GenerateExplode), p) // the S-way hot-side replication
+    assert(p.contains(PlanPins.Union), p)            // hot and cold paths
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
   }
 
   test("q_join_attribution: the interval rides the user_id equi-join, never a nested loop") {
@@ -206,7 +206,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val equiJoins = "SortMergeJoin".r.findAllIn(p).size +
       "ShuffledHashJoin".r.findAllIn(p).size
     assert(equiJoins == 1, s"expected exactly 1 shuffle equi-join, got $equiJoins\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     // the event_type filters are pushed to the scans, not evaluated post-join
     assert(p.contains("EqualTo(event_type,click)"), p)
     assert(p.contains("EqualTo(event_type,purchase)"), p)
@@ -224,7 +224,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val df = SparkEntry.queries("q_report_multijoin")(s2, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p) // nation: explicit hint
+    assert(p.contains(PlanPins.BroadcastHashJoin), p) // nation: explicit hint
     val shuffleJoins = "SortMergeJoin".r.findAllIn(p).size +
       "ShuffledHashJoin".r.findAllIn(p).size
     assert(shuffleJoins == 2, s"expected exactly 2 shuffle joins, got $shuffleJoins\n$p")
@@ -234,42 +234,42 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // asserted on the scan's Filter predicate instead)
     assert(p.contains(">= 1998-01-01"), p)
     assert(p.contains("EqualTo(l_returnflag,R)"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
   }
 
   test("q_join_bloom: bloom runtime filter gates the fact scan before the shuffle join") {
     val df = SparkEntry.queries("q_join_bloom")(spark, d)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("might_contain"), p) // InjectRuntimeFilter fired
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains(PlanPins.SortMergeJoin) || p.contains(PlanPins.ShuffledHashJoin), p)
   }
 
   test("q_text_outliers: moments applied via broadcast join, no window, no corpus shuffle join") {
     val df = SparkEntry.queries("q_text_outliers")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p) // tiny moments table broadcast
-    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    assert(p.contains(PlanPins.BroadcastHashJoin), p) // tiny moments table broadcast
+    assert(!p.contains(PlanPins.SortMergeJoin) && !p.contains(PlanPins.Window), p)
   }
 
   test("q_text_dsir: LMs broadcast onto the token stream — no shuffle join, no cartesian blowup") {
     val df = SparkEntry.queries("q_text_dsir")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p) // vocab-bounded LM is the build side
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains(PlanPins.BroadcastHashJoin), p) // vocab-bounded LM is the build side
+    assert(!p.contains(PlanPins.SortMergeJoin) && !p.contains(PlanPins.CartesianProduct), p)
   }
 
   test("q_simsearch_pq: codebooks and ADC tables broadcast — no shuffle join, no cartesian") {
     val df = SparkEntry.queries("q_simsearch_pq")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains(PlanPins.BroadcastHashJoin), p)
+    assert(!p.contains(PlanPins.SortMergeJoin) && !p.contains(PlanPins.CartesianProduct), p)
   }
 
   test("q_merge_upsert: one key-partitioned join applies the whole delta") {
     val df = SparkEntry.queries("q_merge_upsert")(spark, d)
     val p = df.queryExecution.executedPlan.toString
     assert("FullOuter".r.findAllIn(p).size == 1, p) // exactly one merge join
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
   }
 
   test("q_funnel_stages: three chained windows collapse onto ONE sort (same partition+order spec)") {
@@ -282,14 +282,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q_text_gopher: zero shuffles — the rule battery is one codegen'd projection") {
     val df = SparkEntry.queries("q_text_gopher")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("hashpartitioning"), p) // only the final presentation sort
-    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.contains(PlanPins.HashPartitioning), p) // only the final presentation sort
+    assert(!p.contains(PlanPins.AnyJoin) && !p.contains(PlanPins.Window), p)
   }
 
   test("q_sessionize: window + session rollup share ONE user_id hash exchange") {
     val p = plan("q_sessionize")
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert(!p.contains("Join"), p)
+    assert(!p.contains(PlanPins.AnyJoin), p)
   }
 
   test("q_scd2_history: change-detect, version and close ride one user_id shuffle") {
@@ -313,21 +313,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val df = SparkEntry.queries("q_alloc_prorata")(s2, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains(PlanPins.SortMergeJoin) || p.contains(PlanPins.ShuffledHashJoin), p)
     assert("hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
   test("q_text_ppl_buckets: quartile boundaries rejoin by broadcast — token stream never shuffles for scoring") {
     val df = SparkEntry.queries("q_text_ppl_buckets")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    assert(p.contains(PlanPins.BroadcastHashJoin), p)
+    assert(!p.contains(PlanPins.SortMergeJoin) && !p.contains(PlanPins.Window), p)
   }
 
   test("q_zonemap_prune: metadata-scale plan — one groupBy on the file key, no join, no window") {
     val p = plan("q_zonemap_prune")
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.contains(PlanPins.AnyJoin) && !p.contains(PlanPins.Window), p)
   }
 
   test("q_subquery_corr: correlated scalar subqueries fully decorrelate — aggregates + equi joins, no per-row subquery") {
@@ -336,8 +336,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // Decorrelation must leave NO scalar-subquery execution node: the
     // correlated count/sum become per-part aggregates joined back on
     // l_partkey (part-dim-sized — broadcastable at any fact scale).
-    assert(!p.contains("Subquery"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.Subquery), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     // two decorrelated per-part aggregates + the final p_brand rollup,
     // each partial+final
     assert("HashAggregate".r.findAllIn(p).size >= 6, p)
@@ -349,7 +349,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q_dedup_hamming_join: the naive hamming join is rewritten to a banded equi join by the optimizer rule") {
     val df = SparkEntry.queries("q_dedup_hamming_join")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     // one band posexplode per side (the signature build uses plain explode)
     assert("posexplode".r.findAllIn(p).size == 2, p)
     assert(p.contains("__graft_bval"), p) // the join keys ARE the band columns
@@ -358,9 +358,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q_text_bigram_lp: both LM tables broadcast onto the bigram stream — no shuffle join in scoring") {
     val df = SparkEntry.queries("q_text_bigram_lp")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p) // unk is a broadcast NLJ of 1 row, never cartesian
+    assert(p.contains(PlanPins.BroadcastHashJoin), p)
+    assert(!p.contains(PlanPins.SortMergeJoin) && !p.contains(PlanPins.ShuffledHashJoin), p)
+    assert(!p.contains(PlanPins.CartesianProduct), p) // unk is a broadcast NLJ of 1 row, never cartesian
   }
 
   test("q_join_lateral: LATERAL subquery decorrelates to map-side WindowGroupLimit, no per-row subquery") {
@@ -368,19 +368,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     // the per-group LIMIT became a partial (map-side) + final group-limit
     // around ONE exchange — per-key top-k reduces before the shuffle
-    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains(PlanPins.WindowGroupLimit), p)
     assert(p.contains("Partial"), p)
-    assert(!p.contains("Subquery"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.Subquery), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
   test("q_unpivot_wide: unpivot is a zero-shuffle Expand over the aggregate — one exchange total") {
     val df = SparkEntry.queries("q_unpivot_wide")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("Expand"), p)
+    assert(p.contains(PlanPins.Expand), p)
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.contains(PlanPins.AnyJoin) && !p.contains(PlanPins.Window), p)
   }
 
   test("q_report_custdist: per-customer count rides the join partitioning; only the histogram adds an exchange") {
@@ -391,7 +391,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // two SMJ inputs + one c_count rollup = exactly 3 hash exchanges; the
     // c_custkey groupBy must NOT re-shuffle after the join
     assert("hashpartitioning".r.findAllIn(p).size == 3, p)
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains(PlanPins.SortMergeJoin) || p.contains(PlanPins.ShuffledHashJoin), p)
   }
 
   test("q_report_suppwait: semi and anti compose on the same fact, no cartesian, supplier stays broadcast at scale") {
@@ -402,18 +402,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val df = SparkEntry.queries("q_report_suppwait")(s2, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("LeftSemi"), p)
+    assert(p.contains(PlanPins.LeftSemi), p)
     assert(p.contains("LeftAnti"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("BroadcastHashJoin"), p) // supplier dim: explicit hint
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
+    assert(p.contains(PlanPins.BroadcastHashJoin), p) // supplier dim: explicit hint
   }
 
   test("q_report_partvalue: global scalar subqueries aggregate the materialized part-cardinality table — no join, no fact rescans") {
     val df = SparkEntry.queries("q_report_partvalue")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("Subquery"), p)            // the HAVING gate stays a scalar subquery
-    assert(!p.contains("Join"), p)               // never decorrelates into a join — it's uncorrelated
-    assert(!p.contains("FileScan"), p)           // every branch reads the ONE checkpointed grouped table
+    assert(p.contains(PlanPins.Subquery), p)            // the HAVING gate stays a scalar subquery
+    assert(!p.contains(PlanPins.AnyJoin), p)               // never decorrelates into a join — it's uncorrelated
+    assert(!p.contains(PlanPins.FileScan), p)           // every branch reads the ONE checkpointed grouped table
     assert(p.contains("Scan ExistingRDD"), p)
     // MergeScalarSubqueries folds count(*) and sum(value_c) into ONE
     // aggregation pass (the named_struct mergedValue) — pin it so the two
@@ -426,7 +426,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     // isNullAware renders as the trailing `true` on the BHJ line
     assert(p.contains("LeftAnti, BuildRight, true"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains(PlanPins.BroadcastNestedLoopJoin) && !p.contains(PlanPins.CartesianProduct), p)
   }
 
   test("q_recursive_chain: WITH RECURSIVE plans as UnionLoop — equi-join steps, materialized rn table, no cartesian") {
@@ -437,17 +437,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the ONE materialized rn table (LogicalRDD from localCheckpoint) —
     // a per-level window recompute or a nested loop would show here
     assert(p.contains("LogicalRDD"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     assert(!p.contains("WindowExec"), p)
   }
 
   test("q_histogram: one corpus exchange — per-bin combine is map-side, bin spine joins by broadcast") {
     val p = plan("q_histogram")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains(PlanPins.BroadcastHashJoin), p)
+    assert(!p.contains(PlanPins.SortMergeJoin), p)
     // ≤20 distinct bins ⇒ partial aggregation collapses each task's rows
     // before the ONE hash exchange; the shuffle carries bins, not events
-    assert(p.contains("partial_count"), p)
+    assert(p.contains(PlanPins.PartialCount), p)
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
@@ -457,31 +457,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     for (n <- Seq("q_mix_epochs", "q_drift_psi")) {
       val leaves = SparkEntry.queries(n)(spark, d)
         .queryExecution.executedPlan.collectLeaves()
-      assert(leaves.count(_.toString.contains("FileScan")) == 1, s"$n: $leaves")
+      assert(leaves.count(_.toString.contains(PlanPins.FileScan)) == 1, s"$n: $leaves")
     }
   }
 
   test("q_mix_epochs: corpus collapses through ONE hash exchange; apportionment runs at source cardinality") {
     val p = plan("q_mix_epochs")
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert(p.contains("partial_count"), p)
+    assert(p.contains(PlanPins.PartialCount), p)
   }
 
   test("q_dedup_prefix: pairs expand inside prefix buckets — no cartesian, joins only fetch endpoint token sets") {
     val p = plan("q_dedup_prefix")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     // candidate pairs come from in-bucket array expansion (Generate) plus
     // the relational over-cap star, never a doc↔doc self-join; the only
     // joins visible in the final plan are the TWO endpoint ws lookups onto
     // surviving candidates (round 9 — the token → global-df join lives
     // below the materialized per-doc prefix table)
     assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size == 2, p)
-    assert(p.contains("Generate explode"), p)
+    assert(p.contains(PlanPins.GenerateExplode), p)
   }
 
   test("q_join_pointrange: interval lookup decomposes onto the bucket grid — equi join, never a nested loop") {
     val p = plan("q_join_pointrange")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains(PlanPins.BroadcastNestedLoopJoin) && !p.contains(PlanPins.CartesianProduct), p)
     // the containment predicate rides the bkt equi key as a residual —
     // which side broadcasts is AQE's call, the join KIND is the invariant
     assert(p.contains("bkt"), p)
@@ -491,8 +491,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q_subquery_nested: IN + two correlated scalars fully decorrelate — semi join over aggregate joins, no per-row subquery") {
     val df = SparkEntry.queries("q_subquery_nested")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("LeftSemi"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains(PlanPins.LeftSemi), p)
+    assert(!p.contains(PlanPins.BroadcastNestedLoopJoin) && !p.contains(PlanPins.CartesianProduct), p)
     assert(!p.toLowerCase.contains("subqueryexec"), p) // nothing executes per-row
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // both correlated aggregates, partial+final
   }
@@ -500,10 +500,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q_assoc_rules: all branches read the materialized basket table — one corpus scan, stats join broadcast") {
     val df = SparkEntry.queries("q_assoc_rules")(spark, d)
     val plan0 = df.queryExecution.executedPlan
-    assert(plan0.collectLeaves().count(_.toString.contains("FileScan")) == 0, plan0.toString)
+    assert(plan0.collectLeaves().count(_.toString.contains(PlanPins.FileScan)) == 0, plan0.toString)
     val p = plan0.toString
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct), p)
+    assert(!p.contains(PlanPins.SortMergeJoin), p)
   }
 
   test("q_dedup_lsh_sweep: configs re-band the materialized signature table — corpus tokenizes once, no cartesian") {
@@ -511,15 +511,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val plan0 = df.queryExecution.executedPlan
     // one FileScan remains: the shingle-set table for the exact verify;
     // all three banding configs read the checkpointed signatures
-    assert(plan0.collectLeaves().count(_.toString.contains("FileScan")) == 1, plan0.toString)
+    assert(plan0.collectLeaves().count(_.toString.contains(PlanPins.FileScan)) == 1, plan0.toString)
     val p = plan0.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
   }
 
   test("q_multimodal_resize: decode + resample is one shuffle-free projection — no join, no window, no aggregate") {
     val df = SparkEntry.queries("q_multimodal_resize")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Aggregate"), p)
+    assert(!p.contains(PlanPins.AnyJoin) && !p.contains(PlanPins.Window) && !p.contains("Aggregate"), p)
     assert("hashpartitioning".r.findAllIn(p).isEmpty, p)
   }
 
@@ -532,10 +532,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q_profile_skew: ONE corpus exchange — bucket counts combine map-side, ranking runs at reducer cardinality") {
     val df = SparkEntry.queries("q_profile_skew")(spark, d)
     val leaves = df.queryExecution.executedPlan.collectLeaves()
-    assert(leaves.count(_.toString.contains("FileScan")) == 1, leaves.mkString("\n"))
+    assert(leaves.count(_.toString.contains(PlanPins.FileScan)) == 1, leaves.mkString("\n"))
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("partial_count"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains(PlanPins.PartialCount), p)
+    assert(!p.contains(PlanPins.SortMergeJoin), p)
   }
 
   test("q_time_twap: interval weights and the aggregate share ONE user_id exchange") {
@@ -549,7 +549,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q_join_interval_rule: the naive BETWEEN join is rewritten to the bucket-grid equi join by the optimizer rule") {
     val p = plan("q_join_interval_rule")
     assert(p.contains("__graft_bkt"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(PlanPins.CartesianProduct), p)
     // Two-path width guard: the bulk rides the bucket equi join; a nested
     // loop may appear ONLY as the wide-interval fallback branch, i.e. fed
     // by the span>=maxBuckets filter (empty for this fixture's <=300-unit
@@ -564,16 +564,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val df = SparkEntry.queries("q_text_bm25")(spark, d)
     val plan0 = df.queryExecution.executedPlan
     // all branches read the materialized tf table, never the corpus again
-    assert(plan0.collectLeaves().count(_.toString.contains("FileScan")) == 0, plan0.toString)
+    assert(plan0.collectLeaves().count(_.toString.contains(PlanPins.FileScan)) == 0, plan0.toString)
     val p = plan0.toString
-    assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains(PlanPins.TakeOrderedAndProject), p)
+    assert(!p.contains(PlanPins.SortMergeJoin), p)
   }
 
   test("q_index_postings: champion lists merge map-side with bounded state — no corpus re-scan") {
     val df = SparkEntry.queries("q_index_postings")(spark, d)
     val plan0 = df.queryExecution.executedPlan
-    assert(plan0.collectLeaves().count(_.toString.contains("FileScan")) == 0, plan0.toString)
+    assert(plan0.collectLeaves().count(_.toString.contains(PlanPins.FileScan)) == 0, plan0.toString)
     val p = plan0.toString
     // partial_topkaggregator = the k-entry buffer combining BEFORE the
     // term shuffle; a collect_list here would ship every posting
@@ -586,14 +586,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val plan0 = df.queryExecution.executedPlan
     assert(plan0.collectLeaves().size == 1, plan0.toString)
     val p = plan0.toString
-    assert(p.contains("Expand"), p) // multi-distinct runs as one Expand pass
-    assert(!p.contains("Join"), p)
+    assert(p.contains(PlanPins.Expand), p) // multi-distinct runs as one Expand pass
+    assert(!p.contains(PlanPins.AnyJoin), p)
   }
 
   test("q_agg_incremental: only the delta branch reads the raw table — stored aggregate merges via one outer join") {
     val df = SparkEntry.queries("q_agg_incremental")(spark, d)
     val leaves = df.queryExecution.executedPlan.collectLeaves()
-    assert(leaves.count(_.toString.contains("FileScan")) == 1, leaves.mkString("\n"))
+    assert(leaves.count(_.toString.contains(PlanPins.FileScan)) == 1, leaves.mkString("\n"))
     assert(leaves.count(_.toString.contains("ExistingRDD")) == 1, leaves.mkString("\n"))
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("FullOuter"), p)
@@ -602,23 +602,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q_graph_clustercoef: degrees and triangles both ride the memoized edge list — no corpus re-scan, no cartesian") {
     val df = SparkEntry.queries("q_graph_clustercoef")(spark, d)
     val plan0 = df.queryExecution.executedPlan
-    assert(plan0.collectLeaves().count(_.toString.contains("FileScan")) == 0, plan0.toString)
+    assert(plan0.collectLeaves().count(_.toString.contains(PlanPins.FileScan)) == 0, plan0.toString)
     val p = plan0.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
   }
 
   test("q_histogram_eqdepth: boundary table broadcasts back — fact side never shuffles to classify, no window") {
     val p = plan("q_histogram_eqdepth")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("Window"), p)
+    assert(p.contains(PlanPins.BroadcastHashJoin), p)
+    assert(!p.contains(PlanPins.SortMergeJoin), p)
+    assert(!p.contains(PlanPins.Window), p)
   }
 
   test("q_sample_fixedk: bottom-k-by-hash merges map-side with bounded state — no per-lang sort or window") {
     val df = SparkEntry.queries("q_sample_fixedk")(spark, d)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("partial_topkaggregator"), p)
-    assert(!p.contains("Window"), p)
+    assert(!p.contains(PlanPins.Window), p)
   }
 
   test("q_multimodal_jpeg: encode→decode→contract is one shuffle-free map stage before the output sort") {
@@ -627,16 +627,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // and the ONLY exchange is the final orderBy's range partitioning —
     // decode stats never leave the partition that produced them
     assert(p.contains("MapPartitions"), p)
-    assert(!p.contains("Join"), p)
+    assert(!p.contains(PlanPins.AnyJoin), p)
     assert("Exchange".r.findAllIn(p).size == 1, p)
-    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains(PlanPins.RangePartitioning), p)
   }
 
   test("q_dedup_phash_png: craft→decode→hash→band chain stays joinless until the band-bucket expansion") {
     val p = plan("q_dedup_phash_png")
     // candidates expand via Generate inside buckets, never a doc↔doc join
-    assert(p.contains("Generate explode"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains(PlanPins.GenerateExplode), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     assert(!"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).hasNext, p)
   }
 
@@ -645,20 +645,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     // the adaptive passes paid the joins once into the localCheckpoint; the
     // returned plan must be filter+project+TakeOrdered over that RDD only
-    assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("Join"), p)
+    assert(p.contains(PlanPins.TakeOrderedAndProject), p)
+    assert(!p.contains(PlanPins.AnyJoin), p)
     val leaves = df.queryExecution.executedPlan.collectLeaves()
-    assert(leaves.count(_.toString.contains("FileScan")) == 0, leaves.mkString("\n"))
+    assert(leaves.count(_.toString.contains(PlanPins.FileScan)) == 0, leaves.mkString("\n"))
   }
 
   test("q_graph_triangles: wedges close via LeftSemi on the memoized edge list — no cartesian, no corpus re-scan") {
     val p = plan("q_graph_triangles")
-    assert(p.contains("LeftSemi"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains(PlanPins.LeftSemi), p)
+    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
     // all three join inputs are the checkpointed candidate-edge RDD — the
     // document corpus is never re-tokenized for the wedge or closure pass
     val leaves = SparkEntry.queries("q_graph_triangles")(spark, d)
       .queryExecution.executedPlan.collectLeaves()
-    assert(leaves.count(_.toString.contains("FileScan")) == 0, leaves.mkString("\n"))
+    assert(leaves.count(_.toString.contains(PlanPins.FileScan)) == 0, leaves.mkString("\n"))
   }
 }

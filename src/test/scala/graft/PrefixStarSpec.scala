@@ -68,10 +68,10 @@ class PrefixStarSpec extends AnyFunSuite with SparkSpec {
         s"$q: membership collect without the $gate gate below it:\n$p")
     }
     pin("q_dedup_prefix",
-      raw"partial_collect_list\(struct\(doc_id".r, raw"sz#\d+L? <= 100".r)
+      PlanPins.MembershipCollectStruct, PlanPins.SizeGate)
     pin("q_dedup_simhash_pairs",
-      raw"partial_collect_list\(struct\(doc_id".r, raw"sz#\d+L? <= 100".r)
+      PlanPins.MembershipCollectStruct, PlanPins.SizeGate)
     pin("q_dedup_minhash",
-      raw"partial_collect_list\(doc_id".r, raw"sz#\d+L? <= 100".r)
+      PlanPins.MembershipCollectIds, PlanPins.SizeGate)
   }
 }
