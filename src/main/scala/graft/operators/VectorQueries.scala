@@ -713,7 +713,7 @@ object VectorQueries extends QueryPack {
     // decode), 'imageio' (JPEG/GIF/TIFF via the JDK codecs), or 'stub'
     // (no JVM codec exists — lossy WebP (VP8) / MP4 — or the payload is
     // not an image at all). The decision is the REAL decode outcome (the
-    // same ppmLuma/codecLuma probes lumaOrRaw coalesces), not a magic-byte
+    // same fused DecodeProbe struct lumaOrRaw extracts), not a magic-byte
     // guess, so fake features can never be mistaken for pixels downstream;
     // LOSSLESS WebP decodes for real since round 9 (Vp8lDecode, in the
     // 'exact' arm), leaving lossy VP8/MP4 as the stub boundary (see
@@ -1382,8 +1382,8 @@ object VectorQueries extends QueryPack {
          |       round(${normSql("embedding")}, 6) AS norm_r
          |FROM documents JOIN embeddings ON doc_id = vec_id
          |ORDER BY doc_id""".stripMargin,
-    // `arm` is constant-'stub' HERE because the fixture payloads are text
-    // bytes — no decoder can accept them, and the oracle states that fact
+    // `arm` is 'stub' for the text-byte rows — no decoder can accept them,
+    // and the oracle states that fact
     // rather than re-deriving it (DuckDB has no JVM decoders to ask). The
     // non-constant behavior — 'exact' for PPM/BMP/PNG/lossless-WebP,
     // 'imageio' for JPEG/GIF/TIFF, 'stub' for lossy-WebP magic — is pinned in
