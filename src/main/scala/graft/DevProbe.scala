@@ -91,13 +91,14 @@ object DevProbe {
     if (args.lift(1).contains("bucketmark")) {
       val reps = args.lift(2).map(_.toInt).getOrElse(3)
       val qs = Seq("q_dedup_minhash", "q_dedup_prefix", "q_dedup_simhash_pairs")
-      for (rep <- 1 to reps; variant <- Seq("window", "groupjoin"); name <- qs) {
-        sys.props("graft.markBuckets") = variant
-        val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, d).count()
-        println(f"[probe] bucketmark-$variant%-9s $name%-24s rep$rep rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      }
-      sys.props.remove("graft.markBuckets")
+      try
+        for (rep <- 1 to reps; variant <- Seq("window", "groupjoin"); name <- qs) {
+          sys.props("graft.markBuckets") = variant
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(name)(spark, d).count()
+          println(f"[probe] bucketmark-$variant%-9s $name%-24s rep$rep rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      finally sys.props.remove("graft.markBuckets")
       spark.stop(); return
     }
 

@@ -119,9 +119,15 @@ object PngDecode {
           case _ => return null
         }
         if (wL * hL * channels * sampleBytes > MaxSampleBytes) return null
-      } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
-        // PLTE: 1..256 RGB triples, exactly one, before any IDAT (spec §11.2.3).
-        if (!sawIhdr || palette != null || idat.size() > 0 ||
+      } else if (isPalette && t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
+        // PLTE: 1..256 RGB triples, exactly one, before any IDAT (spec
+        // §11.2.3) — enforced only on the arm that READS it (color type 3;
+        // isPalette implies sawIhdr). For other color types a PLTE is a
+        // suggested palette that never affects the luminance plane, so it
+        // is skipped like any ancillary chunk (a type-3 PLTE arriving
+        // before IHDR is also skipped here, leaving palette null → reject
+        // below, same outcome as an absent PLTE).
+        if (palette != null || idat.size() > 0 ||
           len == 0 || len % 3 != 0 || len > 768) return null
         palette = java.util.Arrays.copyOfRange(p, dataOff, dataOff + len.toInt)
       } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {

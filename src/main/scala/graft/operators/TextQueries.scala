@@ -193,6 +193,13 @@ object TextQueries extends QueryPack {
     * BASELINE.md records the round-11 numbers behind the default.
     * Unused marks are column-pruned, so min-only consumers (starEdgesOf)
     * pay nothing for the uniform helper.
+    *
+    * PRECONDITION: the `part` key columns must be non-null (true for every
+    * current consumer — band indices and bkey strings are built from
+    * non-null signatures). The spellings diverge on NULL keys: the window
+    * partitions NULLs into one bucket, while the groupjoin's inner join
+    * drops NULL-keyed rows (null ≠ null under EqualTo) — a nullable key
+    * would silently break the identical-rows contract MarkBucketsSpec pins.
     */
   private[graft] def markBuckets(df: org.apache.spark.sql.DataFrame,
       part: Seq[String], mnExpr: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
@@ -2528,19 +2535,27 @@ object TextQueries extends QueryPack {
         |FROM s""".stripMargin,
     // Signature table shared with the candidate chain; each config re-bands
     // it, the exact verify (3·inter ≥ na+nb ⟺ Jaccard ≥ ½) runs on the
-    // distinct candidate union.
+    // distinct candidate union. Mirrors bandPairsOf's over-cap semantics:
+    // buckets of 2..100 expand all pairs, >100-member buckets emit the
+    // verified star around the bucket-minimum doc_id (most likely under
+    // r=1, whose single-value band key collides hardest).
     "q_dedup_lsh_sweep" ->
       s"""WITH $mhCtes,
          |bands3 AS (SELECT doc_id, c.r AS r, CAST(i // c.r AS INT) AS band,
          |                  string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bkey
          |           FROM mh CROSS JOIN (VALUES (1), (2), (4)) c(r)
          |           GROUP BY 1, 2, 3),
-         |sized3 AS (SELECT * FROM bands3
-         |           QUALIFY count(*) OVER (PARTITION BY r, band, bkey) BETWEEN 2 AND 100),
+         |sized3 AS (SELECT *, count(*) OVER (PARTITION BY r, band, bkey) AS sz,
+         |                  min(doc_id) OVER (PARTITION BY r, band, bkey) AS mn
+         |           FROM bands3),
+         |small3 AS (SELECT * FROM sized3 WHERE sz BETWEEN 2 AND 100),
          |cand3 AS (SELECT DISTINCT x.r AS r, x.doc_id AS a, y.doc_id AS b
-         |          FROM sized3 x JOIN sized3 y
+         |          FROM small3 x JOIN small3 y
          |            ON x.r = y.r AND x.band = y.band AND x.bkey = y.bkey
-         |               AND x.doc_id < y.doc_id),
+         |               AND x.doc_id < y.doc_id
+         |          UNION
+         |          SELECT DISTINCT r, mn AS a, doc_id AS b FROM sized3
+         |          WHERE sz > 100 AND doc_id <> mn),
          |sets AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY 1),
          |ver AS (SELECT c.r, c.a, c.b,
          |               CASE WHEN 3 * len(list_intersect(sa.shs, sb.shs))

@@ -268,6 +268,56 @@ object VectorQueries extends QueryPack {
     pqCodeCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pqcodes")(
       pqEncode(s, d).localCheckpoint())
 
+  /** Crafted-PNG chunk assembly — ONE definition shared by
+    * q_dedup_phash_png (grayscale, color type 0) and q_multimodal_features
+    * (palette, color type 3 with a 256-entry identity-gray PLTE, so Rec.601
+    * luma of index i is exactly i and the decoded plane equals the text
+    * bytes). Expects `hx` (hex of the doc's UTF-8 bytes) and `h` (row
+    * count) columns in scope; returns the full 4-wide, depth-8 PNG payload:
+    * real IHDR/[PLTE/]IDAT/IEND chunks with correct CRC32s (Spark's
+    * codegen'd crc32 — the constant PLTE's CRC constant-folds), and a zlib
+    * stream carrying the filter-0 scanlines as one STORED deflate block
+    * with zero Adler-32 ([[graft.multimodal.PngDecode]] raw-inflates;
+    * full-zlib goldens cover validity) — the one deflate shape a SQL
+    * oracle can predict byte-for-byte (total bytes: 68 + 5·h grayscale,
+    * 848 + 5·h palette). PRECONDITION: h ≥ 1 — sequence(0, h-1) at h = 0
+    * runs DESCENDING ([0,-1]) and would splice garbage scanlines, so both
+    * callers gate <4-byte docs out of the wrap (phash_png filters them,
+    * q_multimodal_features leaves them on the raw-bytes arm).
+    */
+  private def craftedPng(paletted: Boolean): org.apache.spark.sql.Column = {
+    val rawLen = col("h") * lit(5) // per row: 1 filter byte + 4 bytes
+    def hexByte(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+    def hexBe32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    def crcHex(bodyHex: org.apache.spark.sql.Column) = hexBe32(crc32(unhex(bodyHex)))
+    // filter-0 scanlines: '00' + 4 payload bytes per row, one linear pass
+    val scan = expr(
+      "array_join(transform(sequence(0, h-1), r -> concat('00', substr(hx, r*8+1, 8))), '')")
+    // zlib: header 7801, one final STORED block (len/~len LE), zero Adler-32
+    val zlibHex = concat(lit("780101"),
+      hexByte(rawLen.bitwiseAND(lit(255))), hexByte(shiftright(rawLen, 8)),
+      hexByte((lit(65535) - rawLen).bitwiseAND(lit(255))),
+      hexByte(shiftright(lit(65535) - rawLen, 8)),
+      scan, lit("00000000"))
+    // IHDR: w=4, h, depth 8, color type 3 (palette) or 0 (gray), no interlace
+    val ihdrFull = concat(lit("49484452"),
+      lit("00000004"), hexBe32(col("h")),
+      lit(if (paletted) "0803000000" else "0800000000"))
+    val plteChunk =
+      if (paletted) {
+        val plteFull = lit("504C5445" +
+          (0 until 256).map(i => f"$i%02X" * 3).mkString)
+        concat(lit("00000300"), plteFull, crcHex(plteFull))
+      } else lit("")
+    val idatFull = concat(lit("49444154"), zlibHex)
+    unhex(concat(
+      lit("89504E470D0A1A0A"),
+      lit("0000000D"), ihdrFull, crcHex(ihdrFull),
+      plteChunk,
+      hexBe32(rawLen + lit(11)), idatFull, crcHex(idatFull),
+      lit("0000000049454E44AE426082")))
+  }
+
   /** nprobe=2 cell selection: each probe's two nearest TRAINED centroids by
     * rounded cosine, ties to the lower cid. `probes` is (pid, pe); returns
     * (pid, pcell) — 2 rows per probe, always tiny. ONE definition shared by
@@ -730,35 +780,15 @@ object VectorQueries extends QueryPack {
     "q_multimodal_features" -> ((s, d) => {
       val bin = encode(col("text"), "utf-8")
       val h = least(length(bin) / lit(4), lit(128)).cast("int")
-      val rawLen = col("h") * lit(5) // per row: 1 filter byte + 4 indices
-      def hexByte(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
-      def hexBe32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
-      def crcHex(bodyHex: org.apache.spark.sql.Column) = hexBe32(crc32(unhex(bodyHex)))
-      val scan = expr(
-        "array_join(transform(sequence(0, h-1), r -> concat('00', substr(hx, r*8+1, 8))), '')")
-      val zlibHex = concat(lit("780101"),
-        hexByte(rawLen.bitwiseAND(lit(255))), hexByte(shiftright(rawLen, 8)),
-        hexByte((lit(65535) - rawLen).bitwiseAND(lit(255))),
-        hexByte(shiftright(lit(65535) - rawLen, 8)),
-        scan, lit("00000000"))
-      // IHDR: w=4, h, depth 8, color type 3 (palette), no interlace
-      val ihdrFull = concat(lit("49484452"),
-        lit("00000004"), hexBe32(col("h")), lit("0803000000"))
-      // PLTE: identity gray ramp — entry i = (i,i,i), so Rec.601 luma of
-      // index i is exactly i and the decoded plane equals the text bytes
-      val plteFull = lit("504C5445" +
-        (0 until 256).map(i => f"$i%02X" * 3).mkString)
-      val idatFull = concat(lit("49444154"), zlibHex)
-      val palettePng = unhex(concat(
-        lit("89504E470D0A1A0A"),
-        lit("0000000D"), ihdrFull, crcHex(ihdrFull),
-        lit("00000300"), plteFull, crcHex(plteFull),
-        hexBe32(rawLen + lit(11)), idatFull, crcHex(idatFull),
-        lit("0000000049454E44AE426082")))
-      val wrapped = pmod(col("doc_id"), lit(7)) === 0
+      // h >= 1 mirrors q_dedup_phash_png's guard (craftedPng precondition):
+      // a <4-byte doc has no scanline to carry, so it stays on the honest
+      // raw-bytes arm instead of wrapping a malformed PNG (none at any SF;
+      // the oracle carries the same conjunct in lockstep).
+      val wrapped = pmod(col("doc_id"), lit(7)) === 0 && col("h") >= 1
       Tables.documents(s, d)
         .withColumn("hx", hex(bin)).withColumn("h", h)
-        .withColumn("payload", when(wrapped, palettePng).otherwise(bin))
+        .withColumn("payload",
+          when(wrapped, craftedPng(paletted = true)).otherwise(bin))
         .select(
           col("doc_id"),
           length(col("payload")).cast("long").as("n_bytes"),
@@ -840,32 +870,11 @@ object VectorQueries extends QueryPack {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), hex(bin).as("hx"), h.as("h"))
         .filter(col("h") >= 1) // <4-byte docs: nothing to wrap (none at any SF)
-      val rawLen = col("h") * lit(5) // per row: 1 filter byte + 4 pixels
-      def hexByte(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
-      def hexBe32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
-      def crcHex(bodyHex: org.apache.spark.sql.Column) = hexBe32(crc32(unhex(bodyHex)))
-      // filter-0 scanlines: '00' + 4 pixel bytes per row, one linear pass
-      val scan = expr(
-        "array_join(transform(sequence(0, h-1), r -> concat('00', substr(hx, r*8+1, 8))), '')")
-      // zlib: header 7801, one final STORED block (len/~len LE), zero
-      // Adler-32 (PngDecode raw-inflates; full-zlib goldens cover validity)
-      val zlibHex = concat(lit("780101"),
-        hexByte(rawLen.bitwiseAND(lit(255))), hexByte(shiftright(rawLen, 8)),
-        hexByte((lit(65535) - rawLen).bitwiseAND(lit(255))),
-        hexByte(shiftright(lit(65535) - rawLen, 8)),
-        scan, lit("00000000"))
-      val ihdrFull = concat(lit("49484452"), // 'IHDR' + w=4, h, depth 8, gray
-        lit("00000004"), hexBe32(col("h")), lit("0800000000"))
-      val idatFull = concat(lit("49444154"), zlibHex)
-      val payload = unhex(concat(
-        lit("89504E470D0A1A0A"),
-        lit("0000000D"), ihdrFull, crcHex(ihdrFull),
-        hexBe32(rawLen + lit(11)), idatFull, crcHex(idatFull),
-        lit("0000000049454E44AE426082")))
       TextQueries.closestPairs(TextQueries.bandedHammingPairs(
         base.select(col("doc_id"),
           graft.multimodal.MediaPipeline.phash(
-            graft.multimodal.MediaPipeline.lumaOrRaw(payload)).as("phash")),
+            graft.multimodal.MediaPipeline.lumaOrRaw(
+              craftedPng(paletted = false))).as("phash")),
         "phash", nBands = 4, maxHamming = 3))
     }),
 
@@ -1395,17 +1404,24 @@ object VectorQueries extends QueryPack {
     // bytes + 5 per scanline row; see the query comment) — 'exact' is a
     // REAL claim: if PngDecode's PLTE path rejected the payload, the Spark
     // side would emit 'stub' and the hash comparison would fail.
+    // `wrapped` carries the Spark side's h >= 1 conjunct: a <4-byte doc
+    // stays on the raw-bytes arm (octet_length on NULL text is NULL, so a
+    // NULL-text row falls to the ELSE arms on both engines).
     "q_multimodal_features" ->
-      """SELECT doc_id,
-        |       CASE WHEN doc_id % 7 = 0
+      """WITH t AS (SELECT *,
+        |             doc_id % 7 = 0
+        |               AND octet_length(CAST(text AS BLOB)) // 4 >= 1 AS wrapped
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN wrapped
         |            THEN 848 + 5 * LEAST(octet_length(CAST(text AS BLOB)) // 4, 128)
         |            ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes,
-        |       CASE WHEN doc_id % 7 = 0 THEN '89504E47'
+        |       CASE WHEN wrapped THEN '89504E47'
         |            ELSE substr(hex(CAST(text AS BLOB)), 1, 8) END AS header8,
-        |       CASE WHEN doc_id % 7 = 0 THEN 'image/png'
+        |       CASE WHEN wrapped THEN 'image/png'
         |            ELSE 'text/plain;lang=' || lang END AS mime,
-        |       CASE WHEN doc_id % 7 = 0 THEN 'exact' ELSE 'stub' END AS arm
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |       CASE WHEN wrapped THEN 'exact' ELSE 'stub' END AS arm
+        |FROM t ORDER BY doc_id""".stripMargin,
     // ASCII-fixture assumption (load-bearing): Spark slices the payload in
     // UTF-8 BYTES (MediaPipeline.sampleFrames over encode(text,'utf-8'))
     // while this oracle's substr(text, i*32+1, 32) slices CHARACTERS; the
