@@ -22,12 +22,18 @@ package graft.multimodal
   * chunk is skipped (tRNS included — alpha is ignored for luminance).
   *
   * Palette strictness: PLTE must be well-formed (len % 3 == 0, 1..256
-  * entries, before IDAT, exactly one) and every decoded index must be in
-  * range, else the whole payload is rejected — the never-a-wrong-pixel
-  * invariant shared with [[Vp8lDecode]]. (libpng errors on out-of-range
-  * indices too; some decoders zero-fill instead — a differential against
-  * such a decoder would see accept-vs-reject mismatches on malformed
-  * streams only, which is expected and intentional.)
+  * entries, after IHDR, before IDAT, exactly one) and every decoded index
+  * must be in range, else the whole payload is rejected — the
+  * never-a-wrong-pixel invariant shared with [[Vp8lDecode]]. The
+  * placement/shape rules apply to EVERY color type, not just the one that
+  * reads the palette: a PLTE on grayscale types 0/4 is spec-forbidden
+  * (§11.2.3) and rejects the payload, and a duplicate, post-IDAT, or
+  * size-invalid PLTE on truecolor types 2/6 rejects too (there it is a
+  * legal suggested palette when well-placed — validated, then skipped,
+  * never read). (libpng errors on out-of-range indices too; some decoders
+  * zero-fill instead — a differential against such a decoder would see
+  * accept-vs-reject mismatches on malformed streams only, which is
+  * expected and intentional.)
   *
   * Leniency, stated plainly: chunk CRC32s and the zlib Adler-32 trailer are
   * NOT verified (the stream is raw-inflated after a manual 2-byte zlib
@@ -71,8 +77,8 @@ object PngDecode {
     while (i < Sig.length) { if (p(i) != Sig(i)) return null; i += 1 }
 
     var w = 0; var h = 0; var channels = 0; var sampleBytes = 0
-    var isPalette = false; var depth = 0
-    var palette: Array[Byte] = null
+    var isPalette = false; var depth = 0; var colorType = -1
+    var palette: Array[Byte] = null; var sawPlte = false
     var passes: Array[(Int, Int, Int, Int)] = null
     var sawIhdr = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -96,7 +102,7 @@ object PngDecode {
           wL * hL > MaxPixels) return null
         w = wL.toInt; h = hL.toInt
         depth = p(dataOff + 8) & 0xff
-        val colorType = p(dataOff + 9) & 0xff
+        colorType = p(dataOff + 9) & 0xff
         val compression = p(dataOff + 10) & 0xff
         val filterMethod = p(dataOff + 11) & 0xff
         val interlace = p(dataOff + 12) & 0xff
@@ -119,17 +125,23 @@ object PngDecode {
           case _ => return null
         }
         if (wL * hL * channels * sampleBytes > MaxSampleBytes) return null
-      } else if (isPalette && t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
-        // PLTE: 1..256 RGB triples, exactly one, before any IDAT (spec
-        // §11.2.3) — enforced only on the arm that READS it (color type 3;
-        // isPalette implies sawIhdr). For other color types a PLTE is a
-        // suggested palette that never affects the luminance plane, so it
-        // is skipped like any ancillary chunk (a type-3 PLTE arriving
-        // before IHDR is also skipped here, leaving palette null → reject
-        // below, same outcome as an absent PLTE).
-        if (palette != null || idat.size() > 0 ||
+      } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
+        // PLTE placement/shape rules (spec §11.2.3) hold for EVERY color
+        // type, not just the one that READS the palette: after IHDR,
+        // before any IDAT, exactly one, 1..256 RGB triples. PLTE is
+        // spec-FORBIDDEN on the grayscale types 0 and 4, so its presence
+        // there rejects the payload (the decoder's documented contract is
+        // strict-reject; gating these checks on isPalette had silently
+        // widened acceptance for malformed type-0/2/4/6 streams — round-12
+        // ADVICE). On truecolor types 2/6 a well-placed PLTE is a legal
+        // suggested palette that never affects the luminance plane:
+        // validated, then skipped without storage.
+        if (!sawIhdr || colorType == 0 || colorType == 4) return null
+        if (sawPlte || idat.size() > 0 ||
           len == 0 || len % 3 != 0 || len > 768) return null
-        palette = java.util.Arrays.copyOfRange(p, dataOff, dataOff + len.toInt)
+        sawPlte = true
+        if (isPalette)
+          palette = java.util.Arrays.copyOfRange(p, dataOff, dataOff + len.toInt)
       } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
         if (!sawIhdr) return null
         idat.write(p, dataOff, len.toInt)

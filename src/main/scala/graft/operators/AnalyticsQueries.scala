@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.sources.Memo.PinOps
 
 /** Window functions, event-time windows, set ops, and the scalar-function
   * suite (SURVEY.md §2.5-2.7, §2.9-2.10). All category coverage (N): the
@@ -741,7 +742,7 @@ object AnalyticsQueries extends QueryPack {
       val ev = Tables.events(s, d)
       val oldAgg = ev.filter(col("event_id") % 11 =!= 0)
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_o"), v6.as("v_o")).localCheckpoint()
+        .agg(count(lit(1)).as("n_o"), v6.as("v_o")).pin()
       val deltaAgg = ev.filter(col("event_id") % 11 === 0)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_d"), v6.as("v_d"))
@@ -891,7 +892,7 @@ object AnalyticsQueries extends QueryPack {
       // (both branches) and the user-count scalar all read it — one corpus
       // scan, no recomputed lineage, no driver-side action.
       val items = Tables.events(s, d)
-        .select(col("user_id"), col("event_type")).distinct().localCheckpoint()
+        .select(col("user_id"), col("event_type")).distinct().pin()
       val perItem = items.groupBy(col("event_type")).agg(count(lit(1)).as("n_i"))
       val nUsers = items.select(col("user_id")).distinct()
         .agg(count(lit(1)).as("n_users"))
@@ -1047,7 +1048,7 @@ object AnalyticsQueries extends QueryPack {
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"),
           row_number().over(Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))
-        .localCheckpoint()
+        .pin()
         .createOrReplaceTempView("rec_ord")
       s2.sql(
         """WITH RECURSIVE walk(custkey, rn, okey, cum_c) AS (

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.sources.Memo.PinOps
 
 /** Distributed connected components by alternating large-star / small-star
   * contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -97,12 +98,12 @@ object Components {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .pin()
     var chk = edgeDigest(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).pin()
       val nchk = edgeDigest(next)
       converged = nchk == chk
       chk = nchk

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.sources.Memo.PinOps
 
 /** Join coverage (SURVEY.md §2.3). The reference performs no joins — its only
   * correlation is the regions × families nested loop (QHBaseCompact.java:144-146)
@@ -375,7 +376,7 @@ object JoinQueries extends QueryPack {
           (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("rev_c"))
         .groupBy(col("l_partkey"))
         .agg(sum(col("rev_c")).as("value_c"), count(lit(1)).as("n_items"))
-        .localCheckpoint()
+        .pin()
         .createOrReplaceTempView("pv_g")
       s2.sql(
         """SELECT l_partkey, value_c, CAST(n_items AS BIGINT) AS n_items
@@ -581,7 +582,7 @@ object JoinQueries extends QueryPack {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-    val hotKeys = skewHotKeys(s, d, sampled).localCheckpoint()
+    val hotKeys = skewHotKeys(s, d, sampled).pin()
     // Salt must key on a HIGH-ENTROPY per-row value or the hot key's rows
     // all land in one salt and the skew survives; (price, discount) is
     // near-unique per lineitem row. A table with no such column would

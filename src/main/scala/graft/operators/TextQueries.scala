@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.sources.Memo.PinOps
 import graft.functions.TextFns
 
 /** LLM-data-pipeline text operators (SURVEY.md §2.11, driver north star):
@@ -245,7 +246,7 @@ object TextQueries extends QueryPack {
     */
   private def bandPairsOf(buckets: org.apache.spark.sql.DataFrame) = {
     val marked = markBuckets(buckets, Seq("band", "bkey"), col("doc_id"))
-      .localCheckpoint()
+      .pin()
     val small = marked
       .filter(col("sz").between(2, BucketCap))
       .groupBy(col("band"), col("bkey"))
@@ -288,11 +289,11 @@ object TextQueries extends QueryPack {
   private val bucketCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
   private def memoBandBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
     bucketCache.get(graft.sources.Memo.key(s, d, "documents") + "#buckets")(
-      bandBuckets(s, d).localCheckpoint())
+      bandBuckets(s, d).pin())
 
   private[graft] def candidateEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     edgeCache.get(graft.sources.Memo.key(s, d, "documents"))(
-      bandPairsOf(memoBandBuckets(s, d)).distinct().localCheckpoint())
+      bandPairsOf(memoBandBuckets(s, d)).distinct().pin())
 
   /** Connectivity-equivalent star edge set (see [[starEdgesOf]]), memoized
     * like [[candidateEdges]] — the clustering family's input.
@@ -300,7 +301,7 @@ object TextQueries extends QueryPack {
   private val starCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
   private[graft] def starEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     starCache.get(graft.sources.Memo.key(s, d, "documents") + "#star")(
-      starEdgesOf(memoBandBuckets(s, d)).distinct().localCheckpoint())
+      starEdgesOf(memoBandBuckets(s, d)).distinct().pin())
 
   /** Per-doc triangle counts over the LSH candidate graph (Suri &
     * Vassilvitskii 2011): orient each edge from its lower (degree, id)
@@ -327,7 +328,7 @@ object TextQueries extends QueryPack {
           struct(col("doc_a").as("src"), col("doc_b").as("dst")))
           .otherwise(struct(col("doc_b").as("src"), col("doc_a").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint() // oriented edge list: one row per candidate edge
+      .pin() // oriented edge list: one row per candidate edge
     val wedges = o.as("x").join(o.as("y"),
         col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
       .select(col("x.src").as("apex"), col("x.dst").as("a"), col("y.dst").as("b"))
@@ -351,7 +352,7 @@ object TextQueries extends QueryPack {
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(TextFns.shinglesFromText(col("text"), 10)).as("gram"))
-        .localCheckpoint())
+        .pin())
 
   /** Distinct rolling 8-gram membership table (doc_id, gram) for the
     * decontamination query — DISTINCT because contamination is a set
@@ -365,7 +366,7 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"),
           explode(TextFns.shinglesFromText(col("text"), 8)).as("gram"))
         .distinct()
-        .localCheckpoint())
+        .pin())
 
   /** Byte-banded Hamming pairing over an integer signature column — ONE
     * pipeline shared by q_dedup_simhash_pairs (16-bit SimHash, 2 bands)
@@ -416,7 +417,7 @@ object TextQueries extends QueryPack {
     // longs, two band bytes, the rep struct), sized by n·nBands.
     val marked = markBuckets(bandedOf(sigs, sigCol, nBands),
         Seq("band", "bval"), struct(col("doc_id"), col("sig")))
-      .localCheckpoint()
+      .pin()
     def pairStruct(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       struct(
         a.getField("doc_id").as("doc_a"),
@@ -506,7 +507,7 @@ object TextQueries extends QueryPack {
   private val labelCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String) =
     labelCache.get(graft.sources.Memo.key(s, d, "documents"))(
-      dedupClusters(s, d).localCheckpoint())
+      dedupClusters(s, d).pin())
 
   /** DSIR sufficient statistics per document — (doc_id, n_tok, s6) where s6
     * is the exact µ-unit sum of per-token log-likelihood ratios under the
@@ -519,8 +520,8 @@ object TextQueries extends QueryPack {
   private def dsirScores(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val K = 20
     val tok = docTokens(s, d)
-    val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("cc")).localCheckpoint()
-    val vocab = corpus.orderBy(col("cc").desc, col("w")).limit(K).localCheckpoint()
+    val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("cc")).pin()
+    val vocab = corpus.orderBy(col("cc").desc, col("w")).limit(K).pin()
     val target = tok.filter(col("lang") === "en")
       .groupBy(col("w")).agg(count(lit(1)).as("ct"))
     val scalars = corpus.agg(sum(col("cc")).as("nc"))
@@ -561,10 +562,10 @@ object TextQueries extends QueryPack {
   private def unigramDocLp(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val K = 20
     val tok = docTokens(s, d)
-    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint()
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).pin()
     // Top-K by count, w ASC tiebreak — a TakeOrdered over the vocab-sized
     // count table, deterministic in both engines.
-    val topk = uni.orderBy(col("c").desc, col("w")).limit(K).localCheckpoint()
+    val topk = uni.orderBy(col("c").desc, col("w")).limit(K).pin()
     val scal = uni.agg(sum(col("c")).as("n_total"))
       .crossJoin(topk.agg(sum(col("c")).as("n_vocab")))
     val lm = topk.crossJoin(broadcast(scal))
@@ -589,7 +590,7 @@ object TextQueries extends QueryPack {
   private val dsirCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
   private def dsirScoresMemo(s: org.apache.spark.sql.SparkSession, d: String) =
     dsirCache.get(graft.sources.Memo.key(s, d, "documents"))(
-      dsirScores(s, d).localCheckpoint())
+      dsirScores(s, d).pin())
 
   /** Persisted corpus band-key store — (corpus_doc, skey) for the corpus
     * split (doc_id % 10 != 7), bucketed+sorted by skey ("yesterday's
@@ -646,7 +647,7 @@ object TextQueries extends QueryPack {
           .distinct()
           .select(col("doc_a").as("u"), col("doc_b").as("v")))
         .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-        .localCheckpoint()
+        .pin()
     }
 
   /** The new snapshot's candidate edges (u, v), u = any endpoint: corpus↔new
@@ -742,7 +743,7 @@ object TextQueries extends QueryPack {
     // whole minhash pipeline twice.
     "q_dedup_minhash_est" -> ((s, d) => {
       val cands = candidateEdges(s, d)
-      val mh = minhashSigsOf(shinglesOf(Tables.documents(s, d))).localCheckpoint()
+      val mh = minhashSigsOf(shinglesOf(Tables.documents(s, d))).pin()
       val agree = cands
         .join(mh.select(col("doc_id").as("doc_a"), col("i"), col("minh").as("ma")), "doc_a")
         .join(mh.select(col("doc_id").as("doc_b"), col("i"), col("minh").as("mb")),
@@ -812,7 +813,7 @@ object TextQueries extends QueryPack {
       val edges = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       val e2 = edges.join(deg, "u")
-        .select(col("u"), col("v"), col("deg")).localCheckpoint()
+        .select(col("u"), col("v"), col("deg")).pin()
       val nC = deg.agg(count(lit(1)).cast("double").as("nn"))
       // Ranks are carried as exact µ-unit LONGS (pru = pr·1e6): each
       // node's incoming contributions are `pru div deg` integer divisions
@@ -886,10 +887,10 @@ object TextQueries extends QueryPack {
       //     surviving candidates, one row at a time.
       // Output is bit-identical to the round-8 spelling (same oracle);
       // PrefixStarSpec pins both the star semantics and the bounded plan.
-      val docsT = prefixDocsOf(s, d).localCheckpoint()
+      val docsT = prefixDocsOf(s, d).pin()
       val marked = markBuckets(prefixTokensFrom(docsT),
           Seq("w"), struct(col("doc_id"), col("n")))
-        .localCheckpoint() // thin: (doc_id, n, w, rep struct, sz)
+        .pin() // thin: (doc_id, n, w, rep struct, sz)
       val small = marked
         .filter(col("sz").between(2, BucketCap))
         .groupBy(col("w"))
@@ -1045,7 +1046,7 @@ object TextQueries extends QueryPack {
     // Recall vs ground truth is NOT reported — that would need the
     // all-pairs join this family exists to avoid (documented omission).
     "q_dedup_lsh_sweep" -> ((s, d) => {
-      val sigs = minhashSigsOf(docShingles(s, d)).localCheckpoint()
+      val sigs = minhashSigsOf(docShingles(s, d)).pin()
       def candFor(r: Int) = bandPairsOf(
         sigs.withColumn("band", expr(s"i div $r").cast("int"))
           .groupBy(col("doc_id"), col("band"))
@@ -1262,7 +1263,7 @@ object TextQueries extends QueryPack {
     "q_dedup_hamming_join" -> ((s, d) => {
       // materialize once — the self-join's two legs must not rebuild the
       // 60-plane signature aggregation twice (the join stays naive)
-      val sig = simhashSigsN(s, d, 60, "sig").localCheckpoint()
+      val sig = simhashSigsN(s, d, 60, "sig").pin()
       val a = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val b = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
       a.join(b, expr("bit_count(sig_a ^ sig_b) <= 2") && col("doc_a") < col("doc_b"))
@@ -1412,7 +1413,7 @@ object TextQueries extends QueryPack {
           // thresholded builtin (FunctionsSpec), ~free on near-dup pairs
           TextFns.bandedEditDist(col("ta"), col("tb"), t).cast("long").as("dist"))
         .where(col("dist") >= 0)
-        .localCheckpoint()
+        .pin()
       var t = math.min(8, math.max(maxLen, 1))
       var q = withinT(t)
       while (q.count() < 10 && t < maxLen) {
@@ -1490,8 +1491,8 @@ object TextQueries extends QueryPack {
     "q_text_bigram_lp" -> ((s, d) => {
       val K = 20; val K2 = 30
       val tok = docTokens(s, d)
-      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).localCheckpoint()
-      val topk = uni.orderBy(col("c").desc, col("w")).limit(K).localCheckpoint()
+      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c")).pin()
+      val topk = uni.orderBy(col("c").desc, col("w")).limit(K).pin()
       val scal = uni.agg(sum(col("c")).as("n_total"))
         .crossJoin(topk.agg(sum(col("c")).as("n_vocab")))
       val ulm = topk.crossJoin(broadcast(scal))
@@ -1510,7 +1511,7 @@ object TextQueries extends QueryPack {
         .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
         .select(col("bg"),
           round(log(col("cb") / col("c1")) * lit(1e6)).cast("long").as("blp6"))
-        .localCheckpoint()
+        .pin()
       bg
         .withColumn("w2", split(col("bg"), " ").getItem(1))
         .join(broadcast(blm), Seq("bg"), "left_outer")
@@ -2273,7 +2274,7 @@ object TextQueries extends QueryPack {
     "q_text_tfidf" -> ((s, d) => {
       val tok = docTokens(s, d).select(col("doc_id"), col("w"))
       val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+        .pin()
       val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
@@ -2377,7 +2378,7 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"), explode(col("ts")).as("w"))
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .pin()
 
   /** DuckDB fragment reproducing [[TextFns.rollingHash]] exactly. */
   private[operators] def rhSql(e: String): String =

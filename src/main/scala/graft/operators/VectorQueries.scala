@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.sources.Memo.PinOps
 import graft.functions.VectorFns
 
 /** Similarity search + multimodal columns (SURVEY.md §2.11): brute-force
@@ -50,7 +51,7 @@ object VectorQueries extends QueryPack {
     val e = Tables.embeddings(s, d)
     var cents = e.filter(col("vec_id").between(1, 8))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      .localCheckpoint()
+      .pin()
     for (_ <- 1 to 2) {
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("sim", VectorFns.cosine(col("embedding"), col("ce")))
@@ -75,7 +76,7 @@ object VectorQueries extends QueryPack {
           p => round(p.getField("mv"), 6).cast("float")).as("nce"))
       cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("nce"), col("ce")).as("ce"))
-        .localCheckpoint()
+        .pin()
     }
     cents
   }
@@ -147,7 +148,7 @@ object VectorQueries extends QueryPack {
   private val embedPairsCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
   private def embedPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     embedPairsCache.get(graft.sources.Memo.key(s, d, "embeddings"))(
-      embedCandidates(s, d).localCheckpoint())
+      embedCandidates(s, d).pin())
 
   /** Long-form subvector view for product quantization: (vec_id, m, sv)
     * with M=4 subspaces of 16 dims each. One projection, no shuffle.
@@ -191,7 +192,7 @@ object VectorQueries extends QueryPack {
   private def trainPqCodebooks(subs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val seeds = subs.filter(col("vec_id").between(1, 4))
         .select(col("m"), col("vec_id").as("code"), col("sv").as("ce"))
-        .localCheckpoint()
+        .pin()
       val assigned = subs.join(broadcast(seeds), Seq("m"))
         .withColumn("du", d2u(col("sv"), col("ce")))
         .groupBy(col("vec_id"), col("m"))
@@ -209,7 +210,7 @@ object VectorQueries extends QueryPack {
           p => round(p.getField("mv"), 6).cast("float")).as("nce"))
       seeds.join(means, Seq("m", "code"), "left")
         .select(col("m"), col("code"), coalesce(col("nce"), col("ce")).as("ce"))
-        .localCheckpoint()
+        .pin()
     }
 
   /** Residual subvector view for IVF-PQ (the FAISS IndexIVFPQ design): the
@@ -248,7 +249,7 @@ object VectorQueries extends QueryPack {
         .withColumn("du", d2u(col("sv"), col("ce")))
         .groupBy(col("vec_id"), col("m"))
         .agg(min_by(col("code"), struct(col("du"), col("code"))).as("code"))
-        .localCheckpoint())
+        .pin())
 
   /** PQ encode pass: every vector → its 4 subspace codes (the compressed
     * index row). One broadcast-join + argmin pass.
@@ -266,7 +267,7 @@ object VectorQueries extends QueryPack {
   private val pqCodeCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
   private def pqCodes(s: org.apache.spark.sql.SparkSession, d: String) =
     pqCodeCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pqcodes")(
-      pqEncode(s, d).localCheckpoint())
+      pqEncode(s, d).pin())
 
   /** Crafted-PNG chunk assembly — ONE definition shared by
     * q_dedup_phash_png (grayscale, color type 0) and q_multimodal_features
@@ -391,10 +392,10 @@ object VectorQueries extends QueryPack {
     * residual codes + the per-(probe, cell) residual ADC table score them.
     */
   private def ivfpqTop10(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val assigned = ivfAssigned(s, d).localCheckpoint()
+    val assigned = ivfAssigned(s, d).pin()
     val probes = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"))
-    val top2 = ivfTop2Cells(s, d, probes).localCheckpoint()
+    val top2 = ivfTop2Cells(s, d, probes).pin()
     val cands = assigned.join(broadcast(top2), col("cell") === col("pcell"))
       .filter(col("vec_id") =!= col("pid"))
       .select(col("pid"), col("pcell"), col("vec_id"))
@@ -581,7 +582,7 @@ object VectorQueries extends QueryPack {
           .filter(col("vec_id") =!= col("pid"))
           .select(col("pid"), col("vec_id"),
             round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r")))
-        .localCheckpoint() // three method scoreboards read it; tiny (200 rows)
+        .pin() // three method scoreboards read it; tiny (200 rows)
       val eb = e.withColumn("bkt", VectorFns.signBucket(col("embedding"), 4))
       val probeB = eb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("bkt").as("pbkt"))
@@ -590,7 +591,7 @@ object VectorQueries extends QueryPack {
           .filter(col("bkt") === col("pbkt") && col("vec_id") =!= col("pid"))
           .select(col("pid"), col("vec_id"),
             round(VectorFns.cosine(col("embedding"), col("pe")), 6).as("cos_r")))
-      val assigned = ivfAssigned(s, d).localCheckpoint() // probe + candidate sides
+      val assigned = ivfAssigned(s, d).pin() // probe + candidate sides
       val probeA = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cell").as("pcell"))
       val ivf = top10PerProbe(
@@ -673,7 +674,7 @@ object VectorQueries extends QueryPack {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("pid")).orderBy(col("du"), col("vec_id"))))
         .filter(col("rn") <= 10).select(col("pid"), col("vec_id"))
-        .localCheckpoint()
+        .pin()
       val pqTop = adcRanked(
         pqCodes(s, d).join(broadcast(pqAdcTable(s, d)), Seq("m", "code"))
           .filter(col("vec_id") =!= col("pid")))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Shared staleness-proof memoization for per-snapshot artifacts (LSH edge
   * sets, cluster labels, trained centroids, persisted signature tables).
@@ -49,5 +49,53 @@ object Memo {
   final class Cache[V] {
     private val m = new java.util.concurrent.ConcurrentHashMap[String, V]()
     def get(key: String)(compute: => V): V = m.computeIfAbsent(key, _ => compute)
+  }
+
+  /** Materialization PIN for per-run intermediates (`ds.pin()` via
+    * [[PinOps]]) — the one switch between the two Spark checkpoint
+    * flavors, governing every pipeline call site:
+    *
+    *  - `spark.graft.checkpoint.mode=local` (default):
+    *    `Dataset.localCheckpoint()` — blocks stored on EXECUTOR
+    *    local disk/memory. Right for local mode and for clusters where a
+    *    lost executor may simply recompute-fail the query (the artifacts
+    *    pinned here are per-run intermediates, cheap to rebuild by
+    *    re-running). The failure semantics on a real cluster: the
+    *    checkpointed blocks die with their executor, and any job that
+    *    still references them FAILS (Spark cannot recompute a truncated
+    *    lineage) — the query must be re-run from source.
+    *  - `spark.graft.checkpoint.mode=reliable`:
+    *    `Dataset.checkpoint()` — blocks written to the fault-tolerant
+    *    `SparkContext.setCheckpointDir` filesystem (HDFS/S3). Executor
+    *    loss is survivable; the cost is a distributed-FS write per pin.
+    *    Required for long multi-stage production runs (the 100 TB
+    *    posture) where re-running from source on one lost executor is
+    *    unacceptable. The checkpoint dir must be set or `pin()` throws
+    *    with instructions rather than silently falling back.
+    *
+    * Both flavors are eager and truncate lineage — plan shape downstream
+    * is identical (an RDD scan), so the switch never changes results or
+    * downstream optimization; MemoSpec pins result-equality across modes
+    * on a real consumer.
+    */
+  def pin[T](ds: Dataset[T]): Dataset[T] = {
+    val s = ds.sparkSession
+    s.conf.get("spark.graft.checkpoint.mode", "local") match {
+      case "local" => ds.localCheckpoint()
+      case "reliable" =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          throw new IllegalStateException(
+            "spark.graft.checkpoint.mode=reliable requires " +
+              "SparkContext.setCheckpointDir (a fault-tolerant path, e.g. HDFS/S3)")
+        ds.checkpoint()
+      case other =>
+        throw new IllegalArgumentException(
+          s"spark.graft.checkpoint.mode=$other (expected 'local' or 'reliable')")
+    }
+  }
+
+  /** `ds.pin()` — the pipeline spelling of [[pin]]. */
+  implicit final class PinOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def pin(): Dataset[T] = Memo.pin(ds)
   }
 }

@@ -54,6 +54,54 @@ class MemoSpec extends AnyFunSuite with SparkSpec {
     assert(labels() == Map(2L -> 2L, 3L -> 2L))
   }
 
+  test("pin() honors spark.graft.checkpoint.mode: local by default, reliable writes the checkpoint dir, results identical") {
+    import graft.sources.Memo.PinOps
+    val ckpDir = java.nio.file.Files.createTempDirectory("graft_pin_ckp").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_pin_q").toString
+    writeDocs(dir, Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely unrelated prose about spark physical plans")))
+    def countCkpFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum else 1
+      walk(new java.io.File(ckpDir))
+    }
+    val df = spark.range(100).select(col("id"), (col("id") % 7).as("k"))
+    // default mode: localCheckpoint — nothing lands in the reliable dir
+    val local = df.pin()
+    assert(local.collect().toSeq == df.collect().toSeq)
+    // a real consumer under RELIABLE mode: same answer, checkpoint dir used.
+    // q_dedup_components runs the full memoized banding + star-contraction
+    // pipeline — 10 pin() sites fire under the switch in one query.
+    val modeKey = "spark.graft.checkpoint.mode"
+    val want = SparkEntry.queries("q_dedup_components")(spark, dir)
+      .select(col("doc_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+    spark.conf.set(modeKey, "reliable")
+    try {
+      // reliable without a checkpoint dir: throw with instructions, never
+      // a silent localCheckpoint fallback
+      val ex = intercept[IllegalStateException](df.pin())
+      assert(ex.getMessage.contains("setCheckpointDir"))
+      spark.sparkContext.setCheckpointDir(ckpDir)
+      val before = countCkpFiles()
+      val reliable = df.pin()
+      assert(reliable.collect().toSeq == df.collect().toSeq)
+      assert(countCkpFiles() > before, "reliable pin must write the checkpoint dir")
+      // fixture REWRITE defeats the memo (staleness guard), so the consumer
+      // below re-runs its pipeline under the reliable switch end to end
+      writeDocs(dir, Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "entirely unrelated prose about spark physical plans")))
+      val got = SparkEntry.queries("q_dedup_components")(spark, dir)
+        .select(col("doc_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+      assert(got == want, "reliable mode must not change results")
+      spark.conf.set(modeKey, "bogus")
+      intercept[IllegalArgumentException](df.pin())
+    } finally spark.conf.unset(modeKey)
+  }
+
   test("concurrent first callers compute once per key") {
     val cache = new Memo.Cache[java.lang.Long]
     val calls = new java.util.concurrent.atomic.AtomicLong
