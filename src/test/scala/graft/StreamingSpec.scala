@@ -85,6 +85,108 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       batch.orderBy("user_id", "event_type").collect().toSeq)
   }
 
+  test("compactionLoop restart-from-checkpoint: resumes at the next batch, prior output untouched, torn batch dir repaired") {
+    // The reference's crash-resumable-cursor semantics
+    // (QHBaseCompact.java:102-115,133) end to end: the daemon dies between
+    // polls (run 1 drains and stops), a new file lands AND a half-written
+    // output of the never-committed next batch is left behind (crash after
+    // the data write began, before the checkpoint commit); the restarted
+    // daemon must resume from checkpointLocation — reprocessing nothing it
+    // committed, repairing the torn directory via the batchId-keyed
+    // overwrite.
+    val in  = tmp("restart-in")
+    val out = tmp("restart-out")
+    val ckp = tmp("restart-ckp")
+    val keys = Seq("user_id", "event_type"); val ord = Seq("ts", "event_id")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+    half1.coalesce(1).write.mode("append").parquet(in)
+
+    StreamingDaemon.compactionLoop(spark, in, out, ckp, keys, ord).awaitTermination()
+    def fileSig(dir: String): Map[String, (Long, Long)] =
+      new java.io.File(dir).listFiles().filter(_.isFile)
+        .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    assert(new java.io.File(s"$out/batch=0").exists, "run 1 must commit batch 0")
+    val b0sig = fileSig(s"$out/batch=0")
+
+    // while the daemon is down: a new input file lands, and a TORN write of
+    // the next batch sits in the output (wrong rows — a failed overwrite
+    // would be detectable, unlike an empty placeholder)
+    half2.coalesce(1).write.mode("append").parquet(in)
+    half2.limit(3).withColumn("value", lit(-999.0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=1")
+
+    StreamingDaemon.compactionLoop(spark, in, out, ckp, keys, ord).awaitTermination()
+    // batch 0 was not reprocessed — byte-identical file listing
+    assert(fileSig(s"$out/batch=0") == b0sig, "restart reprocessed a committed batch")
+    // the torn batch=1 was repaired: exactly the LWW of the new file
+    val b1 = spark.read.parquet(s"$out/batch=1")
+    assert(b1.filter(col("value") === -999.0).count() == 0, "torn write survived the replay")
+    assert(b1.orderBy("user_id", "event_type").collect().toSeq ==
+      Compaction.lastWriteWins(half2, keys, ord).orderBy("user_id", "event_type").collect().toSeq)
+    // resumed output re-compacted equals batch truth over everything
+    val streamed = Compaction.lastWriteWins(spark.read.parquet(s"$out/batch=*"), keys, ord)
+    assert(streamed.orderBy("user_id", "event_type").collect().toSeq ==
+      Compaction.lastWriteWins(ev, keys, ord).orderBy("user_id", "event_type").collect().toSeq)
+
+    // a third restart with no new input: nothing new, nothing rewritten
+    val allSig = fileSig(s"$out/batch=0") ++ fileSig(s"$out/batch=1").map { case (k, v) => s"b1/$k" -> v }
+    StreamingDaemon.compactionLoop(spark, in, out, ckp, keys, ord).awaitTermination()
+    assert(new java.io.File(out).listFiles().count(_.getName.startsWith("batch=")) == 2)
+    assert(fileSig(s"$out/batch=0") ++ fileSig(s"$out/batch=1").map { case (k, v) => s"b1/$k" -> v } == allSig)
+  }
+
+  test("ingestDedupLoop restart-from-checkpoint: dedup state persists across the process death") {
+    // The cross-batch gating test's scenario, but with the daemon KILLED and
+    // RESTARTED between the two batches: batch 2's near-dup of a batch-1
+    // admission must still be rejected, which proves the persisted signature
+    // store + checkpoint (not in-memory state) carry the dedup across
+    // restarts.
+    val sf = "/root/testdata/sf0.001"
+    val in  = tmp("ri-in")
+    val out = tmp("ri-out")
+    val ckp = tmp("ri-ckp")
+    val sig = tmp("ri-sig")
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val fresh  = docs.filter(col("doc_id") % 10 === 7)
+    val corpusSigs = graft.operators.TextQueries.bandKeysOf(corpus)
+      .withColumnRenamed("doc_id", "corpus_doc").localCheckpoint()
+    val expected1 = fresh
+      .join(graft.operators.TextQueries.bandKeysOf(fresh)
+          .join(corpusSigs, "skey").select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+
+    fresh.coalesce(1).write.mode("append").parquet(in)
+    StreamingDaemon.ingestDedupLoop(spark, in, corpusSigs, out, ckp, sig).awaitTermination()
+    val kept1 = spark.read.parquet(s"$out/batch=*").select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(kept1 == expected1)
+
+    // daemon down; batch 2 lands: an exact clone of an admitted batch-1 doc
+    // plus a genuinely novel document
+    val keeper = docs.filter(col("doc_id") === expected1.min)
+    val novelText = (1 to 60).map(i => s"rst${i}blick").mkString(" ")
+    keeper.withColumn("doc_id", col("doc_id") + 2000000L)
+      .union(keeper
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("text", lit(novelText)))
+      .coalesce(1).write.mode("append").parquet(in)
+
+    StreamingDaemon.ingestDedupLoop(spark, in, corpusSigs, out, ckp, sig).awaitTermination()
+    val kept = spark.read.parquet(s"$out/batch=*").select("doc_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    // batch 1's output is untouched and still exactly expected1
+    assert(kept.filter(_ < 2000000L) == expected1)
+    // the clone of a PRE-RESTART admission was rejected by the persisted store
+    assert(!kept.exists(id => id >= 2000000L && id < 3000000L),
+      "near-dup of a pre-restart admission was re-admitted — state lost across restart")
+    // while the novel doc of the same post-restart batch was admitted
+    assert(kept.exists(_ >= 3000000L), "novel post-restart doc wrongly rejected")
+  }
+
   test("streamingDedupKeysOnly keeps one row per key across differing event times") {
     val in = tmp("dwk-in")
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
