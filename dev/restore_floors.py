@@ -4,17 +4,27 @@ tail into the floors file, for queries whose implementation is unchanged
 since that round's binary (changed queries must keep floors that reflect
 current code). Dev-only tool; idempotent (min-merge can only lower floors).
 
+Since round 12 floors carry a host calibration (bench/floor_calib.json,
+see BenchFloors.scala / BASELINE.md "Floor calibration"): when this script
+lowers a floor it also updates that key's calib entry — from the source
+bench's own "calib" field when present, else by DELETING the entry so the
+key falls back to _calib_ref_estimate rather than keeping a stale stamp.
+
 Usage: python3 dev/restore_floors.py BENCH_r07.json bench/floors.json \
           q_changed_a,q_changed_b,...
 """
-import sys, json, re
+import sys, json, re, os
 
 bench_file, floors_file = sys.argv[1], sys.argv[2]
 exclude = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+calib_file = os.path.join(os.path.dirname(floors_file), "floor_calib.json")
 
 tail = json.load(open(bench_file))["tail"]
 recovered = {k: float(v) for k, v in re.findall(r'"(q_[a-z0-9_]+)":([0-9.eE+-]+)', tail)}
+m = re.search(r'"calib":([0-9.eE+-]+)', tail)
+src_calib = float(m.group(1)) if m else None
 floors = json.load(open(floors_file))
+calib = json.load(open(calib_file)) if os.path.exists(calib_file) else {}
 
 merged = lowered = skipped = 0
 for q, v in recovered.items():
@@ -25,10 +35,18 @@ for q, v in recovered.items():
     old = floors.get(key)
     if old is None or v < old:
         floors[key] = v
+        if src_calib is not None:
+            calib[key] = src_calib
+        else:
+            calib.pop(key, None)  # fall back to _calib_ref_estimate
         lowered += 1
     merged += 1
 
 with open(floors_file, "w") as f:
     json.dump(dict(sorted(floors.items())), f, separators=(",", ":"))
     f.write("\n")
-print(f"recovered={len(recovered)} merged={merged} lowered={lowered} skipped_changed={skipped}")
+with open(calib_file, "w") as f:
+    json.dump(dict(sorted(calib.items())), f, separators=(",", ":"))
+    f.write("\n")
+print(f"recovered={len(recovered)} merged={merged} lowered={lowered} "
+      f"skipped_changed={skipped} src_calib={src_calib}")

@@ -1,0 +1,135 @@
+package graft
+
+/** Host-calibrated floor bookkeeping for [[Bench]].
+  *
+  * The per-query floors in `bench/floors.json` are minima accumulated
+  * across every bench run — but across HOSTS of different per-core speed,
+  * a raw run/floor comparison conflates host drift with code regressions:
+  * round 11 ended on a VM ~1.7× slower per core than the one that seeded
+  * most floors, which made the ratchet dead (no run could lower a floor)
+  * and the regression signal mute (every ratio inflated uniformly).
+  *
+  * The fix is a CALIBRATION measurement: a deterministic, pure-JVM,
+  * single-thread workload (xorshift64* stream + Arrays.sort rounds — the
+  * integer-hash + sort mix the query engine itself is made of) timed as
+  * min-of-reps at the start of every bench run. Each floor is stored
+  * alongside the calibration of the run that recorded it
+  * (`bench/floor_calib.json`, same keys as floors.json); floors that
+  * predate calibration fall back to the file's `_calib_ref_estimate`
+  * entry (derived mechanically — see BASELINE.md "Floor calibration").
+  * The judge/driver comparison is then host-normalized:
+  *
+  *   normalizedRatio = (run / runCalib) / (floor / floorCalib)
+  *
+  * i.e., both sides are expressed in calibration units before comparing,
+  * so a uniformly slower host cancels out and a genuine per-query
+  * regression still shows. BenchFloorsSpec holds the deliberately-slowed
+  * sanity check: same code on a 2×-slower host normalizes to 1.0; a real
+  * 2× regression on that host still reads 2.0.
+  */
+object BenchFloors {
+
+  /** Min-of-`reps` seconds for the fixed calibration workload. Single
+    * thread (the host drift observed was per-core speed), deterministic
+    * (no RNG seed drift, no allocation-size dependence on input), sized
+    * to run long enough that JIT + one GC cycle amortize inside the reps
+    * and the min is a stable per-core speed measure (~0.2-0.5 s/rep).
+    */
+  def calibrate(reps: Int = 5): Double = {
+    var best = Double.MaxValue
+    var sink = 0L
+    var rep = 0
+    while (rep < reps) {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      val arr = new Array[Long](1 << 16)
+      var round = 0
+      while (round < 48) {
+        var i = 0
+        while (i < arr.length) {
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+          arr(i) = x * 0x2545f4914f6cdd1dL
+          i += 1
+        }
+        java.util.Arrays.sort(arr)
+        sink ^= arr(round)
+        round += 1
+      }
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      rep += 1
+    }
+    // keep `sink` observably live so the loop cannot be optimized away
+    if (sink == 0x5ca1ab1eL) System.err.println("[bench] calib sink collision")
+    best
+  }
+
+  /** Parse a flat one-level `{"k":1.23,...}` JSON object (the floors /
+    * floor-calib file format). The file is consumed MECHANICALLY by the
+    * judge; an entry silently dropped by this hand-rolled parser would
+    * erase a floor without a trace, so any parse loss warns on stderr.
+    * Duplicate keys (hand merge) MIN-merge with their own warning, never
+    * silent last-wins.
+    */
+  def parseFlatJson(txt: String, warnTag: String): Map[String, Double] = {
+    val body = txt.dropWhile(_ != '{').drop(1).takeWhile(_ != '}')
+    val entries = body.split(",").iterator.filter(_.trim.nonEmpty).toSeq
+    val parsedPairs = entries.flatMap { kv =>
+      kv.split(":") match {
+        case Array(k, v) =>
+          val key = k.trim.stripPrefix("\"").stripSuffix("\"")
+          scala.util.Try(v.trim.toDouble).toOption.map(key -> _)
+        case _ => None
+      }
+    }
+    if (parsedPairs.size != entries.size)
+      System.err.println(s"[bench] WARN: $warnTag: ${entries.size - parsedPairs.size}/${entries.size} entries unparseable, dropped from the merge")
+    parsedPairs.groupBy(_._1).map { case (key, vs) =>
+      val values = vs.map(_._2)
+      if (values.distinct.size > 1)
+        System.err.println(s"[bench] WARN: $warnTag: duplicate key $key with conflicting values ${values.mkString(", ")}; keeping the minimum")
+      key -> values.min
+    }
+  }
+
+  def renderFlatJson(m: Map[String, Double]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
+  /** Floor + calibration merge for one bench run.
+    *
+    * Floors: start FROM the prior map (a failed or renamed-away query
+    * keeps its recorded floor), take the min per key; legacy
+    * un-namespaced keys (no "|") are dropped. Calib: an entry follows its
+    * floor — (re)written with `runCalib` exactly when this run seeds or
+    * lowers that floor, kept otherwise; meta keys (leading "_", e.g.
+    * `_calib_ref_estimate`) pass through untouched.
+    */
+  def merge(
+      priorFloors: Map[String, Double],
+      priorCalib: Map[String, Double],
+      results: Seq[(String, Double)],
+      sfTag: String,
+      runCalib: Double): (Map[String, Double], Map[String, Double]) = {
+    val base = priorFloors.filter(_._1.contains("|"))
+    var floors = base
+    var calib = priorCalib
+    results.foreach { case (name, t) =>
+      if (t >= 0) {
+        val key = sfTag + "|" + name
+        if (t < base.getOrElse(key, Double.MaxValue)) {
+          floors += key -> t
+          calib += key -> runCalib
+        }
+      }
+    }
+    (floors, calib)
+  }
+
+  /** Host-normalized run/floor ratio: both sides in calibration units.
+    * `floorCalib` is the per-key entry from floor_calib.json, or the
+    * file's `_calib_ref_estimate` for pre-calibration floors.
+    */
+  def normalizedRatio(runSec: Double, runCalib: Double,
+      floorSec: Double, floorCalib: Double): Double =
+    (runSec / runCalib) / (floorSec / floorCalib)
+}
