@@ -35,7 +35,19 @@ import org.apache.spark.sql.functions._
   * stars) exist to survive. Pass = bounded wall time, no OOM, cap audit
   * reporting max_bucket ≈ K with star_edges recovered.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [K] [query,query,...] [rows|length|dims|hotbucket]
+  * A COMBINED axis, `combo` mode (round 12): K× rows AND 8× length
+  * together — the axes had only been soaked independently, and hot
+  * buckets of LONG documents stress the prefix path's token-array joins
+  * (and every pairwise verifier's per-pair cost) differently than either
+  * axis alone: bucket membership grows with rows while each verify pays
+  * the long-document price. Replica families stay genuine near-dup
+  * clusters (rows-style tail token per replica) of 8×-repeated text
+  * (length-style tail token per repeat). Embeddings/events ride at 1× —
+  * the text path is the object under combined stress. Pass = per-query
+  * wall time ≈ (rows factor) × (length mode cost at 8×), nothing
+  * super-linear in the product.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [K] [query,query,...] [rows|length|dims|hotbucket|combo]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -44,7 +56,7 @@ object ScaleProbe {
     // positional-ish: mode is whichever arg says length/rows (default rows);
     // the query list is whichever arg starts with "q_" — so a run can skip
     // the list without shell-quoting an empty placeholder
-    val mode = args.find(Set("length", "rows", "dims", "hotbucket")).getOrElse("rows")
+    val mode = args.find(Set("length", "rows", "dims", "hotbucket", "combo")).getOrElse("rows")
     val out = java.nio.file.Files.createTempDirectory("scaleprobe").toString
     val spark = Sessions.tuned("local[32]", "32")
     spark.sparkContext.setLogLevel("WARN")
@@ -63,6 +75,24 @@ object ScaleProbe {
           col("lang"), col("source"))
           .withColumn("n_chars", length(col("text")).cast("long"))
       else if (mode == "dims") docs // vector axis only
+      else if (mode == "combo") {
+        // K× rows of 8×-longer docs: length-axis construction first (8
+        // repeats, tail token per repeat keeps repeats non-identical),
+        // then the rows-axis replica fan-out on top. Replica families of
+        // the long texts stay Jaccard-near-dup clusters.
+        val longDocs = docs.select(
+          col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(7)),
+            r => concat(col("text"), lit(" rep"), r))).as("text"),
+          col("lang"), col("source"))
+        longDocs.crossJoin(reps)
+          .select(
+            (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+            when(col("rep") === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" xrep"), col("rep"))).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
       else if (mode == "hotbucket")
         // Five template families of K near-dup replicas each (rep 0 keeps
         // the original text so the original ids stay present), rest of the
@@ -141,10 +171,18 @@ object ScaleProbe {
       "q_dedup_prefix", "q_dedup_minhash", "q_dedup_near",
       "q_dedup_simhash_pairs", "q_dedup_components", "q_dedup_keep",
       "q_dedup_cap_audit", "q_dedup_lsh_sweep", "q_text_editdist")
+    val comboDefaults = Seq(
+      // the pairwise-verifier + token-array-join family: where bucket
+      // growth (rows) multiplies per-pair cost (length)
+      "q_dedup_prefix", "q_dedup_minhash", "q_dedup_near",
+      "q_dedup_simhash_pairs", "q_text_editdist", "q_dedup_substring",
+      "q_text_bm25", "q_pack_sequences", "q_dedup_components",
+      "q_dedup_cap_audit")
     val names = args.find(_.startsWith("q_")).map(_.split(",").toSeq)
       .getOrElse(if (mode == "length") lengthDefaults
       else if (mode == "dims") dimsDefaults
       else if (mode == "hotbucket") hotbucketDefaults
+      else if (mode == "combo") comboDefaults
       else Seq(
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_near",
       "q_dedup_components", "q_dedup_keep", "q_dedup_prefix",
