@@ -31,6 +31,8 @@ for q, v in recovered.items():
     if q in exclude:
         skipped += 1
         continue
+    if v < 0:  # failed-query sentinel (-1.0): must never become a floor
+        continue
     key = "sf0.1|" + q
     old = floors.get(key)
     if old is None or v < old:

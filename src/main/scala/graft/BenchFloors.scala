@@ -12,7 +12,10 @@ package graft
   * The fix is a CALIBRATION measurement: a deterministic, pure-JVM,
   * single-thread workload (xorshift64* stream + Arrays.sort rounds — the
   * integer-hash + sort mix the query engine itself is made of) timed as
-  * min-of-reps at the start of every bench run. Each floor is stored
+  * min-of-reps once per bench run — AFTER the query rounds, where JIT/GC
+  * are at steady state; the committed floor_calib stamps were recorded at
+  * that placement, so moving the call would skew every normalized ratio.
+  * Each floor is stored
   * alongside the calibration of the run that recorded it
   * (`bench/floor_calib.json`, same keys as floors.json); floors that
   * predate calibration fall back to the file's `_calib_ref_estimate`

@@ -730,7 +730,7 @@ object AnalyticsQueries extends QueryPack {
     // are algebraic, so new_agg = old_agg ⊎ delta_agg: one FULL OUTER
     // join on the agg key with coalesced adds. The fixture derives
     // old_agg from events with event_id % 11 != 0 and MATERIALIZES it
-    // (localCheckpoint — it stands in for the stored aggregate a
+    // (Memo.pin — it stands in for the stored aggregate a
     // production run reads back; the delta is the only branch that
     // touches the raw table, PlanSpec-pinned). At 100 TB this is the
     // difference between aggregating a day and aggregating the lake.
@@ -1033,7 +1033,7 @@ object AnalyticsQueries extends QueryPack {
     // UnionLoop analog of Components' star-contraction loop, and the
     // shape windows cannot express when the step depends on the
     // accumulated state (here the stop condition consumes the running
-    // sum mid-walk). The rn table is materialized ONCE (localCheckpoint)
+    // sum mid-walk). The rn table is materialized ONCE (Memo.pin)
     // so the loop does not recompute the row_number window per level.
     // Depth is doubly bounded — the rn < 8 chain cap and the data bound
     // (≤ 25 orders/customer) both sit far under Spark's default

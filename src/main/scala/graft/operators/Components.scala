@@ -22,7 +22,7 @@ import graft.sources.Memo.PinOps
   *
   * Convergence is detected by an order-insensitive set digest of the
   * canonical edge set — (count, bit_xor(xxhash64(u,v)), bit_xor(murmur3
-  * (u,v))) — one cheap aggregate job per round over the localCheckpoint'ed
+  * (u,v))) — one cheap aggregate job per round over the pinned (Memo.pin)
   * edges, no extra join (the previous isEmpty-diff formulation paid a full
   * self-join per round). XORing per-edge hashes from two independent
   * families makes the digest effectively set-unique: a repeat across rounds

@@ -365,7 +365,7 @@ object JoinQueries extends QueryPack {
     // exact cents; the threshold is the integer cross-multiplication
     // 2·value·n > 3·total (safe while value·n < 2^62 — beyond that the
     // comparison moves to DECIMAL(38,0), same plan). The grouped table is
-    // materialized ONCE (localCheckpoint) and all three consumers — the
+    // materialized ONCE (Memo.pin) and all three consumers — the
     // main filter branch and both scalar subqueries — read it, so the
     // fact table is scanned exactly once at any scale and the scalars
     // aggregate a part-cardinality table, not the corpus.

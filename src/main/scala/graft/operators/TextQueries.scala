@@ -241,7 +241,7 @@ object TextQueries extends QueryPack {
     *     genuine candidate; only the in-bucket clique ENUMERATION stays
     *     capped (expanding a hot bucket is inherently quadratic), and
     *     q_dedup_cap_audit prices exactly that difference.
-    * The marked table is localCheckpoint'ed because both phases read it —
+    * The marked table is pinned (Memo.pin) because both phases read it —
     * thin rows (doc_id, band, bkey string, mn, sz), sized by n·nBands.
     */
   private def bandPairsOf(buckets: org.apache.spark.sql.DataFrame) = {
@@ -263,7 +263,7 @@ object TextQueries extends QueryPack {
   }
 
   /** LSH candidate edge set, computed once per (context, source fingerprint) and
-    * localCheckpoint'ed (tiny: one row per candidate pair). The clustering
+    * pinned (Memo.pin) (tiny: one row per candidate pair). The clustering
     * family (q_dedup_components, q_dedup_keep) shares this input — the
     * production analog is the candidate-pair table materialized once per
     * snapshot that every downstream dedup output reads; recomputing the
@@ -413,7 +413,7 @@ object TextQueries extends QueryPack {
     // q_dedup_prefix), landed here once for every banded-Hamming consumer
     // (simhash pairs, phash, phash_png, phash_frames); q_dedup_cap_audit
     // reports what the star leaves non-enumerated. The marked table is
-    // localCheckpoint'ed because both phases read it — thin rows (two
+    // pinned (Memo.pin) because both phases read it — thin rows (two
     // longs, two band bytes, the rep struct), sized by n·nBands.
     val marked = markBuckets(bandedOf(sigs, sigCol, nBands),
         Seq("band", "bval"), struct(col("doc_id"), col("sig")))
@@ -738,7 +738,7 @@ object TextQueries extends QueryPack {
     // sketch-fidelity counterpart of q_simsearch_recall: the number a user
     // tuning signature width actually needs before trusting the sketch at
     // 100 TB (where exact Jaccard is computable only on candidates). The
-    // signature table is localCheckpoint'ed because BOTH pair endpoints
+    // signature table is pinned (Memo.pin) because BOTH pair endpoints
     // read it — without the barrier the no-CSE-across-join rule builds the
     // whole minhash pipeline twice.
     "q_dedup_minhash_est" -> ((s, d) => {
@@ -873,7 +873,7 @@ object TextQueries extends QueryPack {
       // membership (76 684 structs at the 50× soak; GBs at production doc
       // lengths) sat in a single collect buffer. Now:
       //   · the per-doc table (doc_id, n, ws, pl) materializes ONCE
-      //     (localCheckpoint — the persisted index-build intermediate);
+      //     (Memo.pin — the persisted index-build intermediate);
       //   · the candidate key table is THIN (doc_id, n, w) and one window
       //     pass marks each row with its bucket's min (doc_id, n) and size
       //     (spillable sort, no buffers);
@@ -1377,7 +1377,7 @@ object TextQueries extends QueryPack {
     // O(len²) and returns -1 above T, and |len(a)-len(b)| <= dist lets a
     // cheap gap prefilter skip the DP entirely for wide pairs. One pass
     // joins texts onto the candidate edges, runs the banded DP at T, and
-    // localCheckpoints ONLY the qualifying (dist <= T) rows — three longs
+    // pins (Memo.pin) ONLY the qualifying (dist <= T) rows — three longs
     // per near-dup pair, so the materialization is as small as the answer
     // set, never O(candidates)·texts (an earlier variant checkpointed the
     // joined texts: correct, but the multi-GB checkpoint dominated the 50×
@@ -2263,7 +2263,7 @@ object TextQueries extends QueryPack {
     // X4e: TF-IDF top-3 terms per doc — tf from one token groupBy; df derived
     // FROM tf (tf already holds one row per distinct (doc, term), so
     // df = count per term over tf) — the corpus is read and tokenized exactly
-    // once. The tf table is MATERIALIZED (localCheckpoint — it is the TF
+    // once. The tf table is MATERIALIZED (Memo.pin — it is the TF
     // table a real pipeline persists anyway): merely deriving dfreq from the
     // tf DataFrame is not enough, because Catalyst prunes the unused count
     // column out of dfreq's branch, the two aggregation exchanges stop being
@@ -2366,7 +2366,7 @@ object TextQueries extends QueryPack {
   )
 
   /** Per-(doc, term) tf with the doc's token length riding every row —
-    * ONE corpus tokenization, materialized (localCheckpoint) because both
+    * ONE corpus tokenization, materialized (Memo.pin) because both
     * retrieval queries derive several aggregates from it and Catalyst's
     * column pruning would otherwise break exchange reuse and re-tokenize
     * the corpus per branch (the q_text_tfidf lesson). In production this

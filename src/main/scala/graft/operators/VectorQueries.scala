@@ -26,7 +26,7 @@ object VectorQueries extends QueryPack {
     * partial aggregates and DuckDB's sequential fold is absorbed before any
     * downstream comparison. An emptied cell keeps its previous centroid
     * (left-join + coalesce) so k stays fixed. The 8-row result is
-    * localCheckpoint'ed: downstream queries reference it from several plan
+    * pinned (Memo.pin): downstream queries reference it from several plan
     * branches (assignment + probe-cell ranking) and must not re-run
     * training per branch.
     *

@@ -68,10 +68,17 @@ object Memo {
     *    `Dataset.checkpoint()` — blocks written to the fault-tolerant
     *    `SparkContext.setCheckpointDir` filesystem (HDFS/S3). Executor
     *    loss is survivable; the cost is a distributed-FS write per pin.
-    *    Required for long multi-stage production runs (the 100 TB
-    *    posture) where re-running from source on one lost executor is
-    *    unacceptable. The checkpoint dir must be set or `pin()` throws
-    *    with instructions rather than silently falling back.
+    *    The dataset is persisted around the checkpoint call: Spark's
+    *    reliable checkpoint writes files in a SECOND pass after the
+    *    eager action, which would recompute the whole un-cached lineage
+    *    (doubling every pin — fatal for iterative consumers like the
+    *    [[graft.operators.Components]] contraction loop); the transient
+    *    cache makes that pass a block read, and is dropped once the
+    *    checkpoint files exist. Required for long multi-stage production
+    *    runs (the 100 TB posture) where re-running from source on one
+    *    lost executor is unacceptable. The checkpoint dir must be set or
+    *    `pin()` throws with instructions rather than silently falling
+    *    back.
     *
     * Both flavors are eager and truncate lineage — plan shape downstream
     * is identical (an RDD scan), so the switch never changes results or
@@ -87,7 +94,9 @@ object Memo {
           throw new IllegalStateException(
             "spark.graft.checkpoint.mode=reliable requires " +
               "SparkContext.setCheckpointDir (a fault-tolerant path, e.g. HDFS/S3)")
-        ds.checkpoint()
+        val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint() // eager: files exist when this returns
+        finally cached.unpersist(blocking = false)
       case other =>
         throw new IllegalArgumentException(
           s"spark.graft.checkpoint.mode=$other (expected 'local' or 'reliable')")

@@ -29,15 +29,12 @@ import graft.multimodal.{PngDecode, PpmDecode, Vp8lDecode}
 class DecodeFuzzSpec extends AnyFunSuite {
 
   private def rec601(r: Int, g: Int, b: Int): Byte =
-    ((299 * r + 587 * g + 114 * b) / 1000).toByte
+    PngTestBytes.rec601(r, g, b).toByte
 
   // ---- corpus: real-encoder fixtures ----
 
-  private def jdkPng(bi: java.awt.image.BufferedImage): Array[Byte] = {
-    val baos = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(bi, "png", baos), "JDK PNG writer refused")
-    baos.toByteArray
-  }
+  private def jdkPng(bi: java.awt.image.BufferedImage): Array[Byte] =
+    PngTestBytes.jdkPng(bi)
 
   private def rgbImage(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
     val rnd = new scala.util.Random(seed)
@@ -89,10 +86,12 @@ class DecodeFuzzSpec extends AnyFunSuite {
 
   private def corrupt(rnd: scala.util.Random, src: Array[Byte]): Array[Byte] =
     rnd.nextInt(5) match {
-      case 0 => // flip 1..8 random bytes
+      case 0 => // flip 1..8 random single bits, in place
         val out = src.clone()
-        for (_ <- 0 to rnd.nextInt(8))
-          out(rnd.nextInt(out.length)) = (out(rnd.nextInt(out.length)) ^ (1 << rnd.nextInt(8))).toByte
+        for (_ <- 0 to rnd.nextInt(8)) {
+          val at = rnd.nextInt(out.length)
+          out(at) = (out(at) ^ (1 << rnd.nextInt(8))).toByte
+        }
         out
       case 1 => // truncate anywhere
         src.take(1 + rnd.nextInt(src.length - 1))
@@ -141,9 +140,11 @@ class DecodeFuzzSpec extends AnyFunSuite {
         val mutated = corrupt(rnd, pristine)
         if (driveOnce(dec, mutated, s"$name trial=$trial") != null) accepted += 1
       }
-      // not an acceptance-rate contract — only a canary that the fuzz isn't
-      // vacuously rejecting everything at the signature check
-      assert(accepted >= 0)
+      // not an acceptance-rate contract — a canary that the fuzz isn't
+      // vacuously rejecting everything at the signature check: the
+      // trailing-garbage mode (~24 of 120 trials) leaves the payload
+      // intact, so every arm must accept SOMETHING (seeded, so stable)
+      assert(accepted > 0, s"$name: all 120 corruptions rejected — fuzz is vacuous for this arm")
     }
   }
 
@@ -179,28 +180,15 @@ class DecodeFuzzSpec extends AnyFunSuite {
     out.result()
   }
 
-  private def crc32(png: Array[Byte], chunkOff: Int, len: Int): Int = {
-    val crc = new java.util.zip.CRC32
-    crc.update(png, chunkOff + 4, 4 + len)
-    crc.getValue.toInt
-  }
-
   private def putInt(a: Array[Byte], off: Int, v: Int): Unit = {
     a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
     a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
   }
 
-  private val pngSig =
-    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  private val pngSig = PngTestBytes.sig
 
-  private def pngChunkBytes(tpe: String, data: Array[Byte]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
-    bb.putInt(data.length).put(tpe.getBytes("US-ASCII")).put(data)
-    val crc = new java.util.zip.CRC32
-    crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
-    bb.putInt(crc.getValue.toInt)
-    bb.array()
-  }
+  private def pngChunkBytes(tpe: String, data: Array[Byte]): Array[Byte] =
+    PngTestBytes.chunk(tpe, data)
 
   private def insertChunk(png: Array[Byte], at: Int, chunk: Array[Byte]): Array[Byte] =
     png.take(at) ++ chunk ++ png.drop(at)

@@ -176,14 +176,8 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
   // correct Adler-32, per-chunk CRC32), encoded filter-by-filter by
   // inverting the reconstruction — so the decoder's Inflater + unfilter
   // path is proven against independently-built bytes.
-  private def pngChunk(tpe: String, data: Array[Byte]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
-    bb.putInt(data.length).put(tpe.getBytes("US-ASCII")).put(data)
-    val crc = new java.util.zip.CRC32
-    crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
-    bb.putInt(crc.getValue.toInt)
-    bb.array()
-  }
+  private def pngChunk(tpe: String, data: Array[Byte]): Array[Byte] =
+    PngTestBytes.chunk(tpe, data)
 
   private def zlibDeflate(raw: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
@@ -195,8 +189,7 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     out.toByteArray
   }
 
-  private val pngSig =
-    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  private val pngSig = PngTestBytes.sig
 
   /** Encode one filtered scanline block: `rows` rows of `strideB` bytes from
     * `src`, filter byte `ft(row)` per row, predictor unit `bpp` BYTES.
@@ -278,7 +271,7 @@ class MediaPipelineSpec extends AnyFunSuite with SparkSpec {
     pngWrap(w, h, channels, 8 * sampleBytes, 1, out.toByteArray, splitIdat = false)
   }
 
-  private def rec601(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+  private def rec601(r: Int, g: Int, b: Int): Int = PngTestBytes.rec601(r, g, b)
 
   /** Valid color-type-3 (palette) PNG of `idx` (row-major palette indices),
     * packed `depth` bits per index MSB-first (spec §7.2, rows padded to a

@@ -15,14 +15,11 @@ import graft.multimodal.PngDecode
   */
 class PngDiffSpec extends AnyFunSuite {
 
-  private def pngBytes(bi: java.awt.image.BufferedImage): Array[Byte] = {
-    val baos = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(bi, "png", baos), "JDK PNG writer refused the image")
-    baos.toByteArray
-  }
+  private def pngBytes(bi: java.awt.image.BufferedImage): Array[Byte] =
+    PngTestBytes.jdkPng(bi)
 
   private def rec601(r: Int, g: Int, b: Int): Byte =
-    ((299 * r + 587 * g + 114 * b) / 1000).toByte
+    PngTestBytes.rec601(r, g, b).toByte
 
   test("RGB and ARGB images: PngDecode matches the source pixels through the JDK encoder") {
     val rnd = new scala.util.Random(61)
