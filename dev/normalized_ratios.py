@@ -1,0 +1,40 @@
+#!/usr/bin/env python3
+"""Host-normalized run/floor report — the mechanical form of the regression
+check (rule in BASELINE.md "Floor calibration", logic mirrors
+BenchFloors.normalizedRatio):
+
+    normalized(q) = (run_q / calib_run) / (floor_q / calib_floor_q)
+
+calib_floor_q comes from bench/floor_calib.json, falling back to its
+_calib_ref_estimate for pre-calibration floors. Median ~1.0 = flat binary;
+a query far above the pack = a real regression, regardless of host speed.
+
+Usage: python3 dev/normalized_ratios.py [bench.json] [threshold]
+       (defaults: target/bench.json, 1.5)
+"""
+import json, sys, statistics
+
+bench = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"))
+thresh = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+sftag = bench["sf"].rstrip("/").split("/")[-1]
+floors = json.load(open("bench/floors.json"))
+calibs = json.load(open("bench/floor_calib.json"))
+ref = calibs["_calib_ref_estimate"]
+rc = bench["calib"]
+
+rows = []
+for q, t in sorted(bench["queries"].items()):
+    k = f"{sftag}|{q}"
+    if t < 0 or k not in floors:
+        continue
+    fc = calibs.get(k, ref)
+    rows.append(((t / rc) / (floors[k] / fc), q, t, floors[k], fc))
+rows.sort(reverse=True)
+med = statistics.median([r[0] for r in rows])
+print(f"sf={sftag} n={len(rows)} run_calib={rc:.4f} median_normalized={med:.3f}")
+print("worst 10 (normalized run/floor):")
+for nr, q, t, f, fc in rows[:10]:
+    print(f"  {nr:6.2f}  {q:32s} run={t:7.3f}s floor={f:7.3f}s floor_calib={fc:.4f}")
+flagged = [r for r in rows if r[0] > thresh]
+print(f"flagged >{thresh}x normalized: {len(flagged)}" +
+      ("" if not flagged else " -> " + ", ".join(r[1] for r in flagged)))
