@@ -78,7 +78,10 @@ object Memo {
     *    runs (the 100 TB posture) where re-running from source on one
     *    lost executor is unacceptable. The checkpoint dir must be set or
     *    `pin()` throws with instructions rather than silently falling
-    *    back.
+    *    back. Operational note: reliable checkpoint files accumulate for
+    *    the application's life unless
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (GC-driven
+    *    cleanup) — size/lifecycle the directory for the run.
     *
     * Both flavors are eager and truncate lineage — plan shape downstream
     * is identical (an RDD scan), so the switch never changes results or

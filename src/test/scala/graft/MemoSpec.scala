@@ -97,6 +97,17 @@ class MemoSpec extends AnyFunSuite with SparkSpec {
       val got = SparkEntry.queries("q_dedup_components")(spark, dir)
         .select(col("doc_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
       assert(got == want, "reliable mode must not change results")
+      // a second consumer family: the VECTOR memo path (trained IVF
+      // centroids + assignment pins) also runs whole under the switch.
+      // The embeddings table is COPIED to a fresh dir so its fingerprint
+      // misses every memo populated by other suites in this JVM — the
+      // Lloyd training + assignment pins must actually fire in reliable
+      // mode, not be served from a cache built under local mode.
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+      val ivf = SparkEntry.queries("q_simsearch_ivf")(spark, dir)
+      assert(ivf.count() > 0, "vector pipeline must run under reliable mode")
       spark.conf.set(modeKey, "bogus")
       intercept[IllegalArgumentException](df.pin())
     } finally spark.conf.unset(modeKey)
