@@ -18,8 +18,14 @@ bench = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
 thresh = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
 sftag = bench["sf"].rstrip("/").split("/")[-1]
 floors = json.load(open("bench/floors.json"))
-calibs = json.load(open("bench/floor_calib.json"))
-ref = calibs["_calib_ref_estimate"]
+try:
+    calibs = json.load(open("bench/floor_calib.json"))
+except FileNotFoundError:
+    sys.exit("bench/floor_calib.json missing: floors carry no host calibration; "
+             "run graft.Bench once (it seeds the file) or restore it from git")
+# Pre-calibration floors fall back to the committed reference estimate; a
+# file with every key genuinely stamped no longer needs the meta entry.
+ref = calibs.get("_calib_ref_estimate")
 rc = bench["calib"]
 
 rows = []
@@ -28,6 +34,9 @@ for q, t in sorted(bench["queries"].items()):
     if t < 0 or k not in floors:
         continue
     fc = calibs.get(k, ref)
+    if fc is None:
+        sys.exit(f"{k}: no calib stamp and no _calib_ref_estimate fallback in "
+                 "bench/floor_calib.json; re-record this floor or restore the meta key")
     rows.append(((t / rc) / (floors[k] / fc), q, t, floors[k], fc))
 rows.sort(reverse=True)
 med = statistics.median([r[0] for r in rows])

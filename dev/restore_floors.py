@@ -17,6 +17,9 @@ import sys, json, re, os
 
 bench_file, floors_file = sys.argv[1], sys.argv[2]
 exclude = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+# abspath first: a bare "floors.json" invocation from the repo root must
+# still put the calib file NEXT TO the floors file, not in the cwd
+floors_file = os.path.abspath(floors_file)
 calib_file = os.path.join(os.path.dirname(floors_file), "floor_calib.json")
 
 tail = json.load(open(bench_file))["tail"]
@@ -44,11 +47,12 @@ for q, v in recovered.items():
         lowered += 1
     merged += 1
 
-with open(floors_file, "w") as f:
-    json.dump(dict(sorted(floors.items())), f, separators=(",", ":"))
-    f.write("\n")
-with open(calib_file, "w") as f:
-    json.dump(dict(sorted(calib.items())), f, separators=(",", ":"))
-    f.write("\n")
+if lowered:  # nothing lowered -> touch neither file (idempotent no-op)
+    with open(floors_file, "w") as f:
+        json.dump(dict(sorted(floors.items())), f, separators=(",", ":"))
+        f.write("\n")
+    with open(calib_file, "w") as f:
+        json.dump(dict(sorted(calib.items())), f, separators=(",", ":"))
+        f.write("\n")
 print(f"recovered={len(recovered)} merged={merged} lowered={lowered} "
       f"skipped_changed={skipped} src_calib={src_calib}")

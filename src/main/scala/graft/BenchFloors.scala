@@ -98,14 +98,31 @@ object BenchFloors {
     m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
-  /** Floor + calibration merge for one bench run.
+  /** Floor + calibration merge for one bench run — the ratchet compares in
+    * CALIBRATION UNITS, not raw seconds.
+    *
+    * A raw-seconds ratchet dies the moment the host class changes: on a
+    * host 1.8× slower per core than the floor-era one (the measured
+    * round-12 situation) no run can ever lower a floor, so every floor
+    * keeps its stale stamp and the `_calib_ref_estimate` fallback never
+    * retires. Comparing `t / runCalib` against `floor / floorCalib`
+    * keeps the ratchet alive on ANY host: the same binary running at its
+    * usual normalized speed re-stamps floors with the current host's
+    * genuine calibration, and only a genuinely faster PLAN lowers the
+    * floor in normalized units. Consequence (documented in BASELINE.md
+    * "Floor calibration"): a floor's raw seconds may go UP across a merge
+    * when a slower host records it — floors are only meaningful TOGETHER
+    * with their calib stamp, which is exactly how normalizedRatio and
+    * dev/normalized_ratios.py consume them.
     *
     * Floors: start FROM the prior map (a failed or renamed-away query
-    * keeps its recorded floor), take the min per key; legacy
-    * un-namespaced keys (no "|") are dropped. Calib: an entry follows its
-    * floor — (re)written with `runCalib` exactly when this run seeds or
-    * lowers that floor, kept otherwise; meta keys (leading "_", e.g.
-    * `_calib_ref_estimate`) pass through untouched.
+    * keeps its recorded floor); legacy un-namespaced keys (no "|") are
+    * dropped. A pre-calibration floor (no per-key stamp) is compared via
+    * the prior calib map's `_calib_ref_estimate`; if that meta key is
+    * absent too, the comparison degrades to raw seconds (the pre-round-12
+    * behavior). Calib: an entry follows its floor — (re)written with
+    * `runCalib` exactly when this run seeds or lowers that floor, kept
+    * otherwise; meta keys (leading "_") pass through untouched.
     */
   def merge(
       priorFloors: Map[String, Double],
@@ -114,12 +131,21 @@ object BenchFloors {
       sfTag: String,
       runCalib: Double): (Map[String, Double], Map[String, Double]) = {
     val base = priorFloors.filter(_._1.contains("|"))
+    val refEstimate = priorCalib.get("_calib_ref_estimate")
     var floors = base
     var calib = priorCalib
     results.foreach { case (name, t) =>
       if (t >= 0) {
         val key = sfTag + "|" + name
-        if (t < base.getOrElse(key, Double.MaxValue)) {
+        val beats = base.get(key) match {
+          case None => true // new key: seed
+          case Some(floor) =>
+            priorCalib.get(key).orElse(refEstimate) match {
+              case Some(floorCalib) => t / runCalib < floor / floorCalib
+              case None             => t < floor // no calibration anywhere: raw
+            }
+        }
+        if (beats) {
           floors += key -> t
           calib += key -> runCalib
         }

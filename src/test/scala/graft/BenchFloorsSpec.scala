@@ -10,28 +10,54 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchFloorsSpec extends AnyFunSuite {
 
-  test("merge: lower samples ratchet the floor and stamp the run's calib; higher/failed samples change nothing") {
+  test("merge ratchets in CALIBRATION UNITS: normalized-faster samples re-stamp, normalized-slower change nothing") {
+    // Same-host case (runCalib == every floorCalib == 0.30): degenerates to
+    // the raw-seconds ratchet.
     val prior = Map("sf0.1|q_a" -> 1.0, "sf0.1|q_b" -> 2.0, "sf0.1|q_gone" -> 3.0,
       "legacy_unnamespaced" -> 9.0)
     val priorCalib = Map("sf0.1|q_a" -> 0.30, "sf0.1|q_b" -> 0.30,
       "_calib_ref_estimate" -> 0.30)
-    val results = Seq(
+    val same = Seq(
       "q_a" -> 0.8, // faster: ratchets, calib re-stamped
       "q_b" -> 2.5, // slower: floor + calib kept
       "q_new" -> 1.5, // new key: seeded with this run's calib
       "q_fail" -> -1.0) // failed: never recorded
-    val (floors, calib) = BenchFloors.merge(prior, priorCalib, results, "sf0.1", runCalib = 0.50)
+    val (floors, calib) = BenchFloors.merge(prior, priorCalib, same, "sf0.1", runCalib = 0.30)
     assert(floors == Map(
       "sf0.1|q_a" -> 0.8, "sf0.1|q_b" -> 2.0, "sf0.1|q_gone" -> 3.0,
       "sf0.1|q_new" -> 1.5))
     assert(calib == Map(
-      "sf0.1|q_a" -> 0.50, // re-stamped by the ratcheting run
+      "sf0.1|q_a" -> 0.30, // re-stamped by the ratcheting run
       "sf0.1|q_b" -> 0.30, // floor kept -> calib kept
-      "sf0.1|q_new" -> 0.50, // seeded
+      "sf0.1|q_new" -> 0.30, // seeded
       "_calib_ref_estimate" -> 0.30)) // meta key passes through
     // a run at another sf namespaces separately
-    val (floors2, _) = BenchFloors.merge(floors, calib, Seq("q_a" -> 0.1), "sf0.001", 0.5)
+    val (floors2, _) = BenchFloors.merge(floors, calib, Seq("q_a" -> 0.1), "sf0.001", 0.3)
     assert(floors2("sf0.1|q_a") == 0.8 && floors2("sf0.001|q_a") == 0.1)
+  }
+
+  test("merge: the ratchet is alive on a 2x-slower host — normalized-equal samples re-stamp with the genuine calib") {
+    // Floor 1.0 s at calib 0.30. On a 2x-slower host (calib 0.60) the same
+    // binary measures ~2.0 s; anything under 2.0 raw (< 1.0 normalized)
+    // must ratchet — this is exactly what a raw-seconds compare can never
+    // do, and what retires the _calib_ref_estimate backfill.
+    val prior = Map("sf0.1|q_a" -> 1.0, "sf0.1|q_pre" -> 1.0, "sf0.1|q_slow" -> 1.0)
+    val priorCalib = Map("sf0.1|q_a" -> 0.30, "_calib_ref_estimate" -> 0.30)
+    val results = Seq(
+      "q_a" -> 1.9, // normalized 0.95: ratchets despite being raw-slower
+      "q_pre" -> 1.9, // pre-calib floor: compared via the ref estimate, ratchets
+      "q_slow" -> 2.4) // normalized 1.2: a real regression, floor kept
+    val (floors, calib) = BenchFloors.merge(prior, priorCalib, results, "sf0.1", runCalib = 0.60)
+    assert(floors == Map("sf0.1|q_a" -> 1.9, "sf0.1|q_pre" -> 1.9, "sf0.1|q_slow" -> 1.0))
+    assert(calib("sf0.1|q_a") == 0.60 && calib("sf0.1|q_pre") == 0.60)
+    assert(!calib.contains("sf0.1|q_slow")) // kept floor keeps (no) stamp
+    // the re-stamped floors normalize identically to the old ones:
+    // 1.9/0.60 == 3.17 calib units ~ 1.0/0.30 == 3.33 (0.95x, the measured run)
+    assert(math.abs(BenchFloors.normalizedRatio(1.9, 0.60, 1.0, 0.30) - 0.95) < 1e-9)
+    // no calibration anywhere (pre-round-12 files): degrade to raw compare
+    val (rawFloors, _) = BenchFloors.merge(Map("sf0.1|q_x" -> 1.0), Map.empty,
+      Seq("q_x" -> 1.9), "sf0.1", runCalib = 0.60)
+    assert(rawFloors("sf0.1|q_x") == 1.0)
   }
 
   test("deliberately-slowed sanity check: host drift normalizes out, a genuine regression does not") {
@@ -58,11 +84,16 @@ class BenchFloorsSpec extends AnyFunSuite {
   }
 
   test("calibrate() returns a positive, repeatable per-core time") {
-    val a = BenchFloors.calibrate(reps = 2)
-    val b = BenchFloors.calibrate(reps = 2)
+    // Production reps (min-of-5, the Bench setting) on both sides: the
+    // wider rep count plus the min make the comparison robust to one
+    // scheduler stall. The bound is still deliberately loose (10x) — this
+    // asserts "returns a time of the right order, twice", NOT instrument
+    // precision (that claim lives in BASELINE.md's cross-run table); a
+    // wall-clock assertion tighter than this flaked risk on a loaded or
+    // frequency-scaling CI host without any code defect.
+    val a = BenchFloors.calibrate()
+    val b = BenchFloors.calibrate()
     assert(a > 0 && b > 0)
-    // same JVM, back to back: within 3x of each other (JIT is warm after
-    // the first call's reps; this is a smoke bound, not a precision claim)
-    assert(math.max(a, b) / math.min(a, b) < 3.0, s"calib unstable: $a vs $b")
+    assert(math.max(a, b) / math.min(a, b) < 10.0, s"calib unstable: $a vs $b")
   }
 }

@@ -244,9 +244,14 @@ class DecodeFuzzSpec extends AnyFunSuite {
     var compared = 0
     for (trial <- 0 until 80) {
       val corruptedRaw = rawBytes.clone()
-      for (_ <- 0 to rnd.nextInt(8))
-        corruptedRaw(rnd.nextInt(corruptedRaw.length)) =
-          (corruptedRaw(rnd.nextInt(corruptedRaw.length)) ^ (1 + rnd.nextInt(255))).toByte
+      // in-place bit flip: bind ONE index so the mutation is "XOR a nonzero
+      // mask at position A" (two independent nextInt calls here would write
+      // other-byte^mask at a different position — still corruption, but not
+      // the mutation the seed replay describes)
+      for (_ <- 0 to rnd.nextInt(8)) {
+        val at = rnd.nextInt(corruptedRaw.length)
+        corruptedRaw(at) = (corruptedRaw(at) ^ (1 + rnd.nextInt(255))).toByte
+      }
       val defl = new java.util.zip.Deflater()
       defl.setInput(corruptedRaw); defl.finish()
       val z = new java.io.ByteArrayOutputStream()
