@@ -10,8 +10,26 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * unchanged on sf0.001 … 100 TB; nothing here is collected to the driver.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** `spark.read.parquet` pays file listing + parquet schema inference on
+    * EVERY call (~80 ms/call on the round-12 host class, measured repeat
+    * cost) — driver-side metadata work a real cluster pays once per query,
+    * but which the 169-query bench paid 2-3× per query per round. The
+    * resolved DataFrame is immutable, so it is memoized per
+    * (SparkSession identity, absolute path, source fingerprint) via
+    * [[graft.sources.Memo.SessionCache]]: a regenerated fixture
+    * (size/mtime change) or a new session gets a fresh read; everything
+    * downstream — analysis, optimization, scan, shuffle — still runs per
+    * query, so bench numbers keep measuring the query, not repeated footer
+    * reads. Keyed per SESSION (not per context): a Dataset's temp views
+    * register in the session that created it, so `newSession()` isolation
+    * sessions must never be handed a sibling's DataFrame.
+    */
+  private val loads = new graft.sources.Memo.SessionCache[DataFrame]
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val abs = new java.io.File(sfDir).getAbsolutePath
+    val key = s"$abs/$name|${graft.sources.Memo.fingerprint(sfDir, name)}"
+    loads.get(spark, key) { spark.read.parquet(s"$sfDir/$name.parquet") }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

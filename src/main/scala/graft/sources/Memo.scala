@@ -51,6 +51,32 @@ object Memo {
     def get(key: String)(compute: => V): V = m.computeIfAbsent(key, _ => compute)
   }
 
+  /** Per-SESSION memo for artifacts that are session-bound, not merely
+    * context-bound — e.g. the [[graft.Tables]] DataFrame reads: a Dataset
+    * remembers the SparkSession that created it, and
+    * `createOrReplaceTempView` registers in THAT session's catalog, so a
+    * DataFrame memoized under one session must never be served to a
+    * `newSession()` sibling (round-13 regression: six SQL queries register
+    * temp views in an isolated newSession; a context-keyed load cache
+    * registered them in the parent session instead →
+    * TABLE_OR_VIEW_NOT_FOUND). The outer map is a WeakHashMap on the
+    * session object (SparkSession keeps Object identity equals), so a
+    * short-lived isolation session's entries become collectable with the
+    * session itself rather than accumulating for the JVM's life.
+    */
+  final class SessionCache[V] {
+    private val outer =
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, V]]()
+    def get(s: SparkSession, key: String)(compute: => V): V = {
+      val inner = outer.synchronized {
+        var m = outer.get(s)
+        if (m == null) { m = new java.util.concurrent.ConcurrentHashMap[String, V](); outer.put(s, m) }
+        m
+      }
+      inner.computeIfAbsent(key, _ => compute)
+    }
+  }
+
   /** Materialization PIN for per-run intermediates (`ds.pin()` via
     * [[PinOps]]) — the one switch between the two Spark checkpoint
     * flavors, governing every pipeline call site:
