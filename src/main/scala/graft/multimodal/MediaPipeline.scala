@@ -216,27 +216,38 @@ object MediaPipeline {
     ds.mapPartitions { it =>
       // Real decoders acquire codec context here, once per partition.
       it.map { r =>
-        val p = r.payload
-        val n = p.length / 2
-        var i = 0
-        var sumSq = 0L
-        var peak = 0L
-        var zc = 0L
-        var prevNeg = false
-        while (i < n) {
-          val u = (p(2 * i) & 0xff) | ((p(2 * i + 1) & 0xff) << 8)
-          val v = (if (u >= 32768) u - 65536 else u).toLong
-          sumSq += v * v
-          val a = math.abs(v)
-          if (a > peak) peak = a
-          val neg = v < 0
-          if (i > 0 && neg != prevNeg) zc += 1
-          prevNeg = neg
-          i += 1
-        }
-        (r.id, n.toLong, sumSq, peak, zc)
+        val (n, sumSq, peak, zc) = pcmStats(r.payload)
+        (r.id, n, sumSq, peak, zc)
       }
     }.toDF("id", "n_samples", "sum_sq", "peak_abs", "zero_cross")
+  }
+
+  /** The per-record PCM fold of [[audioStats]], factored pure so the fuzz
+    * suite can drive it on arbitrary byte payloads without a session:
+    * (sample count, Σv², peak |v|, zero crossings) over little-endian
+    * int16 samples; a null/empty/odd-length payload is total (trailing odd
+    * byte dropped — the WAV data convention), never a throw.
+    */
+  def pcmStats(p: Array[Byte]): (Long, Long, Long, Long) = {
+    if (p == null) return (0L, 0L, 0L, 0L)
+    val n = p.length / 2
+    var i = 0
+    var sumSq = 0L
+    var peak = 0L
+    var zc = 0L
+    var prevNeg = false
+    while (i < n) {
+      val u = (p(2 * i) & 0xff) | ((p(2 * i + 1) & 0xff) << 8)
+      val v = (if (u >= 32768) u - 65536 else u).toLong
+      sumSq += v * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      val neg = v < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      i += 1
+    }
+    (n.toLong, sumSq, peak, zc)
   }
 
   /** Frame sampling for "video" payloads: every k-th fixed-size frame slice

@@ -270,7 +270,7 @@ object TextQueries extends QueryPack {
     * whole MinHash pipeline per consumer measured 2× the cost for zero
     * information.
     */
-  private val edgeCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val edgeCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
 
   /** Persisted corpus signature tables (q_dedup_incremental) — the NAME
     * hashes the path + source fingerprint (stable across sessions, fresh on
@@ -286,7 +286,7 @@ object TextQueries extends QueryPack {
     * [[starEdges]] split off ONE banding pipeline run, not two. Tiny: one
     * row per (doc, band).
     */
-  private val bucketCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val bucketCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
   private def memoBandBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
     bucketCache.get(graft.sources.Memo.key(s, d, "documents") + "#buckets")(
       bandBuckets(s, d).pin())
@@ -298,7 +298,7 @@ object TextQueries extends QueryPack {
   /** Connectivity-equivalent star edge set (see [[starEdgesOf]]), memoized
     * like [[candidateEdges]] — the clustering family's input.
     */
-  private val starCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val starCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
   private[graft] def starEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     starCache.get(graft.sources.Memo.key(s, d, "documents") + "#star")(
       starEdgesOf(memoBandBuckets(s, d)).distinct().pin())
@@ -346,7 +346,7 @@ object TextQueries extends QueryPack {
     * back), and without the checkpoint each branch re-tokenizes the corpus —
     * the same no-CSE-across-join trap TF-IDF hit in round 2.
     */
-  private val gramCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val gramCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
   private def docGrams10(s: org.apache.spark.sql.SparkSession, d: String) =
     gramCache.get(graft.sources.Memo.key(s, d, "documents") + "#grams10")(
       Tables.documents(s, d)
@@ -504,7 +504,7 @@ object TextQueries extends QueryPack {
     * stats, audits) reads that table. q_dedup_components itself does NOT go
     * through this memo — it times the contraction honestly on every run.
     */
-  private val labelCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val labelCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String) =
     labelCache.get(graft.sources.Memo.key(s, d, "documents"))(
       dedupClusters(s, d).pin())
@@ -587,7 +587,7 @@ object TextQueries extends QueryPack {
     * honestly on every run; downstream consumers (q_sample_dsir) read the
     * scored table instead of retraining both LMs.
     */
-  private val dsirCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val dsirCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
   private def dsirScoresMemo(s: org.apache.spark.sql.SparkSession, d: String) =
     dsirCache.get(graft.sources.Memo.key(s, d, "documents"))(
       dsirScores(s, d).pin())
@@ -638,7 +638,7 @@ object TextQueries extends QueryPack {
     * corpus split's own candidate edges. Memoized: in production this is
     * the persisted output of the previous nightly clustering.
     */
-  private val corpusLabelCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val corpusLabelCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
   private def corpusClusterLabels(s: org.apache.spark.sql.SparkSession, d: String) =
     corpusLabelCache.get(graft.sources.Memo.key(s, d, "documents") + "#corpus") {
       Components.labels(

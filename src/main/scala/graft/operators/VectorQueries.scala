@@ -36,7 +36,7 @@ object VectorQueries extends QueryPack {
     * never the data). Measured at sf0.01: cell occupancy spread tightens
     * from 44–76 (seeds) to 52–68 (trained), max/min 1.73 → 1.31.
     */
-  private val centroidCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val centroidCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
 
   /** Memoized per (context, embeddings fingerprint): the trained quantizer
     * is a persisted model artifact — in production it is trained once per
@@ -145,7 +145,7 @@ object VectorQueries extends QueryPack {
     * same pattern as the dedup family's edge/label memos. q_dedup_embed
     * itself does NOT read this memo — it times the pipeline honestly.
     */
-  private val embedPairsCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val embedPairsCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
   private def embedPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     embedPairsCache.get(graft.sources.Memo.key(s, d, "embeddings"))(
       embedCandidates(s, d).pin())
@@ -177,7 +177,7 @@ object VectorQueries extends QueryPack {
     * codes keep their seed (left join + coalesce). 16-row artifact,
     * memoized: the codebook is a per-snapshot model, trained once.
     */
-  private val pqCbCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val pqCbCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
   private def pqCodebooks(s: org.apache.spark.sql.SparkSession, d: String) =
     pqCbCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pq")(
       trainPqCodebooks(pqSubs(s, d)))
@@ -234,7 +234,7 @@ object VectorQueries extends QueryPack {
     * one-iteration Lloyd pass as the flat-PQ codebooks. Memoized: a
     * per-snapshot model artifact, like the coarse quantizer it refines.
     */
-  private val pqResCbCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val pqResCbCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
   private def pqResCodebooks(s: org.apache.spark.sql.SparkSession, d: String) =
     pqResCbCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pqres")(
       trainPqCodebooks(pqResSubs(s, d)))
@@ -242,7 +242,7 @@ object VectorQueries extends QueryPack {
   /** Residual PQ codes — every vector's 4 subspace codes over its residual;
     * the IVF-PQ index rows. Memoized like [[pqCodes]].
     */
-  private val pqResCodeCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val pqResCodeCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
   private def pqResCodes(s: org.apache.spark.sql.SparkSession, d: String) =
     pqResCodeCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pqrescodes")(
       pqResSubs(s, d).join(broadcast(pqResCodebooks(s, d)), Seq("m"))
@@ -264,7 +264,7 @@ object VectorQueries extends QueryPack {
     * (built once per snapshot); composition queries (IVF-PQ) read it.
     * q_simsearch_pq itself encodes inline, timing the build honestly.
     */
-  private val pqCodeCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame]
+  private val pqCodeCache = new graft.sources.Memo.Cache[org.apache.spark.sql.DataFrame](graft.sources.Memo.releasePin)
   private def pqCodes(s: org.apache.spark.sql.SparkSession, d: String) =
     pqCodeCache.get(graft.sources.Memo.key(s, d, "embeddings") + "#pqcodes")(
       pqEncode(s, d).pin())

@@ -42,13 +42,56 @@ object Memo {
       s"|sc@${s.sparkContext.applicationId}:${s.sparkContext.startTime}"
   }
 
-  /** Per-key-atomic memo. Entries for superseded fingerprints linger until
-    * JVM exit — bounded by (fixtures × regenerations), which is tiny; the
-    * correctness property is only that a stale key is never READ.
+  /** Family/version split of a memo key. [[key]] produces
+    * `<abs>/<table>|<size>:<mtime>|sc@<app>:<start>` (call sites may append
+    * `#suffix` to the END): segment 1 is the source FINGERPRINT (version);
+    * everything else — path, context identity, suffix — is the FAMILY. Two
+    * keys of one family are the same artifact for two snapshots of its
+    * source; only one can be current. A key without a fingerprint segment
+    * is its own family (no rotation).
     */
-  final class Cache[V] {
+  def splitKey(key: String): (String, String) = {
+    val parts = key.split('|')
+    if (parts.length < 2) (key, "")
+    else ((parts.take(1) ++ parts.drop(2)).mkString("|"), parts(1))
+  }
+
+  /** Per-key-atomic memo with SUPERSEDED-VERSION eviction: when a compute
+    * lands a new version of a family (the source fingerprint rotated), the
+    * family's previous entry is removed and handed to `onEvict` — for
+    * pinned DataFrames that's [[releasePin]], which frees the checkpoint
+    * blocks/files a strong map reference would otherwise keep alive for
+    * the JVM's life (a long-lived daemon regenerating snapshots would leak
+    * executor disk otherwise). Eviction fires only when a NEW key is
+    * actually computed, i.e. once per source regeneration; by then every
+    * new lookup resolves to the new fingerprint, so the evicted snapshot
+    * has no future readers (in-flight jobs over the OLD snapshot must not
+    * race a regeneration — same contract as the fixture rotation itself).
+    */
+  final class Cache[V](onEvict: V => Unit = (_: V) => ()) {
     private val m = new java.util.concurrent.ConcurrentHashMap[String, V]()
-    def get(key: String)(compute: => V): V = m.computeIfAbsent(key, _ => compute)
+    private val live = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def get(key: String)(compute: => V): V = {
+      var inserted = false
+      val v = m.computeIfAbsent(key, _ => { inserted = true; compute })
+      if (inserted) {
+        val (family, version) = splitKey(key)
+        if (version.nonEmpty) {
+          val prev = live.put(family, key)
+          if (prev != null && prev != key) {
+            val old = m.remove(prev)
+            if (old != null)
+              try onEvict(old)
+              catch { case e: Throwable =>
+                System.err.println(s"[memo] WARN: evict of superseded $prev failed: ${e.getMessage}")
+              }
+          }
+        }
+      }
+      v
+    }
+    /** Live (non-evicted) entry count — spec hook for the bounded-size claim. */
+    def size: Int = m.size
   }
 
   /** Per-SESSION memo for artifacts that are session-bound, not merely
@@ -135,5 +178,33 @@ object Memo {
   /** `ds.pin()` — the pipeline spelling of [[pin]]. */
   implicit final class PinOps[T](private val ds: Dataset[T]) extends AnyVal {
     def pin(): Dataset[T] = Memo.pin(ds)
+  }
+
+  /** Release the materialization behind a SUPERSEDED pinned Dataset — the
+    * [[Cache]] `onEvict` hook for DataFrame caches.
+    *
+    * A `pin()` result's analyzed plan is a bare `LogicalRDD` whose RDD is
+    * the checkpointed one: `unpersist` frees the localCheckpoint blocks
+    * (local mode), and deleting `getCheckpointFile` removes the reliable
+    * checkpoint directory (reliable mode) — deterministic cleanup instead
+    * of waiting on GC + ContextCleaner. A cache value that is NOT a bare
+    * pin root (some caches store a cheap view over another family's pin)
+    * is left alone: releasing a leaf under it could kill a LIVE pin owned
+    * by a different family, so those fall back to the GC-driven path
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints`, on in
+    * [[graft.Sessions.tuned]]).
+    */
+  def releasePin(ds: Dataset[_]): Unit = ds.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      val rdd = l.rdd
+      rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(ds.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+        catch { case e: Throwable =>
+          System.err.println(s"[memo] WARN: checkpoint dir $f not deleted: ${e.getMessage}")
+        }
+      }
+      rdd.unpersist(blocking = false)
+    case _ => ()
   }
 }

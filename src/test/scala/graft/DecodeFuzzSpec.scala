@@ -303,4 +303,78 @@ class DecodeFuzzSpec extends AnyFunSuite {
     val dupIdx = insertChunk(indexed, afterIhdr(indexed), pngChunkBytes("PLTE", plte))
     assert(PngDecode.pngLumaOrNull(dupIdx) == null)
   }
+
+  test("ImageIO arm (JPEG/GIF/TIFF): seeded fuzz never throws; truncation sweep; decode-bomb cap; magic-byte gate") {
+    import graft.multimodal.ImageIoDecode
+    def via(fmt: String, bi: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, baos), s"JDK cannot write $fmt")
+      baos.toByteArray
+    }
+    val grayPlane = Array.tabulate[Byte](26 * 18)(i => (i * 7).toByte)
+    val fixtures = Seq(
+      "jpeg/gray" -> ImageIoDecode.encodeGrayJpeg(grayPlane, width = 26),
+      "jpeg/rgb" -> via("jpeg", rgbImage(24, 17, 13001)),
+      "gif" -> via("gif", rgbImage(22, 16, 13003)),
+      "tiff" -> via("tiff", rgbImage(20, 15, 13007)))
+    for ((name, pristine) <- fixtures) {
+      val want = driveOnce(ImageIoDecode.lumaOrNull _, pristine, s"$name pristine")
+      assert(want != null, s"$name: corpus fixture rejected")
+      // seeded corruption: never-throw / deterministic / bounded plane
+      val rnd = new scala.util.Random(name.hashCode * 6011L + 13009L)
+      var accepted = 0
+      for (trial <- 0 until 120) {
+        val got = driveOnce(ImageIoDecode.lumaOrNull _, corrupt(rnd, pristine), s"$name trial=$trial")
+        if (got != null) {
+          accepted += 1
+          assert(got.nonEmpty && got.length <= ImageIoDecode.MaxPixels,
+            s"$name trial=$trial: plane size ${got.length} outside the decode cap")
+        }
+      }
+      assert(accepted > 0, s"$name: all 120 corruptions rejected — fuzz is vacuous for this arm")
+      // truncation sweep: reject-or-decode at every cut, never a throw
+      val step = math.max(1, pristine.length / 97)
+      var cut = 1
+      while (cut < pristine.length) {
+        driveOnce(ImageIoDecode.lumaOrNull _, pristine.take(cut), s"$name cut=$cut")
+        cut += step
+      }
+    }
+    // decode-bomb cap: a VALID image whose pixel count exceeds MaxPixels
+    // must fail the row (null), never materialize the plane
+    val bombSide = 4200 // 4200*4200 = 17.64M > 2^24 = 16.78M
+    val bomb = ImageIoDecode.encodeGrayJpeg(new Array[Byte](bombSide * bombSide), width = bombSide)
+    assert(ImageIoDecode.lumaOrNull(bomb) == null, "over-cap decode must be rejected")
+    // magic-byte gate: formats owned by the hand decoders never route here
+    assert(ImageIoDecode.lumaOrNull(pngFixtures.head._2) == null)
+    assert(ImageIoDecode.lumaOrNull(bmpFixture) == null)
+    assert(ImageIoDecode.lumaOrNull(null) == null)
+    assert(ImageIoDecode.lumaOrNull(Array[Byte](1, 2)) == null)
+  }
+
+  test("PCM audio fold: fuzz payloads are total and match an independent reference fold") {
+    import graft.multimodal.MediaPipeline
+    // independent reference: ByteBuffer int16 LE view + BigInt accumulation
+    def ref(p: Array[Byte]): (Long, Long, Long, Long) = {
+      val bb = java.nio.ByteBuffer.wrap(p, 0, p.length - (p.length % 2))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+      val vs = Array.fill(bb.remaining())(bb.get().toLong)
+      val sumSq = vs.map(v => BigInt(v) * BigInt(v)).sum
+      assert(sumSq.isValidLong, "reference fold overflow — test fixture too large")
+      val zc = vs.sliding(2).count(w => w.length == 2 && (w(0) < 0) != (w(1) < 0))
+      (vs.length.toLong, sumSq.toLong, if (vs.isEmpty) 0L else vs.map(math.abs).max, zc.toLong)
+    }
+    val rnd = new scala.util.Random(14011L)
+    // edge payloads: empty, single byte (odd tail only), all-extremes
+    val extremes = Array[Byte](0, 0x80.toByte, 0xff.toByte, 0x7f, 1, 0) // LE pairs: -32768, 32767, 1
+    for (p <- Seq(Array.emptyByteArray, Array[Byte](9), extremes))
+      assert(MediaPipeline.pcmStats(p) == ref(p), s"edge payload ${p.toSeq}")
+    assert(MediaPipeline.pcmStats(null) == ((0L, 0L, 0L, 0L)))
+    for (trial <- 0 until 300) {
+      val p = new Array[Byte](rnd.nextInt(257))
+      rnd.nextBytes(p)
+      val got = MediaPipeline.pcmStats(p)
+      assert(got == ref(p), s"trial=$trial len=${p.length}: $got != ${ref(p)}")
+    }
+  }
 }

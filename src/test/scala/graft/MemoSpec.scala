@@ -113,6 +113,84 @@ class MemoSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset(modeKey)
   }
 
+  test("superseded pins are evicted on fingerprint rotation: blocks unpersisted, reliable checkpoint dirs deleted, results live") {
+    import graft.sources.Memo.PinOps
+    // the same root-pin introspection releasePin uses — a pin() result's
+    // analyzed plan is a bare LogicalRDD over the checkpointed RDD
+    def pinnedRdd(ds: org.apache.spark.sql.DataFrame) =
+      ds.queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    val cache = new Memo.Cache[org.apache.spark.sql.DataFrame](Memo.releasePin)
+
+    // LOCAL mode: rotation unpersists the superseded localCheckpoint blocks
+    val v1 = cache.get("t|fp1|sc@x")(spark.range(50).toDF("id").pin())
+    val rdd1 = pinnedRdd(v1)
+    assert(spark.sparkContext.getPersistentRDDs.contains(rdd1.id), "pin must persist blocks")
+    val v2 = cache.get("t|fp2|sc@x")(spark.range(60).toDF("id").pin())
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rdd1.id),
+      "superseded pin's blocks must be unpersisted on rotation")
+    assert(v2.count() == 60, "live entry unaffected by the eviction")
+    assert(cache.size == 1, "cache holds only the live version per family")
+    // same fingerprint re-lookup: no eviction, served entry intact
+    assert(cache.get("t|fp2|sc@x")(fail("must not recompute")).count() == 60)
+    // distinct families never evict each other
+    val other = cache.get("u|fp1|sc@x")(spark.range(7).toDF("id").pin())
+    assert(cache.size == 2 && other.count() == 7 && v2.count() == 60)
+
+    // RELIABLE mode: rotation deletes the superseded checkpoint DIRECTORY
+    val ckpDir = java.nio.file.Files.createTempDirectory("graft_evict_ckp").toString
+    val modeKey = "spark.graft.checkpoint.mode"
+    spark.conf.set(modeKey, "reliable")
+    try {
+      spark.sparkContext.setCheckpointDir(ckpDir)
+      val r1 = cache.get("r|fp1|sc@x")(spark.range(40).toDF("id").pin())
+      val ckpFile1 = pinnedRdd(r1).getCheckpointFile.get
+      assert(new java.io.File(new java.net.URI(ckpFile1).getPath).exists, "reliable pin wrote its dir")
+      val r2 = cache.get("r|fp2|sc@x")(spark.range(41).toDF("id").pin())
+      assert(!new java.io.File(new java.net.URI(ckpFile1).getPath).exists,
+        "superseded reliable checkpoint dir must be deleted on rotation")
+      assert(r2.count() == 41 && pinnedRdd(r2).getCheckpointFile.isDefined)
+    } finally spark.conf.unset(modeKey)
+
+    // INTEGRATION: the real memoized dedup pipeline across 3 fixture
+    // regenerations in reliable mode — cached-family checkpoint dirs must
+    // not accumulate linearly (evicted per rotation; per-run intermediates
+    // ride the GC backstop and are excluded by measuring growth, not
+    // absolute count).
+    spark.conf.set(modeKey, "reliable")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_evict_q").toString
+      def rddDirs(): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) (if (f.getName.startsWith("rdd-")) 1 else 0) + f.listFiles().map(walk).sum
+          else 0
+        walk(new java.io.File(ckpDir))
+      }
+      def run(salt: String): Unit = {
+        writeDocs(dir, Seq(
+          (1L, s"the quick brown fox jumps over the lazy dog $salt"),
+          (2L, s"the quick brown fox jumps over the lazy dog $salt"),
+          (3L, s"entirely unrelated prose about spark physical plans $salt")))
+        SparkEntry.queries("q_dedup_components")(spark, dir).count()
+      }
+      run("one")
+      val afterFirst = rddDirs()
+      run("two"); run("three")
+      // per-run intermediate pins (the contraction loop's) ride the
+      // GC + ContextCleaner backstop: nudge it and poll until the count
+      // settles — the DETERMINISTIC claim is the cached families' dirs
+      // (evicted synchronously per rotation), which without eviction
+      // would triple afterFirst all by themselves
+      var afterThird = rddDirs()
+      var tries = 0
+      while (afterThird >= 2 * afterFirst && tries < 30) {
+        System.gc(); Thread.sleep(500); tries += 1
+        afterThird = rddDirs()
+      }
+      assert(afterThird < 2 * afterFirst,
+        s"checkpoint dirs accumulate across rotations: $afterFirst -> $afterThird")
+    } finally spark.conf.unset(modeKey)
+  }
+
   test("concurrent first callers compute once per key") {
     val cache = new Memo.Cache[java.lang.Long]
     val calls = new java.util.concurrent.atomic.AtomicLong
