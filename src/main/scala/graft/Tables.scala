@@ -25,10 +25,19 @@ object Tables {
     * sessions must never be handed a sibling's DataFrame.
     */
   private val loads = new graft.sources.Memo.SessionCache[DataFrame]
+  // The inferred schema is a plain value, valid across sessions — cached
+  // per (path, fingerprint) WITHOUT session identity so the short-lived
+  // `newSession()` isolation sessions (which by design miss the DataFrame
+  // memo every call) still skip the footer-reading schema inference.
+  private val schemas = new graft.sources.Memo.Cache[org.apache.spark.sql.types.StructType]
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val abs = new java.io.File(sfDir).getAbsolutePath
     val key = s"$abs/$name|${graft.sources.Memo.fingerprint(sfDir, name)}"
-    loads.get(spark, key) { spark.read.parquet(s"$sfDir/$name.parquet") }
+    loads.get(spark, key) {
+      val path = s"$sfDir/$name.parquet"
+      val schema = schemas.get(key)(spark.read.parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
