@@ -2,13 +2,17 @@
 """Min-merge recoverable per-query sf0.1 values from a driver BENCH_r*.json
 tail into the floors file, for queries whose implementation is unchanged
 since that round's binary (changed queries must keep floors that reflect
-current code). Dev-only tool; idempotent (min-merge can only lower floors).
+current code). Dev-only tool; idempotent. The comparison is in
+CALIBRATION units (same rule as BenchFloors.merge since round 13):
+(v/src_calib) < (old/old_calib) — so a tail recorded on a slower host can
+still lower a floor it normalized-beats.
 
 Since round 12 floors carry a host calibration (bench/floor_calib.json,
-see BenchFloors.scala / BASELINE.md "Floor calibration"): when this script
-lowers a floor it also updates that key's calib entry — from the source
-bench's own "calib" field when present, else by DELETING the entry so the
-key falls back to _calib_ref_estimate rather than keeping a stale stamp.
+see BenchFloors.scala / BASELINE.md "Floor calibration"); since round 13
+EVERY floor key must carry a measured stamp (_calib_ref_estimate is
+retired). When this script lowers a floor it therefore stamps the source
+bench's own "calib" field; a pre-calibration bench tail (no calib) can no
+longer lower floors at all — those keys are skipped with a warning.
 
 Usage: python3 dev/restore_floors.py BENCH_r07.json bench/floors.json \
           q_changed_a,q_changed_b,...
@@ -38,12 +42,17 @@ for q, v in recovered.items():
         continue
     key = "sf0.1|" + q
     old = floors.get(key)
-    if old is None or v < old:
+    old_calib = calib.get(key)
+    beats = old is None or (
+        (v / src_calib) < (old / old_calib) if src_calib and old_calib
+        else v < old)  # raw fallback only if a side lacks calibration
+    if beats:
+        if src_calib is None:
+            print(f"WARN: {key} would lower but source bench has no calib; skipped "
+                  "(un-stamped floors are not allowed since round 13)")
+            continue
         floors[key] = v
-        if src_calib is not None:
-            calib[key] = src_calib
-        else:
-            calib.pop(key, None)  # fall back to _calib_ref_estimate
+        calib[key] = src_calib
         lowered += 1
     merged += 1
 
