@@ -123,7 +123,21 @@ object BenchFloors {
     * behavior). Calib: an entry follows its floor — (re)written with
     * `runCalib` exactly when this run seeds or lowers that floor, kept
     * otherwise; meta keys (leading "_") pass through untouched.
+    *
+    * RE-STAMP MARGIN: an EXISTING floor only re-stamps when the run beats
+    * it by more than [[RestampMargin]] in normalized units. Without the
+    * margin the ratchet compounds instrument noise ONE-WAY: the
+    * single-thread calib drifts ~9% between same-binary passes
+    * (BASELINE.md round-13 pass 2 vs 3), so any pass whose calib happens
+    * to read high makes t/runCalib read low and re-stamps the floor
+    * tighter in normalized units with no plan improvement — floors would
+    * monotonically absorb favorable (t, calib) noise pairings, inflating
+    * every later normalized ratio. A genuine plan improvement clears the
+    * 2% margin easily; a noise pairing inside it leaves the floor alone.
+    * New keys still seed unconditionally.
     */
+  val RestampMargin = 0.98
+
   def merge(
       priorFloors: Map[String, Double],
       priorCalib: Map[String, Double],
@@ -141,8 +155,8 @@ object BenchFloors {
           case None => true // new key: seed
           case Some(floor) =>
             priorCalib.get(key).orElse(refEstimate) match {
-              case Some(floorCalib) => t / runCalib < floor / floorCalib
-              case None             => t < floor // no calibration anywhere: raw
+              case Some(floorCalib) => t / runCalib < RestampMargin * (floor / floorCalib)
+              case None             => t < RestampMargin * floor // no calibration anywhere: raw
             }
         }
         if (beats) {

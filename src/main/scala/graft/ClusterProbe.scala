@@ -15,10 +15,13 @@ import org.apache.spark.sql.SparkSession
   *  - reliable mode must survive the kill (checkpoint FILES are readable
   *    by any surviving/replacement executor) with results equal to the
   *    pre-kill run and to plain local mode;
-  *  - for contrast, the run starts by demonstrating the same consumers in
-  *    local mode on the cluster would keep their blocks hostage to
-  *    executor lifetime (documented Memo.pin semantics), which is exactly
-  *    why the switch exists.
+  *  - a pin whose WRITE is interrupted (executor SIGKILLed mid-cold-run
+  *    over a fresh fixture copy) must retry to the correct result — never
+  *    serve a torn artifact;
+  *  - a fixture fingerprint ROTATION must evict the superseded
+  *    generation's reliable checkpoint dirs (Memo.Cache → releasePin)
+  *    under the multi-JVM scheduler, with the new pin's results correct —
+  *    the cluster form of MemoSpec's in-process eviction scenarios.
   *
   * Not part of `sbt test` (one SparkContext per JVM; the suites share a
   * `local[4]` session): run manually / per round via
@@ -76,9 +79,15 @@ object ClusterProbe {
     s.sparkContext.setCheckpointDir(ckpDir)
 
     // executor JVM pids by command line (ProcessHandle.descendants proved
-    // unreliable for Worker-spawned processes — pgrep reads /proc directly)
+    // unreliable for Worker-spawned processes — pgrep reads /proc directly).
+    // Scoped to THIS application: the standalone Worker passes the driver's
+    // applicationId as the executor's `--app-id` argument, so matching on it
+    // can never pick (and kill) an executor of an unrelated Spark app that
+    // happens to run concurrently on this host.
+    val appId = s.sparkContext.applicationId
     def executorPids(): Seq[Long] = {
-      val p = new ProcessBuilder("pgrep", "-f", "CoarseGrainedExecutorBackend").start()
+      val p = new ProcessBuilder(
+        "pgrep", "-f", s"CoarseGrainedExecutorBackend.*$appId").start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       p.waitFor()
       out.split("\\s+").filter(_.nonEmpty).map(_.toLong).toSeq
@@ -93,7 +102,9 @@ object ClusterProbe {
     println(s"[cluster-probe] cluster up: ${executorPids().size} executor JVMs after ${waited}s")
 
     // Pin both pipelines in reliable mode on the cluster
+    val t2Start = System.nanoTime()
     val got1 = labels(s, sfDir)
+    val coldRunSec = (System.nanoTime() - t2Start) / 1e9
     require(got1 == truth, s"cluster reliable run diverges from local truth (${got1.size} vs ${truth.size})")
     val ivf1 = SparkEntry.queries("q_simsearch_ivf")(s, sfDir).collect().toSeq
     require(ivf1.nonEmpty, "vector memo pipeline returned no rows on the cluster")
@@ -118,7 +129,105 @@ object ClusterProbe {
     require(ivf2.map(_.toString).sorted == ivf1.map(_.toString).sorted,
       "post-kill vector memo consume diverges")
     println(s"[cluster-probe] post-kill: components + ivf both equal pre-kill results")
-    println("[cluster-probe] PASS: reliable pins survive executor JVM death on local-cluster[2,2,1024]")
+    println("[cluster-probe] PASS(1/3): reliable pins survive executor JVM death on local-cluster[2,2,1024]")
+
+    // wait for the standalone Worker to relaunch the killed executor so the
+    // next phases start from a full 2-executor cluster again
+    var rewaited = 0
+    while (executorPids().size < 2 && rewaited < 120) { Thread.sleep(1000); rewaited += 1 }
+    require(executorPids().size >= 2, "Worker did not relaunch the killed executor within 120s")
+    println(s"[cluster-probe] executor relaunched after ${rewaited}s")
+
+    // ---- Phase 3: kill an executor MID-PIN --------------------------------
+    // The sharper claim than consume-after-kill: a reliable pin() whose
+    // write is interrupted by executor death either completes via task/stage
+    // retry or fails loudly — it never serves a torn artifact. A COPY of the
+    // fixture gets a fresh path+fingerprint, so every memo misses and the
+    // whole pin chain re-runs cold; a killer thread SIGKILLs one executor a
+    // quarter of the way into the cold-run time measured in phase 2.
+    val dirA = java.nio.file.Files.createTempDirectory("graft_probe_rotate").toString
+    for (t <- Seq("documents", "embeddings"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+        java.nio.file.Paths.get(s"$dirA/$t.parquet"))
+    def rddDirs(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          (if (f.getName.startsWith("rdd-")) 1 else 0) +
+            Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else 0
+      walk(new java.io.File(ckpDir))
+    }
+    val c0 = rddDirs() // checkpoint dirs before any dirA work (sfDir families)
+    val killDelayMs = math.max(500L, (coldRunSec * 250).toLong)
+    @volatile var killedMidRun = false
+    @volatile var phase3Done = false
+    val killer = new Thread(() => {
+      Thread.sleep(killDelayMs)
+      val ps = executorPids()
+      if (!phase3Done && ps.nonEmpty) {
+        println(s"[cluster-probe] mid-pin kill: SIGKILL executor pid=${ps.head} at ${killDelayMs}ms")
+        ProcessHandle.of(ps.head).ifPresent(_.destroyForcibly())
+        killedMidRun = !phase3Done
+      }
+    })
+    killer.setDaemon(true)
+    killer.start()
+    val got3 = labels(s, dirA)
+    phase3Done = true
+    killer.join(5000)
+    require(killedMidRun,
+      s"mid-pin kill landed after completion (cold run ${coldRunSec}s, delay ${killDelayMs}ms) — rerun the probe")
+    require(got3 == truth,
+      s"mid-pin-kill run diverges from truth (${got3.size} vs ${truth.size}): a retried pin served a torn artifact")
+    println("[cluster-probe] PASS(2/3): pin interrupted by executor SIGKILL retried to the correct result (no torn artifact)")
+
+    var rewaited2 = 0
+    while (executorPids().size < 2 && rewaited2 < 120) { Thread.sleep(1000); rewaited2 += 1 }
+    require(executorPids().size >= 2, "Worker did not relaunch the killed executor within 120s")
+
+    // ---- Phase 4: fingerprint rotation evicts superseded reliable pins ----
+    // MemoSpec proves releasePin eviction in-process; this is the same claim
+    // under the multi-JVM scheduler: rewrite the fixture (new fingerprint),
+    // re-run, and the superseded generation's cached-family checkpoint dirs
+    // must be deleted while the new pin's results are correct. Per-run
+    // intermediate pins ride the GC + ContextCleaner backstop, hence the
+    // settle loop; without eviction the cached families alone would add a
+    // full second generation of dirs.
+    val c1 = rddDirs() // after the phase-3 cold run over dirA
+    val gen1 = c1 - c0 // one full generation of dirA pins (families + intermediates)
+    require(gen1 > 0, s"phase-3 run left no reliable checkpoint dirs to rotate ($c0 -> $c1)")
+    val rows = Seq(
+      (1L, "entirely unrelated prose about spark physical plans"),
+      (2L, "rotated snapshot duplicate text shared by two docs"),
+      (3L, "rotated snapshot duplicate text shared by two docs"))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      rows.map { case (id, t) =>
+        org.apache.spark.sql.Row(id, t, "en", "probe", t.length.toLong)
+      }.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dirA/documents.parquet")
+    val rf = new java.io.File(s"$dirA/documents.parquet")
+    rf.setLastModified(rf.lastModified() + 1000) // dodge same-mtime-tick rewrites
+    val got4 = labels(s, dirA)
+    require(got4 == Map(2L -> 2L, 3L -> 2L),
+      s"post-rotation labels wrong: $got4 (stale pin served?)")
+    // Without eviction the rotated run would stack a SECOND full generation
+    // on top of gen1; with it, the superseded cached-family dirs are deleted
+    // synchronously during the re-run and per-run intermediates settle via
+    // the GC backstop.
+    var settled = rddDirs()
+    var tries = 0
+    while (settled >= c1 + gen1 && tries < 30) {
+      System.gc(); Thread.sleep(500); settled = rddDirs(); tries += 1
+    }
+    require(settled < c1 + gen1,
+      s"superseded checkpoint dirs not evicted on rotation: before=$c1 (gen size $gen1), after settle=$settled")
+    println(s"[cluster-probe] PASS(3/3): rotation evicted superseded reliable pins (gen1=$gen1 dirs; $c1 -> $settled after re-run + settle)")
+    println("[cluster-probe] PASS: all three reliable-mode lifecycle phases green on local-cluster[2,2,1024]")
     s.stop()
   }
 }

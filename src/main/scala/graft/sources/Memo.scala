@@ -22,12 +22,36 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object Memo {
 
-  /** Fingerprint of `table`'s source parquet under `sfDir`: size + mtime.
-    * Stable across sessions; changes whenever the file is regenerated.
+  /** Fingerprint of `table`'s source parquet under `sfDir`. Stable across
+    * sessions; changes whenever the source is regenerated.
+    *
+    *  - Single FILE (the driver fixtures): size + mtime — cheap (one stat)
+    *    and sufficient, since a rewrite changes at least the mtime tick.
+    *  - DIRECTORY (a Spark-written parquet dir, the daemon posture): the
+    *    directory's own length is meaningless and its mtime only moves
+    *    when DIRECT children are added/removed — an in-place part-file
+    *    rewrite under the same names would fingerprint identically. The
+    *    fingerprint therefore digests the RECURSIVE listing
+    *    (relative name, length, mtime per file, sorted): any
+    *    re-materialization changes part-file names (task UUIDs) and
+    *    mtimes, so it can never be served stale. Cost is one listing walk
+    *    per lookup — the price of correctness for multi-file sources; the
+    *    bench fixtures are single files and never pay it.
     */
   def fingerprint(sfDir: String, table: String): String = {
     val src = new java.io.File(new java.io.File(sfDir).getAbsolutePath, s"$table.parquet")
-    s"${src.length}:${src.lastModified}"
+    if (!src.isDirectory) s"${src.length}:${src.lastModified}"
+    else {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      def walk(f: java.io.File, rel: String): Unit =
+        if (f.isDirectory) {
+          val kids = f.listFiles()
+          if (kids != null)
+            kids.sortBy(_.getName).foreach(k => walk(k, s"$rel/${k.getName}"))
+        } else digest.update(s"$rel:${f.length}:${f.lastModified}\n".getBytes("UTF-8"))
+      walk(src, "")
+      s"dir:${digest.digest().take(8).map("%02x".format(_)).mkString}"
+    }
   }
 
   /** Memo key for an artifact derived from `table` under `sfDir`, owned by
@@ -102,21 +126,47 @@ object Memo {
     * `newSession()` sibling (round-13 regression: six SQL queries register
     * temp views in an isolated newSession; a context-keyed load cache
     * registered them in the parent session instead →
-    * TABLE_OR_VIEW_NOT_FOUND). The outer map is a WeakHashMap on the
-    * session object (SparkSession keeps Object identity equals), so a
-    * short-lived isolation session's entries become collectable with the
-    * session itself rather than accumulating for the JVM's life.
+    * TABLE_OR_VIEW_NOT_FOUND).
+    *
+    * Boundedness: the outer map is an access-ordered LRU capped at
+    * `maxSessions`, NOT a WeakHashMap. Weak keys cannot work here — the
+    * cached values (DataFrames) strongly reference the SparkSession that
+    * created them, i.e. the map KEY, and a WeakHashMap entry whose value
+    * reaches its own key is never collectable (the round-13 version had
+    * exactly this leak: every short-lived `newSession()` isolation session
+    * pinned itself, its SessionState and its DataFrames for the JVM's
+    * life). The explicit LRU makes the lifetime deterministic instead:
+    * long-lived sessions stay hot by being touched (the root session is
+    * re-accessed on every query, so churn from one-shot isolation sessions
+    * can only evict OTHER one-shot sessions), and in the long-lived-daemon
+    * posture the retained set is at most `maxSessions` sessions' worth of
+    * resolved reads.
     */
-  final class SessionCache[V] {
+  final class SessionCache[V](maxSessions: Int = 8) {
+    private type Inner = java.util.concurrent.ConcurrentHashMap[String, V]
     private val outer =
-      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, V]]()
+      new java.util.LinkedHashMap[SparkSession, Inner](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[SparkSession, Inner]): Boolean =
+          size > maxSessions
+      }
     def get(s: SparkSession, key: String)(compute: => V): V = {
       val inner = outer.synchronized {
         var m = outer.get(s)
-        if (m == null) { m = new java.util.concurrent.ConcurrentHashMap[String, V](); outer.put(s, m) }
+        if (m == null) { m = new Inner(); outer.put(s, m) }
         m
       }
       inner.computeIfAbsent(key, _ => compute)
+    }
+    /** Retained session count — spec hook for the bounded-growth claim. */
+    def sessionCount: Int = outer.synchronized(outer.size)
+    /** True iff `s` currently holds a memo entry set (without touching the
+      * LRU access order — spec hook).
+      */
+    def retains(s: SparkSession): Boolean = outer.synchronized {
+      val it = outer.keySet.iterator
+      var found = false
+      while (it.hasNext && !found) found = it.next() eq s
+      found
     }
   }
 

@@ -60,6 +60,28 @@ class BenchFloorsSpec extends AnyFunSuite {
     assert(rawFloors("sf0.1|q_x") == 1.0)
   }
 
+  test("re-stamp margin: a sub-2% normalized 'improvement' does not re-stamp an existing floor; new keys still seed") {
+    // Floor 1.0 s at calib 0.30. A same-binary pass whose calib drifts
+    // 1% high reads normalized 0.99 — instrument noise, not a faster
+    // plan; without the margin the ratchet would absorb it one-way and
+    // every later pass would read inflated against the tightened floor.
+    val prior = Map("sf0.1|q_a" -> 1.0)
+    val priorCalib = Map("sf0.1|q_a" -> 0.30)
+    val (noisy, noisyCalib) = BenchFloors.merge(prior, priorCalib,
+      Seq("q_a" -> 0.99, "q_new" -> 0.99), "sf0.1", runCalib = 0.30)
+    assert(noisy("sf0.1|q_a") == 1.0, "inside-margin sample must not re-stamp")
+    assert(noisyCalib("sf0.1|q_a") == 0.30)
+    assert(noisy("sf0.1|q_new") == 0.99, "new keys seed unconditionally")
+    // A genuine improvement clears the margin and ratchets as before.
+    val (faster, _) = BenchFloors.merge(prior, priorCalib,
+      Seq("q_a" -> 0.97), "sf0.1", runCalib = 0.30)
+    assert(faster("sf0.1|q_a") == 0.97)
+    // Raw fallback path (no calibration anywhere) carries the same margin.
+    val (raw, _) = BenchFloors.merge(Map("sf0.1|q_x" -> 1.0), Map.empty,
+      Seq("q_x" -> 0.99), "sf0.1", runCalib = 0.60)
+    assert(raw("sf0.1|q_x") == 1.0)
+  }
+
   test("deliberately-slowed sanity check: host drift normalizes out, a genuine regression does not") {
     // Floor recorded on the reference host: 1.0 s at calib 0.30.
     // The SAME binary on a 2x-slower host measures 2.0 s at calib 0.60:

@@ -191,6 +191,69 @@ class MemoSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset(modeKey)
   }
 
+  test("SessionCache: bounded LRU — isolation-session churn cannot grow the map or evict the hot root session") {
+    // The round-13 WeakHashMap version leaked every newSession() forever:
+    // cached DataFrames strongly reference their creating session (the map
+    // key), so weak keys never collected. The LRU bound is the fix — churn
+    // from one-shot sessions evicts only other one-shot sessions, because
+    // the root session is re-touched between them (as it is between real
+    // queries).
+    val cache = new Memo.SessionCache[String](maxSessions = 8)
+    assert(cache.get(spark, "k")("root") == "root")
+    val firstIso = spark.newSession()
+    cache.get(firstIso, "k")("iso0")
+    (1 to 40).foreach { i =>
+      cache.get(spark.newSession(), "k")(s"iso$i") // one-shot churn
+      assert(cache.get(spark, "k")(fail("root entry must survive churn")) == "root")
+    }
+    assert(cache.sessionCount <= 8, s"LRU must bound retained sessions, got ${cache.sessionCount}")
+    assert(cache.retains(spark), "hot root session must stay resident")
+    assert(!cache.retains(firstIso), "cold isolation sessions must age out")
+  }
+
+  test("eviction soak: 50 fingerprint rotations per mode leave cache size and storage flat") {
+    import graft.sources.Memo.PinOps
+    def pinnedRdd(ds: org.apache.spark.sql.DataFrame) =
+      ds.queryExecution.analyzed.asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    val modeKey = "spark.graft.checkpoint.mode"
+
+    // LOCAL mode: 50 rotations of one pin-backed family — exactly one live
+    // cache entry and exactly one persisted checkpoint RDD at every step.
+    val cache = new Memo.Cache[org.apache.spark.sql.DataFrame](Memo.releasePin)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    var lastRdd = -1
+    (1 to 50).foreach { i =>
+      val v = cache.get(s"soak|fp$i|sc@x")(spark.range(10 + i).toDF("id").pin())
+      assert(v.count() == 10 + i)
+      lastRdd = pinnedRdd(v).id
+      assert(cache.size == 1, s"rotation $i: cache grew to ${cache.size}")
+      val extra = spark.sparkContext.getPersistentRDDs.size - persistedBefore
+      assert(extra <= 1, s"rotation $i: $extra superseded checkpoint RDDs still persisted")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.contains(lastRdd), "live pin must stay persisted")
+
+    // RELIABLE mode: same soak; the checkpoint DIRECTORY count must stay
+    // flat (deterministic releasePin deletes, not GC timing).
+    val ckpDir = java.nio.file.Files.createTempDirectory("graft_soak_ckp").toString
+    def rddDirs(): Int = {
+      val kids = new java.io.File(ckpDir).listFiles()
+      if (kids == null) 0
+      else kids.map(d => Option(d.listFiles()).map(_.count(_.getName.startsWith("rdd-"))).getOrElse(0)).sum
+    }
+    spark.conf.set(modeKey, "reliable")
+    try {
+      spark.sparkContext.setCheckpointDir(ckpDir)
+      val rCache = new Memo.Cache[org.apache.spark.sql.DataFrame](Memo.releasePin)
+      (1 to 50).foreach { i =>
+        val v = rCache.get(s"rsoak|fp$i|sc@x")(spark.range(10 + i).toDF("id").pin())
+        assert(v.count() == 10 + i)
+        assert(rCache.size == 1)
+        assert(rddDirs() <= 1, s"rotation $i: ${rddDirs()} reliable checkpoint dirs accumulated")
+      }
+      assert(rddDirs() == 1, "the live pin's checkpoint dir must remain")
+    } finally spark.conf.unset(modeKey)
+  }
+
   test("concurrent first callers compute once per key") {
     val cache = new Memo.Cache[java.lang.Long]
     val calls = new java.util.concurrent.atomic.AtomicLong
