@@ -45,5 +45,19 @@ print("worst 10 (normalized run/floor):")
 for nr, q, t, f, fc in rows[:10]:
     print(f"  {nr:6.2f}  {q:32s} run={t:7.3f}s floor={f:7.3f}s floor_calib={fc:.4f}")
 flagged = [r for r in rows if r[0] > thresh]
+# Instrument-noise discount (rule recorded in BASELINE.md "Floor
+# convergence", round 14): the single-thread calib captures per-core
+# speed, not 32-way contention, so when the run's calib sits >=10% below
+# a flagged query's floor stamp the normalization itself is suspect —
+# and sub-0.25 s queries are fixed-overhead-dominated, where a few ms of
+# scheduler jitter already exceeds the flag margin. Flags matching BOTH
+# conditions are reported but discounted; anything else is real signal.
+noise = [r for r in flagged if r[2] < 0.25 and rc < 0.9 * r[4]]
+real = [r for r in flagged if r not in noise]
 print(f"flagged >{thresh}x normalized: {len(flagged)}" +
       ("" if not flagged else " -> " + ", ".join(r[1] for r in flagged)))
+if noise:
+    print(f"  discounted as instrument noise (run<0.25s, run_calib >=10% below floor stamp): "
+          + ", ".join(r[1] for r in noise))
+print(f"  REAL flags: {len(real)}" +
+      ("" if not real else " -> " + ", ".join(r[1] for r in real)))
