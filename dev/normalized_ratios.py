@@ -61,3 +61,12 @@ if noise:
           + ", ".join(r[1] for r in noise))
 print(f"  REAL flags: {len(real)}" +
       ("" if not real else " -> " + ", ".join(r[1] for r in real)))
+# Broad-flag advisory (round-14 pass-7 lesson, BASELINE.md "Floor
+# convergence"): a genuine plan regression flags one or two related
+# queries; >10% of the suite flagging AT ONCE on a binary that read zero
+# flags in an adjacent window is 32-way host contention the single-thread
+# calib cannot capture. Re-run in another window before acting.
+if len(flagged) > 0.1 * len(rows) and med > 1.25:
+    print(f"  ADVISORY: {len(flagged)}/{len(rows)} queries flagged with median {med:.2f} — "
+          "pattern matches uniform host contention, not a per-query regression; "
+          "re-run in a different window before treating any flag as real")
