@@ -95,17 +95,34 @@ object Bench {
         if (java.nio.file.Files.exists(path))
           BenchFloors.parseFlatJson(java.nio.file.Files.readString(path), path.toString)
         else Map.empty
+      val pendingPath = java.nio.file.Paths.get("bench/floor_pending.json")
       val prior = parseFlat(minimaPath)
       val priorCalib = parseFlat(calibPath)
+      val priorPending = parseFlat(pendingPath)
       // last non-empty path segment: a trailing slash must not collapse the
       // namespace to "" (which would merge every sf into one floor set)
       val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
-      val (merged, mergedCalib) =
-        BenchFloors.merge(prior, priorCalib, results, sfTag, calib)
+      val (merged, mergedCalib, mergedPending) =
+        BenchFloors.merge(prior, priorCalib, priorPending, results, sfTag, calib)
       val minimaJson = BenchFloors.renderFlatJson(merged)
       java.nio.file.Files.writeString(minimaPath, minimaJson + "\n")
       java.nio.file.Files.writeString(calibPath,
         BenchFloors.renderFlatJson(mergedCalib) + "\n")
+      java.nio.file.Files.writeString(pendingPath,
+        BenchFloors.renderFlatJson(mergedPending) + "\n")
+      // Per-run per-query record: the driver's BENCH artifact preserves only
+      // the stdout TAIL (59 of 169 per-query times survived in BENCH_r14),
+      // so round-over-round regression diffs leaned on floors.json — which
+      // moves only on re-stamps. last_run.json is the full (key → seconds)
+      // map of THIS run plus its calibration, floors-compatible keys, so any
+      // two runs diff 169/169 mechanically. Overwritten per run; committed
+      // per round.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench/last_run.json"),
+        BenchFloors.renderFlatJson(
+          results.map { case (k, v) => s"$sfTag|$k" -> v }.toMap +
+            ("_calib" -> calib) + ("_total" -> total) +
+            ("_failed" -> failed.toDouble)) + "\n")
       try { // mirror; canonical write above already succeeded
         java.nio.file.Files.createDirectories(legacyPath.getParent)
         java.nio.file.Files.writeString(legacyPath, minimaJson + "\n")

@@ -50,33 +50,21 @@ object ClusterProbe {
     sLocal.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
-    // Phase 2: real multi-JVM scheduler. Executors are separate processes:
-    // they need the app classes (same machine -> extraClassPath of this
-    // JVM's classpath) and the same JDK17 add-opens the driver runs with.
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-    val s = SparkSession.builder()
-      .master("local-cluster[2,2,1024]")
-      .withExtensions(new GraftExtensions())
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
-      .config("spark.executor.extraJavaOptions", addOpens)
-      .config("spark.graft.checkpoint.mode", "reliable")
-      .getOrCreate()
+    // Phase 2: real multi-JVM scheduler ([[Sessions.localCluster]]).
+    val s = Sessions.localCluster(Map("spark.graft.checkpoint.mode" -> "reliable"))
     s.sparkContext.setLogLevel("WARN")
     s.sparkContext.setCheckpointDir(ckpDir)
+    // Mid-run-kill evidence is LISTENER-based, not wall-clock-flag based: a
+    // kill only counts as having interrupted the run if some task actually
+    // ended in failure / resubmission because of it (a timestamp or a done
+    // flag races in both directions — the kill can land between the last
+    // task and the driver-side return, or the assignment can lose the race
+    // to the run finishing).
+    val failedTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.reason != org.apache.spark.Success) failedTasks.incrementAndGet()
+    })
 
     // executor JVM pids by command line (ProcessHandle.descendants proved
     // unreliable for Worker-spawned processes — pgrep reads /proc directly).
@@ -160,7 +148,6 @@ object ClusterProbe {
     }
     val c0 = rddDirs() // checkpoint dirs before any dirA work (sfDir families)
     val killDelayMs = math.max(500L, (coldRunSec * 250).toLong)
-    @volatile var killedMidRun = false
     @volatile var phase3Done = false
     val killer = new Thread(() => {
       Thread.sleep(killDelayMs)
@@ -168,16 +155,20 @@ object ClusterProbe {
       if (!phase3Done && ps.nonEmpty) {
         println(s"[cluster-probe] mid-pin kill: SIGKILL executor pid=${ps.head} at ${killDelayMs}ms")
         ProcessHandle.of(ps.head).ifPresent(_.destroyForcibly())
-        killedMidRun = !phase3Done
       }
     })
     killer.setDaemon(true)
     killer.start()
+    val failedBefore = failedTasks.get()
     val got3 = labels(s, dirA)
     phase3Done = true
     killer.join(5000)
-    require(killedMidRun,
-      s"mid-pin kill landed after completion (cold run ${coldRunSec}s, delay ${killDelayMs}ms) — rerun the probe")
+    // The kill must have interrupted actual work: at least one task of the
+    // cold run must have ended non-Success (ExecutorLost / resubmitted).
+    // A kill that lands after the last task (or never fires) proves
+    // nothing — rerun rather than record a vacuous pass.
+    require(failedTasks.get() > failedBefore,
+      s"mid-pin kill interrupted no task (cold run ${coldRunSec}s, delay ${killDelayMs}ms) — rerun the probe")
     require(got3 == truth,
       s"mid-pin-kill run diverges from truth (${got3.size} vs ${truth.size}): a retried pin served a torn artifact")
     println("[cluster-probe] PASS(2/3): pin interrupted by executor SIGKILL retried to the correct result (no torn artifact)")
@@ -210,8 +201,10 @@ object ClusterProbe {
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dirA/documents.parquet")
-    val rf = new java.io.File(s"$dirA/documents.parquet")
-    rf.setLastModified(rf.lastModified() + 1000) // dodge same-mtime-tick rewrites
+    // No mtime nudging needed: after the overwrite the path is a Spark-written
+    // DIRECTORY, and the dir:<hash> fingerprint digests the recursive file
+    // listing (fresh task-UUID part names every write) — rotation detection
+    // cannot miss a same-tick rewrite.
     val got4 = labels(s, dirA)
     require(got4 == Map(2L -> 2L, 3L -> 2L),
       s"post-rotation labels wrong: $got4 (stale pin served?)")

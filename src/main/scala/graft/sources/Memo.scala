@@ -40,6 +40,15 @@ object Memo {
     */
   def fingerprint(sfDir: String, table: String): String = {
     val src = new java.io.File(new java.io.File(sfDir).getAbsolutePath, s"$table.parquet")
+    // Fail loudly on a missing source: java.io.File stats resolve ONLY the
+    // driver's local filesystem, and a path that doesn't exist there (typo,
+    // or an HDFS/S3 URI this local variant cannot see) would silently
+    // fingerprint as the constant "0:0" — every regeneration would then
+    // collide on one memo key and serve stale artifacts with no error.
+    // Remote sources need a Hadoop-FileSystem fingerprint, not a constant.
+    require(src.exists,
+      s"Memo.fingerprint: $src does not exist on the driver's local filesystem " +
+        "(a non-local source must not be fingerprinted by this java.io.File variant)")
     if (!src.isDirectory) s"${src.length}:${src.lastModified}"
     else {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
@@ -67,8 +76,11 @@ object Memo {
   }
 
   /** Family/version split of a memo key. [[key]] produces
-    * `<abs>/<table>|<size>:<mtime>|sc@<app>:<start>` (call sites may append
-    * `#suffix` to the END): segment 1 is the source FINGERPRINT (version);
+    * `<abs>/<table>|<fingerprint>|sc@<app>:<start>` (call sites may append
+    * `#suffix` to the END), where `<fingerprint>` is either the single-file
+    * `<size>:<mtime>` form or the directory `dir:<hash>` form of
+    * [[fingerprint]] — neither contains '|', so the split is unambiguous:
+    * segment 1 is the source FINGERPRINT (version);
     * everything else — path, context identity, suffix — is the FAMILY. Two
     * keys of one family are the same artifact for two snapshots of its
     * source; only one can be current. A key without a fingerprint segment

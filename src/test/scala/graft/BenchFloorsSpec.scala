@@ -10,33 +10,50 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchFloorsSpec extends AnyFunSuite {
 
-  test("merge ratchets in CALIBRATION UNITS: normalized-faster samples re-stamp, normalized-slower change nothing") {
+  test("merge ratchets in CALIBRATION UNITS with two-pass confirmation: the first beating sample pends, the second re-stamps") {
     // Same-host case (runCalib == every floorCalib == 0.30): degenerates to
     // the raw-seconds ratchet.
     val prior = Map("sf0.1|q_a" -> 1.0, "sf0.1|q_b" -> 2.0, "sf0.1|q_gone" -> 3.0,
       "legacy_unnamespaced" -> 9.0)
     val priorCalib = Map("sf0.1|q_a" -> 0.30, "sf0.1|q_b" -> 0.30,
       "_calib_ref_estimate" -> 0.30)
-    val same = Seq(
-      "q_a" -> 0.8, // faster: ratchets, calib re-stamped
+    val pass1 = Seq(
+      "q_a" -> 0.8, // faster: becomes a PENDING candidate, floor untouched
       "q_b" -> 2.5, // slower: floor + calib kept
       "q_new" -> 1.5, // new key: seeded with this run's calib
       "q_fail" -> -1.0) // failed: never recorded
-    val (floors, calib) = BenchFloors.merge(prior, priorCalib, same, "sf0.1", runCalib = 0.30)
+    val (floors, calib, pending) =
+      BenchFloors.merge(prior, priorCalib, Map.empty, pass1, "sf0.1", runCalib = 0.30)
     assert(floors == Map(
-      "sf0.1|q_a" -> 0.8, "sf0.1|q_b" -> 2.0, "sf0.1|q_gone" -> 3.0,
+      "sf0.1|q_a" -> 1.0, // one sample is not evidence: held in pending
+      "sf0.1|q_b" -> 2.0, "sf0.1|q_gone" -> 3.0,
       "sf0.1|q_new" -> 1.5))
+    assert(pending == Map("sf0.1|q_a" -> 0.8 / 0.30)) // normalized units
     assert(calib == Map(
-      "sf0.1|q_a" -> 0.30, // re-stamped by the ratcheting run
-      "sf0.1|q_b" -> 0.30, // floor kept -> calib kept
+      "sf0.1|q_a" -> 0.30, // floor kept -> calib kept
+      "sf0.1|q_b" -> 0.30,
       "sf0.1|q_new" -> 0.30, // seeded
       "_calib_ref_estimate" -> 0.30)) // meta key passes through
-    // a run at another sf namespaces separately
-    val (floors2, _) = BenchFloors.merge(floors, calib, Seq("q_a" -> 0.1), "sf0.001", 0.3)
-    assert(floors2("sf0.1|q_a") == 0.8 && floors2("sf0.001|q_a") == 0.1)
+    // pass 2 also beats the floor (0.85 < 0.98*1.0): CONFIRMS, and the
+    // stamped value is the more conservative of the two samples
+    val (floors2, calib2, pending2) = BenchFloors.merge(
+      floors, calib, pending, Seq("q_a" -> 0.85), "sf0.1", runCalib = 0.30)
+    assert(math.abs(floors2("sf0.1|q_a") - 0.85) < 1e-9)
+    assert(calib2("sf0.1|q_a") == 0.30)
+    assert(!pending2.contains("sf0.1|q_a"))
+    // ... and symmetrically: if pass 2 is the FASTER one, the pending
+    // (slower) candidate is what stamps — floors never record the
+    // luckiest single window
+    val (floors2b, _, _) = BenchFloors.merge(
+      floors, calib, pending, Seq("q_a" -> 0.7), "sf0.1", runCalib = 0.30)
+    assert(math.abs(floors2b("sf0.1|q_a") - 0.8) < 1e-9)
+    // a run at another sf namespaces separately (and seeds immediately)
+    val (floors3, _, _) =
+      BenchFloors.merge(floors2, calib2, pending2, Seq("q_a" -> 0.1), "sf0.001", 0.3)
+    assert(math.abs(floors3("sf0.1|q_a") - 0.85) < 1e-9 && floors3("sf0.001|q_a") == 0.1)
   }
 
-  test("merge: the ratchet is alive on a 2x-slower host — normalized-equal samples re-stamp with the genuine calib") {
+  test("merge: the ratchet is alive on a 2x-slower host — normalized-equal samples confirm and re-stamp with the genuine calib") {
     // Floor 1.0 s at calib 0.30. On a 2x-slower host (calib 0.60) the same
     // binary measures ~2.0 s; anything under 2.0 raw (< 1.0 normalized)
     // must ratchet — this is exactly what a raw-seconds compare can never
@@ -44,42 +61,62 @@ class BenchFloorsSpec extends AnyFunSuite {
     val prior = Map("sf0.1|q_a" -> 1.0, "sf0.1|q_pre" -> 1.0, "sf0.1|q_slow" -> 1.0)
     val priorCalib = Map("sf0.1|q_a" -> 0.30, "_calib_ref_estimate" -> 0.30)
     val results = Seq(
-      "q_a" -> 1.9, // normalized 0.95: ratchets despite being raw-slower
-      "q_pre" -> 1.9, // pre-calib floor: compared via the ref estimate, ratchets
+      "q_a" -> 1.9, // normalized 0.95: candidate, confirmed next pass
+      "q_pre" -> 1.9, // pre-calib floor: compared via the ref estimate
       "q_slow" -> 2.4) // normalized 1.2: a real regression, floor kept
-    val (floors, calib) = BenchFloors.merge(prior, priorCalib, results, "sf0.1", runCalib = 0.60)
-    assert(floors == Map("sf0.1|q_a" -> 1.9, "sf0.1|q_pre" -> 1.9, "sf0.1|q_slow" -> 1.0))
+    val (f1, c1, p1) =
+      BenchFloors.merge(prior, priorCalib, Map.empty, results, "sf0.1", runCalib = 0.60)
+    assert(f1 == prior, "first sighting pends, floors untouched")
+    assert(p1.keySet == Set("sf0.1|q_a", "sf0.1|q_pre"))
+    val (floors, calib, p2) =
+      BenchFloors.merge(f1, c1, p1, results, "sf0.1", runCalib = 0.60)
+    assert(math.abs(floors("sf0.1|q_a") - 1.9) < 1e-9 &&
+      math.abs(floors("sf0.1|q_pre") - 1.9) < 1e-9 && floors("sf0.1|q_slow") == 1.0)
     assert(calib("sf0.1|q_a") == 0.60 && calib("sf0.1|q_pre") == 0.60)
     assert(!calib.contains("sf0.1|q_slow")) // kept floor keeps (no) stamp
+    assert(p2.isEmpty)
     // the re-stamped floors normalize identically to the old ones:
     // 1.9/0.60 == 3.17 calib units ~ 1.0/0.30 == 3.33 (0.95x, the measured run)
     assert(math.abs(BenchFloors.normalizedRatio(1.9, 0.60, 1.0, 0.30) - 0.95) < 1e-9)
-    // no calibration anywhere (pre-round-12 files): degrade to raw compare
-    val (rawFloors, _) = BenchFloors.merge(Map("sf0.1|q_x" -> 1.0), Map.empty,
-      Seq("q_x" -> 1.9), "sf0.1", runCalib = 0.60)
-    assert(rawFloors("sf0.1|q_x") == 1.0)
+    // no calibration anywhere (pre-round-12 files): degrade to raw compare —
+    // same pend-then-confirm discipline in raw seconds
+    val (rf1, rc1, rp1) = BenchFloors.merge(Map("sf0.1|q_x" -> 1.0), Map.empty,
+      Map.empty, Seq("q_x" -> 0.9), "sf0.1", runCalib = 0.60)
+    assert(rf1("sf0.1|q_x") == 1.0 && rp1 == Map("sf0.1|q_x" -> 0.9))
+    val (rf2, _, _) = BenchFloors.merge(rf1, rc1, rp1,
+      Seq("q_x" -> 0.9), "sf0.1", runCalib = 0.60)
+    assert(math.abs(rf2("sf0.1|q_x") - 0.9) < 1e-9)
   }
 
-  test("re-stamp margin: a sub-2% normalized 'improvement' does not re-stamp an existing floor; new keys still seed") {
+  test("re-stamp guard: inside-margin samples neither stamp nor pend, and an unconfirmed candidate expires") {
     // Floor 1.0 s at calib 0.30. A same-binary pass whose calib drifts
     // 1% high reads normalized 0.99 — instrument noise, not a faster
     // plan; without the margin the ratchet would absorb it one-way and
     // every later pass would read inflated against the tightened floor.
     val prior = Map("sf0.1|q_a" -> 1.0)
     val priorCalib = Map("sf0.1|q_a" -> 0.30)
-    val (noisy, noisyCalib) = BenchFloors.merge(prior, priorCalib,
-      Seq("q_a" -> 0.99, "q_new" -> 0.99), "sf0.1", runCalib = 0.30)
+    val (noisy, noisyCalib, noisyPending) = BenchFloors.merge(prior, priorCalib,
+      Map.empty, Seq("q_a" -> 0.99, "q_new" -> 0.99), "sf0.1", runCalib = 0.30)
     assert(noisy("sf0.1|q_a") == 1.0, "inside-margin sample must not re-stamp")
     assert(noisyCalib("sf0.1|q_a") == 0.30)
+    assert(noisyPending.isEmpty, "inside-margin sample must not even pend")
     assert(noisy("sf0.1|q_new") == 0.99, "new keys seed unconditionally")
-    // A genuine improvement clears the margin and ratchets as before.
-    val (faster, _) = BenchFloors.merge(prior, priorCalib,
-      Seq("q_a" -> 0.97), "sf0.1", runCalib = 0.30)
-    assert(faster("sf0.1|q_a") == 0.97)
-    // Raw fallback path (no calibration anywhere) carries the same margin.
-    val (raw, _) = BenchFloors.merge(Map("sf0.1|q_x" -> 1.0), Map.empty,
-      Seq("q_x" -> 0.99), "sf0.1", runCalib = 0.60)
-    assert(raw("sf0.1|q_x") == 1.0)
+    // The q_histogram scenario (BASELINE.md "Known lucky-stamp key"): ONE
+    // lucky window far under the floor, never reproduced — the candidate
+    // pends, then expires on the next pass that fails the margin, and the
+    // floor never absorbs the outlier.
+    val (f1, c1, p1) = BenchFloors.merge(prior, priorCalib, Map.empty,
+      Seq("q_a" -> 0.70), "sf0.1", runCalib = 0.30)
+    assert(f1("sf0.1|q_a") == 1.0 && p1.contains("sf0.1|q_a"))
+    val (f2, _, p2) = BenchFloors.merge(f1, c1, p1,
+      Seq("q_a" -> 0.99), "sf0.1", runCalib = 0.30)
+    assert(f2("sf0.1|q_a") == 1.0, "lucky sample must never become the floor")
+    assert(p2.isEmpty, "unreproduced candidate must expire")
+    // Pending survives a pass at ANOTHER sf untouched (an sf0.001 smoke run
+    // between two sf0.1 passes must not expire an sf0.1 candidate).
+    val (_, _, pOther) = BenchFloors.merge(f1, c1, p1,
+      Seq("q_a" -> 0.99), "sf0.001", runCalib = 0.30)
+    assert(pOther.contains("sf0.1|q_a"))
   }
 
   test("deliberately-slowed sanity check: host drift normalizes out, a genuine regression does not") {
