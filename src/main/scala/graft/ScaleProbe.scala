@@ -47,7 +47,25 @@ import org.apache.spark.sql.functions._
   * wall time ≈ (rows factor) × (length mode cost at 8×), nothing
   * super-linear in the product.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [K] [query,query,...] [rows|length|dims|hotbucket|combo]
+  * A FACTS axis, `facts` mode (round 15): orders and lineitem replicated
+  * K× with fresh order keys (o_orderkey + rep·10⁹ on both sides, so the
+  * orders⋈lineitem FK structure is preserved exactly and per-order line
+  * groups stay intact) while customer/supplier/part/nation/region stay 1×
+  * (dims stay dims — the star-schema shape at scale) and
+  * documents/embeddings/events ride along unamplified. This is the axis
+  * the other modes can't test: every prior soak amplified
+  * documents/embeddings/events while the TPC-H-shaped heavy join/report
+  * queries' fact tables "rode along unamplified" — their plans were
+  * PlanSpec-pinned but never row-soaked. Replicating the FACTS makes the
+  * big sort-merge joins, the grouped/windowed report aggregations, the
+  * correlated subqueries and the frontier recursion each carry K× rows
+  * through their shuffles; dims-side broadcasts must STAY broadcasts
+  * (the dim cardinality is unchanged) and wall time must stay
+  * at-or-below-linear in K. Note per-customer order counts grow K× (the
+  * replicas keep o_custkey) — the hot-key direction for the
+  * window/groupBy-on-custkey shapes, deliberate.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [K] [query,query,...] [rows|length|dims|hotbucket|combo|facts]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -56,10 +74,18 @@ object ScaleProbe {
     // positional-ish: mode is whichever arg says length/rows (default rows);
     // the query list is whichever arg starts with "q_" — so a run can skip
     // the list without shell-quoting an empty placeholder
-    val mode = args.find(Set("length", "rows", "dims", "hotbucket", "combo")).getOrElse("rows")
-    val out = java.nio.file.Files.createTempDirectory("scaleprobe").toString
+    val mode = args.find(Set("length", "rows", "dims", "hotbucket", "combo", "facts")).getOrElse("rows")
+    // out=<dir>: keep/reuse the amplified corpus across probe runs (plan
+    // iteration on one amplification instead of re-writing it per run); a
+    // dir that already holds documents.parquet is reused as-is — the caller
+    // owns ensuring it was amplified with the same (sf, K, mode).
+    val out = args.find(_.startsWith("out=")).map(_.stripPrefix("out="))
+      .getOrElse(java.nio.file.Files.createTempDirectory("scaleprobe").toString)
+    val reuse = new java.io.File(s"$out/documents.parquet").exists
+    if (reuse) println(s"[scaleprobe] reusing amplified corpus at $out")
     val spark = Sessions.tuned("local[32]", "32")
     spark.sparkContext.setLogLevel("WARN")
+    if (!reuse) {
     val docs = Tables.documents(spark, sf)
     val reps = spark.range(k).select(col("id").as("rep"))
     val amplifiedDocs =
@@ -75,6 +101,7 @@ object ScaleProbe {
           col("lang"), col("source"))
           .withColumn("n_chars", length(col("text")).cast("long"))
       else if (mode == "dims") docs // vector axis only
+      else if (mode == "facts") docs // star-schema axis: text rides at 1x
       else if (mode == "combo") {
         // K× rows of 8×-longer docs: length-axis construction first (8
         // repeats, tail token per repeat keeps repeats non-identical),
@@ -145,13 +172,37 @@ object ScaleProbe {
     else Tables.events(spark, sf))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
-    // Star-schema tables ride along unamplified (dims stay dims).
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))
+    // Star-schema tables: dims ALWAYS ride at 1× (dims stay dims); the fact
+    // tables replicate K× in facts mode — fresh order keys on both join
+    // sides keep the FK structure exact (replica r of order o joins exactly
+    // the replicas of o's line items), o_custkey/l_partkey/l_suppkey are
+    // kept so dim FKs stay valid and per-dim-key fact fan-out grows K×.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       Tables.load(spark, sf, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    val factShift = lit(1000000000L)
+    (if (mode == "facts")
+      Tables.orders(spark, sf).crossJoin(reps)
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * factShift)
+        .drop("rep")
+    else Tables.orders(spark, sf))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    (if (mode == "facts")
+      Tables.lineitem(spark, sf).crossJoin(reps)
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * factShift)
+        .drop("rep")
+    else Tables.lineitem(spark, sf))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    } // end !reuse amplification
     val stats = spark.read.parquet(s"$out/documents.parquet")
       .agg(count(lit(1)), avg(length(col("text")))).head()
     println(s"[scaleprobe] amplified corpus: ${stats.getLong(0)} docs, " +
       f"avg ${stats.getDouble(1)}%.0f chars (${k}x-$mode $sf)")
+    if (mode == "facts")
+      println(s"[scaleprobe] amplified facts: " +
+        s"${spark.read.parquet(s"$out/orders.parquet").count()} orders, " +
+        s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitem rows (dims at 1x)")
     val dimsDefaults = Seq(
       // every vector-path consumer: brute-force top-k, LSH, IVF (Lloyd
       // training), PQ/IVF-PQ (subquantizer training + ADC), embedding dedup,
@@ -178,11 +229,20 @@ object ScaleProbe {
       "q_dedup_simhash_pairs", "q_text_editdist", "q_dedup_substring",
       "q_text_bm25", "q_pack_sequences", "q_dedup_components",
       "q_dedup_cap_audit")
+    val factsDefaults = Seq(
+      // the TPC-H-shaped heavy join/report family whose facts never grew in
+      // the other modes: multi-join reports, proration, correlated + nested
+      // subqueries, frontier recursion, windowed supplier-wait ranking,
+      // customer-distribution (hot-custkey direction: replicas keep custkey)
+      "q_alloc_prorata", "q_report_multijoin", "q_report_suppwait",
+      "q_subquery_corr", "q_subquery_nested", "q_recursive_chain",
+      "q_report_custdist", "q_report_partvalue")
     val names = args.find(_.startsWith("q_")).map(_.split(",").toSeq)
       .getOrElse(if (mode == "length") lengthDefaults
       else if (mode == "dims") dimsDefaults
       else if (mode == "hotbucket") hotbucketDefaults
       else if (mode == "combo") comboDefaults
+      else if (mode == "facts") factsDefaults
       else Seq(
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_near",
       "q_dedup_components", "q_dedup_keep", "q_dedup_prefix",
