@@ -33,7 +33,10 @@ def main():
     top = 10
     if "--top" in argv:
         i = argv.index("--top")
-        top = int(argv[i + 1])
+        try:
+            top = int(argv[i + 1])
+        except (IndexError, ValueError):
+            sys.exit(__doc__)
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
     if len(args) != 2:
@@ -42,6 +45,9 @@ def main():
     new_calib, new = load(args[1])
     norm = (old_calib and new_calib) or None
     shared = sorted(set(old) & set(new))
+    if not shared:
+        sys.exit("no shared query keys between the two runs — were they at "
+                 "different scale factors? (keys are '<sf>|<query>')")
     only_old = set(old) - set(new)
     only_new = set(new) - set(old)
     ratios = {}
@@ -68,9 +74,16 @@ def main():
     flagged = [k for k, r in ratios.items() if r > 1.5]
     print(f"\nflagged >1.5x: {len(flagged)}", end="")
     print(" -> " + ", ".join(sorted(flagged)) if flagged else "")
-    if len(flagged) > 0.1 * len(shared):
-        print("ADVISORY: >10% of the suite moved together — window contention, "
-              "not per-query regressions; re-run before acting on any flag")
+    # Same gate as normalized_ratios.py: breadth alone is not contention —
+    # contention also moves the MEDIAN (uniform inflation). Broad flags on a
+    # flat median are per-query regressions and must not be waved off.
+    if len(flagged) > 0.1 * len(shared) and med > 1.25:
+        print("ADVISORY: >10% of the suite moved together with an elevated "
+              "median — pattern matches window contention, not per-query "
+              "regressions; re-run before acting on any flag")
+    elif len(flagged) > 0.1 * len(shared):
+        print("NOTE: broad flags on a ~flat median — NOT the contention "
+              "signature; treat these as real per-query regressions")
 
 
 if __name__ == "__main__":

@@ -185,11 +185,19 @@ object BenchFloors {
                   // second independent confirming pass: stamp the more
                   // conservative (higher) of the two sub-margin samples
                   val stampNorm = math.max(pendNorm, curNorm)
-                  floors += key -> (hasCalib match {
-                    case Some(_) => stampNorm * runCalib
-                    case None    => stampNorm
-                  })
-                  calib += key -> runCalib
+                  hasCalib match {
+                    case Some(_) =>
+                      floors += key -> (stampNorm * runCalib)
+                      calib += key -> runCalib
+                    case None =>
+                      // raw fallback: stamp raw seconds and do NOT invent a
+                      // calib stamp — the pending sample may come from a
+                      // different-speed host's pass, and pairing its raw
+                      // seconds with THIS run's calib would permanently skew
+                      // the key's normalized ratio; the key stays raw until
+                      // a calibrated file seeds it fresh.
+                      floors += key -> stampNorm
+                  }
                   pending -= key
                 case None =>
                   pending += key -> curNorm // first sighting: hold for confirmation

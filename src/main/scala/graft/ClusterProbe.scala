@@ -166,7 +166,13 @@ object ClusterProbe {
     // The kill must have interrupted actual work: at least one task of the
     // cold run must have ended non-Success (ExecutorLost / resubmitted).
     // A kill that lands after the last task (or never fires) proves
-    // nothing — rerun rather than record a vacuous pass.
+    // nothing — rerun rather than record a vacuous pass. Listener events
+    // are delivered asynchronously, so poll briefly rather than read the
+    // counter once (a queued TaskEnd must not flunk a genuine interrupt).
+    var drained = 0
+    while (failedTasks.get() <= failedBefore && drained < 100) {
+      Thread.sleep(100); drained += 1
+    }
     require(failedTasks.get() > failedBefore,
       s"mid-pin kill interrupted no task (cold run ${coldRunSec}s, delay ${killDelayMs}ms) — rerun the probe")
     require(got3 == truth,

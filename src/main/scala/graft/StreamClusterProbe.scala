@@ -169,16 +169,32 @@ object StreamClusterProbe {
       while (executorPids().size < 2 && w < 120) { Thread.sleep(1000); w += 1 }
       require(executorPids().size >= 2, "Worker did not relaunch the killed executor within 120s")
     }
-    def killAfter(delayMs: Long): Thread = {
+    // Returns a cancel flag the caller SETS once its phase completes: a kill
+    // that hasn't fired by then must not fire late into a LATER phase (it
+    // would destabilize a phase that is supposed to be clean, while the
+    // too-late case is still caught by the failed-task requirement below).
+    def killAfter(delayMs: Long): java.util.concurrent.atomic.AtomicBoolean = {
+      val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
       val t = new Thread(() => {
         Thread.sleep(delayMs)
         val ps = executorPids()
-        if (ps.nonEmpty) {
+        if (!cancelled.get && ps.nonEmpty) {
           println(s"[stream-probe] SIGKILL executor pid=${ps.head} at ${delayMs}ms")
           ProcessHandle.of(ps.head).ifPresent(_.destroyForcibly())
         }
       })
-      t.setDaemon(true); t.start(); t
+      t.setDaemon(true); t.start()
+      cancelled
+    }
+    // SparkListener events are delivered asynchronously on the listener bus:
+    // a non-Success TaskEnd can still be queued when the run returns, so the
+    // kill-evidence check polls briefly instead of reading the counter once
+    // (a spurious "rerun the probe" on a genuinely interrupted run would
+    // waste the whole multi-minute probe).
+    def requireInterrupted(before: Int, what: String): Unit = {
+      var w = 0
+      while (failedTasks.get() <= before && w < 100) { Thread.sleep(100); w += 1 }
+      require(failedTasks.get() > before, s"$what — rerun the probe")
     }
 
     val corpusC = Tables.documents(s, sfDir).filter(col("doc_id") % 10 =!= 7)
@@ -201,11 +217,11 @@ object StreamClusterProbe {
     val ckpB = tmp("scp_b_ckp")
     val sigB = tmp("scp_b_sig")
     val failedBefore = failedTasks.get()
-    killAfter(math.max(1000L, (drySec * 300).toLong))
+    val ingestKill = killAfter(math.max(1000L, (drySec * 300).toLong))
     StreamingDaemon.ingestDedupLoop(s, inDir, corpusSigsC, outB, ckpB, sigB)
       .awaitTermination()
-    require(failedTasks.get() > failedBefore,
-      s"kill interrupted no task (dry ${drySec}s) — rerun the probe")
+    ingestKill.set(true)
+    requireInterrupted(failedBefore, s"kill interrupted no task (dry ${drySec}s)")
     require(acceptedSet(s, outB) == truthAccepted,
       "killed ingest run diverges from truth: executor death corrupted the gate")
     println("[stream-probe] PASS(2/4): ingest gate absorbed an executor SIGKILL mid-batch (accepted set equals truth)")
@@ -225,11 +241,24 @@ object StreamClusterProbe {
         .withColumn("doc_id", col("doc_id") + 3000000L)
         .withColumn("text", lit(novelText)))
       .coalesce(1).write.mode("append").parquet(inDir)
+    // Re-processing cannot be detected from the accepted SET alone (a replay
+    // would self-dedup against its own persisted hashes and converge to the
+    // same set) — pin the committed batch dirs byte-for-byte instead, the
+    // StreamingSpec fileSig discipline.
+    def batchSigs(dir: String): Map[String, (Long, Long)] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+          .map(f => s"${b.getName}/${f.getName}" -> ((f.length, f.lastModified))))
+        .toMap
+    val preRestartSigs = batchSigs(outB)
     StreamingDaemon.ingestDedupLoop(s, inDir, corpusSigsC, outB, ckpB, sigB)
       .awaitTermination()
+    require(batchSigs(outB).view.filterKeys(preRestartSigs.contains).toMap == preRestartSigs,
+      "restart REWROTE a committed pre-restart batch dir (checkpoint ignored)")
     val kept = acceptedSet(s, outB)
     require(kept.filter(_ < 2000000L) == truthAccepted,
-      "restart re-processed or lost a pre-restart batch")
+      "restart lost a pre-restart batch")
     require(!kept.exists(id => id >= 2000000L && id < 3000000L),
       "near-dup of a pre-kill admission re-admitted after restart — store state lost")
     require(kept.exists(_ >= 3000000L), "novel post-restart doc wrongly rejected")
@@ -245,10 +274,10 @@ object StreamClusterProbe {
     val outL2 = tmp("scp_l2_out")
     val ckpL2 = tmp("scp_l2_ckp")
     val failedBeforeL = failedTasks.get()
-    killAfter(math.max(1000L, (dryLww * 300).toLong))
+    val lwwKill = killAfter(math.max(1000L, (dryLww * 300).toLong))
     runLww(s, evDir, outL2, ckpL2)
-    require(failedTasks.get() > failedBeforeL,
-      s"LWW kill interrupted no task (dry ${dryLww}s) — rerun the probe")
+    lwwKill.set(true)
+    requireInterrupted(failedBeforeL, s"LWW kill interrupted no task (dry ${dryLww}s)")
     require(lwwFinal(s, outL2) == truthLww,
       "killed statefulLww run diverges from batch truth: keyed state lost or double-counted")
     awaitRelaunch()

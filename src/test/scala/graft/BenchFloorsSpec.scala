@@ -83,9 +83,13 @@ class BenchFloorsSpec extends AnyFunSuite {
     val (rf1, rc1, rp1) = BenchFloors.merge(Map("sf0.1|q_x" -> 1.0), Map.empty,
       Map.empty, Seq("q_x" -> 0.9), "sf0.1", runCalib = 0.60)
     assert(rf1("sf0.1|q_x") == 1.0 && rp1 == Map("sf0.1|q_x" -> 0.9))
-    val (rf2, _, _) = BenchFloors.merge(rf1, rc1, rp1,
+    val (rf2, rc2, _) = BenchFloors.merge(rf1, rc1, rp1,
       Seq("q_x" -> 0.9), "sf0.1", runCalib = 0.60)
     assert(math.abs(rf2("sf0.1|q_x") - 0.9) < 1e-9)
+    // ... and the raw confirm must NOT invent a calib stamp: the pending
+    // sample may be another host's raw seconds, and pairing them with this
+    // run's calib would permanently skew the key's normalized ratio
+    assert(!rc2.contains("sf0.1|q_x"))
   }
 
   test("re-stamp guard: inside-margin samples neither stamp nor pend, and an unconfirmed candidate expires") {
