@@ -149,6 +149,21 @@ object BenchFloors {
     */
   val RestampMargin = 0.98
 
+  /** Companion-key suffix in `floor_pending.json`: `<key>#cal` records the
+    * UNIT of the pass that pended `<key>` — 1.0 when the sample was held in
+    * calibration units, 0.0 when in raw seconds. Without it a candidate
+    * recorded raw (no calib stamp for the key on pass 1) could be max'd
+    * against a NORMALIZED pass-2 sample (or vice versa) if the key's calib
+    * availability changes between the passes, and the stamp would multiply
+    * a raw-seconds value by runCalib — a floor in neither unit. A unit
+    * mismatch now re-records the candidate fresh in the current unit
+    * instead of mixing. Legacy entries (no companion) are treated as
+    * matching the current pass — exactly the pre-fix behavior, and correct
+    * for every existing file since a key's calib presence only changes on a
+    * stamp, which clears its pending entry anyway.
+    */
+  val PendingUnitSuffix = "#cal"
+
   def merge(
       priorFloors: Map[String, Double],
       priorCalib: Map[String, Double],
@@ -161,6 +176,9 @@ object BenchFloors {
     var floors = base
     var calib = priorCalib
     var pending = priorPending.filter(_._1.contains("|"))
+    def dropPending(key: String): Unit = {
+      pending -= key; pending -= (key + PendingUnitSuffix)
+    }
     results.foreach { case (name, t) =>
       if (t >= 0) {
         val key = sfTag + "|" + name
@@ -168,7 +186,7 @@ object BenchFloors {
           case None => // new key: seed unconditionally
             floors += key -> t
             calib += key -> runCalib
-            pending -= key
+            dropPending(key)
           case Some(floor) =>
             // This sample and the floor in the same units: calibration
             // units when any calib stamp exists, raw seconds otherwise
@@ -180,7 +198,12 @@ object BenchFloors {
               case None             => (t, floor)
             }
             if (curNorm < RestampMargin * floorNorm) {
-              pending.get(key) match {
+              // Only a same-UNIT candidate may confirm (PendingUnitSuffix
+              // scaladoc): a candidate pended in the other unit is stale
+              // bookkeeping, not a confirming sample — re-record fresh.
+              val sameUnit = pending.get(key + PendingUnitSuffix)
+                .forall(u => (u > 0.5) == hasCalib.isDefined)
+              pending.get(key).filter(_ => sameUnit) match {
                 case Some(pendNorm) =>
                   // second independent confirming pass: stamp the more
                   // conservative (higher) of the two sub-margin samples
@@ -198,11 +221,13 @@ object BenchFloors {
                       // a calibrated file seeds it fresh.
                       floors += key -> stampNorm
                   }
-                  pending -= key
-                case None =>
-                  pending += key -> curNorm // first sighting: hold for confirmation
+                  dropPending(key)
+                case None => // first sighting (or unit-mismatched stale one)
+                  pending += key -> curNorm
+                  pending += (key + PendingUnitSuffix) ->
+                    (if (hasCalib.isDefined) 1.0 else 0.0)
               }
-            } else pending -= key // candidate didn't reproduce: expire it
+            } else dropPending(key) // candidate didn't reproduce: expire it
         }
       }
     }

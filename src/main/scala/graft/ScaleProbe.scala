@@ -82,7 +82,21 @@ object ScaleProbe {
     val out = args.find(_.startsWith("out=")).map(_.stripPrefix("out="))
       .getOrElse(java.nio.file.Files.createTempDirectory("scaleprobe").toString)
     val reuse = new java.io.File(s"$out/documents.parquet").exists
-    if (reuse) println(s"[scaleprobe] reusing amplified corpus at $out")
+    // Reuse is only sound when the existing corpus was amplified with the
+    // SAME (sf, K, mode): a mismatch would silently record soak evidence
+    // under the wrong label. The manifest written at amplification time is
+    // the proof; a corpus without one (pre-round-16) or with different
+    // params fails loudly instead of mislabeling.
+    val manifest = java.nio.file.Paths.get(s"$out/MANIFEST")
+    val params = s"sf=$sf k=$k mode=$mode"
+    if (reuse) {
+      require(java.nio.file.Files.exists(manifest),
+        s"$out holds an amplified corpus but no MANIFEST — re-amplify to a fresh dir (cannot verify it matches $params)")
+      val recorded = java.nio.file.Files.readString(manifest).trim
+      require(recorded == params,
+        s"$out was amplified with '$recorded', this run asks for '$params' — params must match to reuse")
+      println(s"[scaleprobe] reusing amplified corpus at $out (manifest verified: $params)")
+    }
     val spark = Sessions.tuned("local[32]", "32")
     spark.sparkContext.setLogLevel("WARN")
     if (!reuse) {
@@ -179,7 +193,21 @@ object ScaleProbe {
     // kept so dim FKs stay valid and per-dim-key fact fan-out grows K×.
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       Tables.load(spark, sf, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
-    val factShift = lit(1000000000L)
+    // Replica key shift derived from the data, not a constant: a fixed 1e9
+    // collides with genuine keys once the base corpus's o_orderkey reaches
+    // 1e9 (large sf), silently corrupting the FK structure the probe
+    // claims to preserve exactly. max over BOTH join sides (an orphan
+    // l_orderkey above max(o_orderkey) must not collide either), floored
+    // at 1e9 so small-sf soak labels stay comparable across rounds.
+    val factShiftVal =
+      if (mode != "facts") 1000000000L
+      else {
+        val maxKey = math.max(
+          Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head().getLong(0),
+          Tables.lineitem(spark, sf).agg(max(col("l_orderkey"))).head().getLong(0))
+        math.max(1000000000L, maxKey + 1L)
+      }
+    val factShift = lit(factShiftVal)
     (if (mode == "facts")
       Tables.orders(spark, sf).crossJoin(reps)
         .withColumn("o_orderkey", col("o_orderkey") + col("rep") * factShift)
@@ -194,6 +222,7 @@ object ScaleProbe {
     else Tables.lineitem(spark, sf))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    java.nio.file.Files.writeString(manifest, params + "\n")
     } // end !reuse amplification
     val stats = spark.read.parquet(s"$out/documents.parquet")
       .agg(count(lit(1)), avg(length(col("text")))).head()

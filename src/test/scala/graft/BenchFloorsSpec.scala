@@ -28,7 +28,8 @@ class BenchFloorsSpec extends AnyFunSuite {
       "sf0.1|q_a" -> 1.0, // one sample is not evidence: held in pending
       "sf0.1|q_b" -> 2.0, "sf0.1|q_gone" -> 3.0,
       "sf0.1|q_new" -> 1.5))
-    assert(pending == Map("sf0.1|q_a" -> 0.8 / 0.30)) // normalized units
+    assert(pending == Map("sf0.1|q_a" -> 0.8 / 0.30, // normalized units
+      "sf0.1|q_a#cal" -> 1.0)) // companion records the unit (1.0 = calibrated)
     assert(calib == Map(
       "sf0.1|q_a" -> 0.30, // floor kept -> calib kept
       "sf0.1|q_b" -> 0.30,
@@ -40,7 +41,7 @@ class BenchFloorsSpec extends AnyFunSuite {
       floors, calib, pending, Seq("q_a" -> 0.85), "sf0.1", runCalib = 0.30)
     assert(math.abs(floors2("sf0.1|q_a") - 0.85) < 1e-9)
     assert(calib2("sf0.1|q_a") == 0.30)
-    assert(!pending2.contains("sf0.1|q_a"))
+    assert(pending2.isEmpty) // candidate AND its unit companion both cleared
     // ... and symmetrically: if pass 2 is the FASTER one, the pending
     // (slower) candidate is what stamps — floors never record the
     // luckiest single window
@@ -67,7 +68,8 @@ class BenchFloorsSpec extends AnyFunSuite {
     val (f1, c1, p1) =
       BenchFloors.merge(prior, priorCalib, Map.empty, results, "sf0.1", runCalib = 0.60)
     assert(f1 == prior, "first sighting pends, floors untouched")
-    assert(p1.keySet == Set("sf0.1|q_a", "sf0.1|q_pre"))
+    assert(p1.keySet == Set("sf0.1|q_a", "sf0.1|q_a#cal",
+      "sf0.1|q_pre", "sf0.1|q_pre#cal"))
     val (floors, calib, p2) =
       BenchFloors.merge(f1, c1, p1, results, "sf0.1", runCalib = 0.60)
     assert(math.abs(floors("sf0.1|q_a") - 1.9) < 1e-9 &&
@@ -82,7 +84,8 @@ class BenchFloorsSpec extends AnyFunSuite {
     // same pend-then-confirm discipline in raw seconds
     val (rf1, rc1, rp1) = BenchFloors.merge(Map("sf0.1|q_x" -> 1.0), Map.empty,
       Map.empty, Seq("q_x" -> 0.9), "sf0.1", runCalib = 0.60)
-    assert(rf1("sf0.1|q_x") == 1.0 && rp1 == Map("sf0.1|q_x" -> 0.9))
+    assert(rf1("sf0.1|q_x") == 1.0 &&
+      rp1 == Map("sf0.1|q_x" -> 0.9, "sf0.1|q_x#cal" -> 0.0)) // 0.0 = raw unit
     val (rf2, rc2, _) = BenchFloors.merge(rf1, rc1, rp1,
       Seq("q_x" -> 0.9), "sf0.1", runCalib = 0.60)
     assert(math.abs(rf2("sf0.1|q_x") - 0.9) < 1e-9)
@@ -121,6 +124,30 @@ class BenchFloorsSpec extends AnyFunSuite {
     val (_, _, pOther) = BenchFloors.merge(f1, c1, p1,
       Seq("q_a" -> 0.99), "sf0.001", runCalib = 0.30)
     assert(pOther.contains("sf0.1|q_a"))
+  }
+
+  test("unit-mismatched pending never confirms: a raw-pended candidate re-records when calib appears, then confirms in the new unit") {
+    // Pass 1: no calib anywhere → the sub-margin sample pends in RAW seconds.
+    val prior = Map("sf0.1|q_a" -> 1.0)
+    val (f1, c1, p1) = BenchFloors.merge(prior, Map.empty, Map.empty,
+      Seq("q_a" -> 0.9), "sf0.1", runCalib = 0.30)
+    assert(p1 == Map("sf0.1|q_a" -> 0.9, "sf0.1|q_a#cal" -> 0.0))
+    // Between passes the calib file gains a ref estimate (e.g. the backfill
+    // lands): pass 2's comparison runs in CALIBRATION units. Without the
+    // unit companion, max(raw 0.9, normalized 0.5/0.30=1.67) would stamp
+    // 1.67 * runCalib = 0.5 — a floor in neither unit. With it, the stale
+    // raw candidate is discarded and the normalized sample re-records.
+    val c1b = c1 + ("_calib_ref_estimate" -> 0.30)
+    val (f2, _, p2) = BenchFloors.merge(f1, c1b, p1,
+      Seq("q_a" -> 0.5), "sf0.1", runCalib = 0.30)
+    assert(f2("sf0.1|q_a") == 1.0, "unit-mismatched candidate must not confirm a stamp")
+    assert(p2 == Map("sf0.1|q_a" -> 0.5 / 0.30, "sf0.1|q_a#cal" -> 1.0))
+    // Pass 3 confirms in the (matching) calibrated unit and stamps the
+    // more conservative of the two normalized samples.
+    val (f3, c3, p3) = BenchFloors.merge(f2, c1b, p2,
+      Seq("q_a" -> 0.55), "sf0.1", runCalib = 0.30)
+    assert(math.abs(f3("sf0.1|q_a") - 0.55) < 1e-9 && c3("sf0.1|q_a") == 0.30)
+    assert(p3.isEmpty)
   }
 
   test("deliberately-slowed sanity check: host drift normalizes out, a genuine regression does not") {
