@@ -54,32 +54,19 @@ object ClusterProbe {
     val s = Sessions.localCluster(Map("spark.graft.checkpoint.mode" -> "reliable"))
     s.sparkContext.setLogLevel("WARN")
     s.sparkContext.setCheckpointDir(ckpDir)
-    // Mid-run-kill evidence is LISTENER-based, not wall-clock-flag based: a
-    // kill only counts as having interrupted the run if some task actually
-    // ended in failure / resubmission because of it (a timestamp or a done
-    // flag races in both directions — the kill can land between the last
-    // task and the driver-side return, or the assignment can lose the race
-    // to the run finishing).
-    val failedTasks = new java.util.concurrent.atomic.AtomicInteger(0)
-    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.reason != org.apache.spark.Success) failedTasks.incrementAndGet()
-    })
-
-    // executor JVM pids by command line (ProcessHandle.descendants proved
-    // unreliable for Worker-spawned processes — pgrep reads /proc directly).
-    // Scoped to THIS application: the standalone Worker passes the driver's
-    // applicationId as the executor's `--app-id` argument, so matching on it
-    // can never pick (and kill) an executor of an unrelated Spark app that
-    // happens to run concurrently on this host.
+    // Kill + evidence machinery (ProbeKill scaladoc): mid-run-kill evidence
+    // is LISTENER-based — a kill only counts as having interrupted the run
+    // if some task actually ended in failure / resubmission because of it —
+    // with the baseline quiescent-snapshotted so stragglers from earlier
+    // churn can't satisfy a later check; the phase-3 kill itself is
+    // task-start-triggered (deterministically mid-work) instead of the
+    // fixed-delay thread that landed after the last task in ~half of runs.
+    val failedTasks = new ProbeKill.FailedTaskCounter
     val appId = s.sparkContext.applicationId
-    def executorPids(): Seq[Long] = {
-      val p = new ProcessBuilder(
-        "pgrep", "-f", s"CoarseGrainedExecutorBackend.*$appId").start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      p.waitFor()
-      out.split("\\s+").filter(_.nonEmpty).map(_.toLong).toSeq
-    }
+    val killer = new ProbeKill.TaskStartKiller(appId)
+    s.sparkContext.addSparkListener(failedTasks)
+    s.sparkContext.addSparkListener(killer)
+    def executorPids(): Seq[Long] = ProbeKill.executorPids(appId)
     // wait for both executor JVMs to register with the driver
     var waited = 0
     while (s.sparkContext.statusTracker.getExecutorInfos.length < 3 && waited < 120) {
@@ -91,8 +78,10 @@ object ClusterProbe {
 
     // Pin both pipelines in reliable mode on the cluster
     val t2Start = System.nanoTime()
+    val startsBeforeCold = killer.lifetimeStarts.get()
     val got1 = labels(s, sfDir)
     val coldRunSec = (System.nanoTime() - t2Start) / 1e9
+    val coldTasks = killer.lifetimeStarts.get() - startsBeforeCold
     require(got1 == truth, s"cluster reliable run diverges from local truth (${got1.size} vs ${truth.size})")
     val ivf1 = SparkEntry.queries("q_simsearch_ivf")(s, sfDir).collect().toSeq
     require(ivf1.nonEmpty, "vector memo pipeline returned no rows on the cluster")
@@ -131,8 +120,9 @@ object ClusterProbe {
     // write is interrupted by executor death either completes via task/stage
     // retry or fails loudly — it never serves a torn artifact. A COPY of the
     // fixture gets a fresh path+fingerprint, so every memo misses and the
-    // whole pin chain re-runs cold; a killer thread SIGKILLs one executor a
-    // quarter of the way into the cold-run time measured in phase 2.
+    // whole pin chain re-runs cold; the killer fires on the task start a
+    // quarter of the way into the task-start count measured in phase 2's
+    // cold run and SIGKILLs the executor that task launched on.
     val dirA = java.nio.file.Files.createTempDirectory("graft_probe_rotate").toString
     for (t <- Seq("documents", "embeddings"))
       java.nio.file.Files.copy(
@@ -147,34 +137,16 @@ object ClusterProbe {
       walk(new java.io.File(ckpDir))
     }
     val c0 = rddDirs() // checkpoint dirs before any dirA work (sfDir families)
-    val killDelayMs = math.max(500L, (coldRunSec * 250).toLong)
-    @volatile var phase3Done = false
-    val killer = new Thread(() => {
-      Thread.sleep(killDelayMs)
-      val ps = executorPids()
-      if (!phase3Done && ps.nonEmpty) {
-        println(s"[cluster-probe] mid-pin kill: SIGKILL executor pid=${ps.head} at ${killDelayMs}ms")
-        ProcessHandle.of(ps.head).ifPresent(_.destroyForcibly())
-      }
-    })
-    killer.setDaemon(true)
-    killer.start()
-    val failedBefore = failedTasks.get()
+    val failedBefore = failedTasks.quiescentSnapshot(s)
+    killer.arm(math.max(1, (coldTasks / 4).toInt))
     val got3 = labels(s, dirA)
-    phase3Done = true
-    killer.join(5000)
+    killer.disarm()
     // The kill must have interrupted actual work: at least one task of the
     // cold run must have ended non-Success (ExecutorLost / resubmitted).
-    // A kill that lands after the last task (or never fires) proves
-    // nothing — rerun rather than record a vacuous pass. Listener events
-    // are delivered asynchronously, so poll briefly rather than read the
-    // counter once (a queued TaskEnd must not flunk a genuine interrupt).
-    var drained = 0
-    while (failedTasks.get() <= failedBefore && drained < 100) {
-      Thread.sleep(100); drained += 1
-    }
-    require(failedTasks.get() > failedBefore,
-      s"mid-pin kill interrupted no task (cold run ${coldRunSec}s, delay ${killDelayMs}ms) — rerun the probe")
+    // A kill that never fired proves nothing — rerun rather than record a
+    // vacuous pass.
+    failedTasks.requireInterrupted(failedBefore,
+      s"mid-pin kill interrupted no task (cold run ${coldRunSec}s / $coldTasks starts, fired=${killer.fired})")
     require(got3 == truth,
       s"mid-pin-kill run diverges from truth (${got3.size} vs ${truth.size}): a retried pin served a torn artifact")
     println("[cluster-probe] PASS(2/3): pin interrupted by executor SIGKILL retried to the correct result (no torn artifact)")

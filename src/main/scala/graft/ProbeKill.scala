@@ -1,0 +1,160 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
+import org.apache.spark.sql.SparkSession
+
+/** Shared kill/evidence machinery for the multi-JVM probes
+  * ([[ClusterProbe]], [[StreamClusterProbe]]) — NOT part of the library
+  * surface.
+  *
+  * Round-15 ruling: both probes used a fixed-delay SIGKILL thread, so in
+  * roughly half of runs the kill landed between micro-batches / after the
+  * last task and the probe had to say "rerun" (honest, but ~2× the
+  * multi-minute probe cost per round). The deterministic replacement is
+  * task-start-triggered: a [[TaskStartKiller]] listener arms on a task-start
+  * COUNT measured from the phase's own dry run, and when the Nth task start
+  * arrives it SIGKILLs the executor THAT VERY TASK just launched on — the
+  * kill provably lands with work in flight on the killed JVM, so the
+  * listener-verified failed-task evidence follows instead of being left to
+  * timing luck.
+  *
+  * [[FailedTaskCounter]] is the evidence side, with the round-15 ADVICE fix:
+  * the counter is session-wide and SparkListener events are delivered
+  * asynchronously, so a snapshot taken right before a killed phase could be
+  * retro-bumped by stragglers from an EARLIER phase's kill or relaunch churn
+  * — falsely satisfying the later phase's kill-evidence check.
+  * `quiescentSnapshot` runs a marker job (pushing queued events through the
+  * FIFO bus) and then requires the counter to hold still before trusting the
+  * baseline.
+  */
+object ProbeKill {
+
+  /** Executor-JVM pids of this application, keyed by Spark executor id.
+    * pgrep reads /proc directly (ProcessHandle.descendants proved
+    * unreliable for Worker-spawned processes); matching on the appId keeps
+    * the probe from ever touching an unrelated Spark app's executors, and
+    * the `--executor-id` argument the standalone Worker passes lets the
+    * killer target the executor a specific task is running on.
+    */
+  def executorPidsById(appId: String): Map[String, Long] = {
+    val p = new ProcessBuilder(
+      "pgrep", "-af", s"CoarseGrainedExecutorBackend.*$appId").start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.waitFor()
+    out.linesIterator.flatMap { line =>
+      val toks = line.trim.split("\\s+")
+      val idIdx = toks.indexOf("--executor-id")
+      for {
+        pid <- toks.headOption.flatMap(t => scala.util.Try(t.toLong).toOption)
+        if idIdx >= 0 && idIdx + 1 < toks.length
+      } yield toks(idIdx + 1) -> pid
+    }.toMap
+  }
+
+  def executorPids(appId: String): Seq[Long] =
+    executorPidsById(appId).values.toSeq
+
+  /** Block until the standalone Worker has relaunched enough executor JVMs
+    * (it respawns a killed one within seconds; 120 s is a generous bound).
+    */
+  def awaitExecutors(appId: String, atLeast: Int = 2): Unit = {
+    var w = 0
+    while (executorPids(appId).size < atLeast && w < 120) {
+      Thread.sleep(1000); w += 1
+    }
+    require(executorPids(appId).size >= atLeast,
+      s"Worker did not (re)launch $atLeast executor JVMs within 120s")
+  }
+
+  /** Task-start-triggered executor killer. `lifetimeStarts` always counts
+    * (the probes size their kill point from a dry run's task-start total);
+    * `arm(n)` schedules a SIGKILL of the executor the n-th subsequent task
+    * starts on. Disarm after the phase completes — an armed threshold the
+    * run never reached must not fire into a later phase.
+    */
+  final class TaskStartKiller(appId: String) extends SparkListener {
+    val lifetimeStarts = new AtomicLong(0L)
+    private val sinceArm = new AtomicInteger(0)
+    @volatile private var threshold = Int.MaxValue
+    @volatile private var armed = false
+    private val firedFlag = new AtomicBoolean(false)
+    @volatile var killedExecutor: String = ""
+
+    def arm(afterTaskStarts: Int): Unit = {
+      require(afterTaskStarts >= 1, s"arm($afterTaskStarts): need >= 1")
+      sinceArm.set(0)
+      threshold = afterTaskStarts
+      firedFlag.set(false)
+      armed = true
+    }
+
+    def disarm(): Unit = armed = false
+
+    def fired: Boolean = firedFlag.get
+
+    override def onTaskStart(ts: SparkListenerTaskStart): Unit = {
+      lifetimeStarts.incrementAndGet()
+      if (armed && !firedFlag.get) {
+        val n = sinceArm.incrementAndGet()
+        if (n >= threshold && firedFlag.compareAndSet(false, true)) {
+          val exec = ts.taskInfo.executorId
+          killedExecutor = exec
+          // The kill runs off the listener thread (pgrep forks a process);
+          // the bus must keep draining while the killer works.
+          val t = new Thread(() => {
+            val byId = executorPidsById(appId)
+            // Target the executor the triggering task launched on — that
+            // JVM provably has work in flight. Fall back to any executor
+            // of the app if the id lookup misses (already-dead process).
+            byId.get(exec).orElse(byId.values.headOption).foreach { pid =>
+              println(s"[probe-kill] SIGKILL executor id=$exec pid=$pid on armed task-start #$n")
+              ProcessHandle.of(pid).ifPresent(_.destroyForcibly())
+            }
+          })
+          t.setDaemon(true)
+          t.start()
+        }
+      }
+    }
+  }
+
+  /** Session-wide non-Success task counter with a quiescent baseline
+    * snapshot (see object scaladoc for why a bare read is not a baseline).
+    */
+  final class FailedTaskCounter extends SparkListener {
+    private val failed = new AtomicInteger(0)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      if (te.reason != org.apache.spark.Success) failed.incrementAndGet()
+    def get: Int = failed.get
+
+    /** Baseline for a kill-evidence check: run a marker job so every event
+      * already posted to the FIFO listener bus is processed before it, then
+      * require the counter to hold still for `stableMs` — stragglers from a
+      * previous phase's kill/relaunch churn surface here instead of
+      * retro-satisfying the NEXT phase's evidence.
+      */
+    def quiescentSnapshot(s: SparkSession, stableMs: Long = 1500): Int = {
+      s.sparkContext.parallelize(1 to 8, 8).count()
+      var last = failed.get
+      var stableFor = 0L
+      while (stableFor < stableMs) {
+        Thread.sleep(100)
+        val cur = failed.get
+        if (cur == last) stableFor += 100 else { last = cur; stableFor = 0 }
+      }
+      last
+    }
+
+    /** Kill-evidence check: at least one task ended non-Success after
+      * `baseline`. Polls (listener delivery is async) rather than reading
+      * once — a queued TaskEnd must not flunk a genuine interrupt.
+      */
+    def requireInterrupted(baseline: Int, what: String): Unit = {
+      var w = 0
+      while (failed.get <= baseline && w < 100) { Thread.sleep(100); w += 1 }
+      require(failed.get > baseline, s"$what — rerun the probe")
+    }
+  }
+}

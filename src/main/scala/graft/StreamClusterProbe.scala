@@ -26,10 +26,15 @@ import graft.streaming.StreamingDaemon
   *    SAME state (the counter keeps counting, never resets), which is the
   *    O(keys)-state claim the 100 TB posture rests on.
   *
-  * Kill evidence is listener-based like ClusterProbe's: the pass only
-  * counts if at least one task actually ended non-Success during the
-  * killed run — a kill that lands between micro-batches proves nothing
-  * and the probe says "rerun" instead of recording a vacuous pass.
+  * The kill is DETERMINISTIC since round 16 ([[ProbeKill.TaskStartKiller]]):
+  * it fires on the midpoint task start of the killed run (sized from the
+  * phase's own dry run) and targets the executor that task launched on, so
+  * it provably lands with work in flight — the fixed-delay thread it
+  * replaces landed between micro-batches in ~half of runs. Kill evidence
+  * stays listener-based: the pass only counts if at least one task actually
+  * ended non-Success during the killed run (baseline quiescent-snapshotted
+  * so an earlier phase's churn stragglers can't satisfy it), and the probe
+  * still says "rerun" instead of recording a vacuous pass.
   *
   * Not part of `sbt test` (one SparkContext per JVM): run per round via
   * `SPARK_SCALA_VERSION=2.13 sbt "runMain graft.StreamClusterProbe"`
@@ -145,57 +150,25 @@ object StreamClusterProbe {
     // ---- Multi-JVM cluster session --------------------------------------
     val s = Sessions.localCluster()
     s.sparkContext.setLogLevel("WARN")
-    val failedTasks = new java.util.concurrent.atomic.AtomicInteger(0)
-    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.reason != org.apache.spark.Success) failedTasks.incrementAndGet()
-    })
+    // Kill + evidence machinery (ProbeKill scaladoc): the killer fires on an
+    // armed TASK-START count — sized from each phase's own dry run — and
+    // SIGKILLs the executor that task just launched on, so the kill provably
+    // lands with work in flight (the fixed-delay thread it replaces landed
+    // between micro-batches in ~half of runs and forced a rerun); the failed
+    // counter's baseline is quiescent-snapshotted so churn stragglers from an
+    // earlier phase can never satisfy a later phase's evidence check.
+    val failedTasks = new ProbeKill.FailedTaskCounter
+    val killer = new ProbeKill.TaskStartKiller(s.sparkContext.applicationId)
+    s.sparkContext.addSparkListener(failedTasks)
+    s.sparkContext.addSparkListener(killer)
     val appId = s.sparkContext.applicationId
-    def executorPids(): Seq[Long] = {
-      val p = new ProcessBuilder(
-        "pgrep", "-f", s"CoarseGrainedExecutorBackend.*$appId").start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      p.waitFor()
-      out.split("\\s+").filter(_.nonEmpty).map(_.toLong).toSeq
-    }
     var waited = 0
     while (s.sparkContext.statusTracker.getExecutorInfos.length < 3 && waited < 120) {
       Thread.sleep(1000); waited += 1
     }
     require(s.sparkContext.statusTracker.getExecutorInfos.length >= 3, // driver + 2
       "local-cluster executors failed to register within 120s")
-    def awaitRelaunch(): Unit = {
-      var w = 0
-      while (executorPids().size < 2 && w < 120) { Thread.sleep(1000); w += 1 }
-      require(executorPids().size >= 2, "Worker did not relaunch the killed executor within 120s")
-    }
-    // Returns a cancel flag the caller SETS once its phase completes: a kill
-    // that hasn't fired by then must not fire late into a LATER phase (it
-    // would destabilize a phase that is supposed to be clean, while the
-    // too-late case is still caught by the failed-task requirement below).
-    def killAfter(delayMs: Long): java.util.concurrent.atomic.AtomicBoolean = {
-      val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val t = new Thread(() => {
-        Thread.sleep(delayMs)
-        val ps = executorPids()
-        if (!cancelled.get && ps.nonEmpty) {
-          println(s"[stream-probe] SIGKILL executor pid=${ps.head} at ${delayMs}ms")
-          ProcessHandle.of(ps.head).ifPresent(_.destroyForcibly())
-        }
-      })
-      t.setDaemon(true); t.start()
-      cancelled
-    }
-    // SparkListener events are delivered asynchronously on the listener bus:
-    // a non-Success TaskEnd can still be queued when the run returns, so the
-    // kill-evidence check polls briefly instead of reading the counter once
-    // (a spurious "rerun the probe" on a genuinely interrupted run would
-    // waste the whole multi-minute probe).
-    def requireInterrupted(before: Int, what: String): Unit = {
-      var w = 0
-      while (failedTasks.get() <= before && w < 100) { Thread.sleep(100); w += 1 }
-      require(failedTasks.get() > before, s"$what — rerun the probe")
-    }
+    def awaitRelaunch(): Unit = ProbeKill.awaitExecutors(appId)
 
     val corpusC = Tables.documents(s, sfDir).filter(col("doc_id") % 10 =!= 7)
     val corpusSigsC = graft.operators.TextQueries.bandKeysOf(corpusC)
@@ -204,24 +177,28 @@ object StreamClusterProbe {
     // ---- Phase 1: ingestDedupLoop dry run (cluster, no kill) ------------
     val outA = tmp("scp_a_out")
     val t0 = System.nanoTime()
+    val startsBeforeDry = killer.lifetimeStarts.get()
     StreamingDaemon.ingestDedupLoop(
       s, inDir, corpusSigsC, outA, tmp("scp_a_ckp"), tmp("scp_a_sig"))
       .awaitTermination()
     val drySec = (System.nanoTime() - t0) / 1e9
+    val dryTasks = killer.lifetimeStarts.get() - startsBeforeDry
     require(acceptedSet(s, outA) == truthAccepted,
       "clean cluster ingest run diverges from single-process truth")
-    println(f"[stream-probe] PASS(1/4): clean multi-JVM ingest run equals truth (${drySec}%.1f s)")
+    println(f"[stream-probe] PASS(1/4): clean multi-JVM ingest run equals truth (${drySec}%.1f s, $dryTasks task starts)")
 
     // ---- Phase 2: ingestDedupLoop with executor SIGKILL mid-batch -------
     val outB = tmp("scp_b_out")
     val ckpB = tmp("scp_b_ckp")
     val sigB = tmp("scp_b_sig")
-    val failedBefore = failedTasks.get()
-    val ingestKill = killAfter(math.max(1000L, (drySec * 300).toLong))
+    val failedBefore = failedTasks.quiescentSnapshot(s)
+    // Kill at the midpoint task start of an identical run: provably mid-work.
+    killer.arm(math.max(1, (dryTasks / 2).toInt))
     StreamingDaemon.ingestDedupLoop(s, inDir, corpusSigsC, outB, ckpB, sigB)
       .awaitTermination()
-    ingestKill.set(true)
-    requireInterrupted(failedBefore, s"kill interrupted no task (dry ${drySec}s)")
+    killer.disarm()
+    failedTasks.requireInterrupted(failedBefore,
+      s"kill interrupted no task (dry ${drySec}s / $dryTasks starts, fired=${killer.fired})")
     require(acceptedSet(s, outB) == truthAccepted,
       "killed ingest run diverges from truth: executor death corrupted the gate")
     println("[stream-probe] PASS(2/4): ingest gate absorbed an executor SIGKILL mid-batch (accepted set equals truth)")
@@ -267,17 +244,20 @@ object StreamClusterProbe {
     // ---- Phase 4: statefulLww — kill mid-batch, then restart ------------
     val outL1 = tmp("scp_l1_out")
     val tL = System.nanoTime()
+    val startsBeforeLww = killer.lifetimeStarts.get()
     runLww(s, evDir, outL1, tmp("scp_l1_ckp"))
     val dryLww = (System.nanoTime() - tL) / 1e9
+    val lwwTasks = killer.lifetimeStarts.get() - startsBeforeLww
     require(lwwFinal(s, outL1) == truthLww,
       "clean cluster statefulLww run diverges from batch truth")
     val outL2 = tmp("scp_l2_out")
     val ckpL2 = tmp("scp_l2_ckp")
-    val failedBeforeL = failedTasks.get()
-    val lwwKill = killAfter(math.max(1000L, (dryLww * 300).toLong))
+    val failedBeforeL = failedTasks.quiescentSnapshot(s)
+    killer.arm(math.max(1, (lwwTasks / 2).toInt))
     runLww(s, evDir, outL2, ckpL2)
-    lwwKill.set(true)
-    requireInterrupted(failedBeforeL, s"LWW kill interrupted no task (dry ${dryLww}s)")
+    killer.disarm()
+    failedTasks.requireInterrupted(failedBeforeL,
+      s"LWW kill interrupted no task (dry ${dryLww}s / $lwwTasks starts, fired=${killer.fired})")
     require(lwwFinal(s, outL2) == truthLww,
       "killed statefulLww run diverges from batch truth: keyed state lost or double-counted")
     awaitRelaunch()
