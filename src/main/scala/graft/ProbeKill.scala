@@ -43,6 +43,16 @@ object ProbeKill {
       "pgrep", "-af", s"CoarseGrainedExecutorBackend.*$appId").start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     p.waitFor()
+    parsePgrep(out)
+  }
+
+  /** Parse `pgrep -af` output ("PID full-command-line" per line) into
+    * executorId -> pid. Lines without a leading numeric pid or without the
+    * `--executor-id <id>` argument pair are skipped (a kill must never be
+    * aimed by a malformed parse). Factored out of [[executorPidsById]] so
+    * the probe's aiming logic is unit-testable without forking pgrep.
+    */
+  private[graft] def parsePgrep(out: String): Map[String, Long] =
     out.linesIterator.flatMap { line =>
       val toks = line.trim.split("\\s+")
       val idIdx = toks.indexOf("--executor-id")
@@ -51,7 +61,6 @@ object ProbeKill {
         if idIdx >= 0 && idIdx + 1 < toks.length
       } yield toks(idIdx + 1) -> pid
     }.toMap
-  }
 
   def executorPids(appId: String): Seq[Long] =
     executorPidsById(appId).values.toSeq

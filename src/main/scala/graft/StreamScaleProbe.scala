@@ -69,6 +69,22 @@ object StreamScaleProbe {
     }
   }
 
+  /** StreamingQueryListener events are delivered asynchronously: the last
+    * batch's progress may still be in flight when awaitTermination returns,
+    * and asserting on a not-yet-updated watcher would flake the probe. Poll
+    * until the watcher holds still for 1 s (10 s cap).
+    */
+  private def settle(w: StateWatcher): Unit = {
+    var last = (w.maxRows, w.maxMem)
+    var stable = 0
+    var waited = 0
+    while (stable < 10 && waited < 100) {
+      Thread.sleep(100); waited += 1
+      val cur = (w.maxRows, w.maxMem)
+      if (cur == last) stable += 1 else { stable = 0; last = cur }
+    }
+  }
+
   private def dirBytes(path: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
@@ -139,6 +155,7 @@ object StreamScaleProbe {
         .start()
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
+      settle(watcher)
       require(watcher.maxRows == nKeys,
         s"statefulLww state is not O(keys): numRowsTotal=${watcher.maxRows} != $nKeys keys at K=$k")
       println(f"[stream-soak] lww      K=$k%-3d ${k * nEvents}%9d events  $sec%7.1f s  stateRows=${watcher.maxRows}  stateMem=${watcher.maxMem / 1024}%d KiB  updates=$emitted")
@@ -173,6 +190,7 @@ object StreamScaleProbe {
         .start()
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
+      settle(watcher)
       // flat = bounded by ~one replica's ids (+ the in-flight batch), never
       // the K× total; 2.5× headroom absorbs watermark-lag boundary effects
       require(watcher.maxRows <= (nEvents * 2.5).toLong,
