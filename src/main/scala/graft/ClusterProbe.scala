@@ -76,12 +76,15 @@ object ClusterProbe {
       "local-cluster executors failed to register within 120s")
     println(s"[cluster-probe] cluster up: ${executorPids().size} executor JVMs after ${waited}s")
 
-    // Pin both pipelines in reliable mode on the cluster
+    // Pin both pipelines in reliable mode on the cluster. The task window is
+    // read via settledStarts() on both ends (TaskStart delivery is async; an
+    // undercounted window would arm the phase-3 kill far before the quarter
+    // point).
     val t2Start = System.nanoTime()
-    val startsBeforeCold = killer.lifetimeStarts.get()
+    val startsBeforeCold = killer.settledStarts()
     val got1 = labels(s, sfDir)
     val coldRunSec = (System.nanoTime() - t2Start) / 1e9
-    val coldTasks = killer.lifetimeStarts.get() - startsBeforeCold
+    val coldTasks = killer.settledStarts() - startsBeforeCold
     require(got1 == truth, s"cluster reliable run diverges from local truth (${got1.size} vs ${truth.size})")
     val ivf1 = SparkEntry.queries("q_simsearch_ivf")(s, sfDir).collect().toSeq
     require(ivf1.nonEmpty, "vector memo pipeline returned no rows on the cluster")
@@ -110,10 +113,8 @@ object ClusterProbe {
 
     // wait for the standalone Worker to relaunch the killed executor so the
     // next phases start from a full 2-executor cluster again
-    var rewaited = 0
-    while (executorPids().size < 2 && rewaited < 120) { Thread.sleep(1000); rewaited += 1 }
-    require(executorPids().size >= 2, "Worker did not relaunch the killed executor within 120s")
-    println(s"[cluster-probe] executor relaunched after ${rewaited}s")
+    ProbeKill.awaitExecutors(appId)
+    println(s"[cluster-probe] executor relaunched")
 
     // ---- Phase 3: kill an executor MID-PIN --------------------------------
     // The sharper claim than consume-after-kill: a reliable pin() whose
@@ -151,9 +152,7 @@ object ClusterProbe {
       s"mid-pin-kill run diverges from truth (${got3.size} vs ${truth.size}): a retried pin served a torn artifact")
     println("[cluster-probe] PASS(2/3): pin interrupted by executor SIGKILL retried to the correct result (no torn artifact)")
 
-    var rewaited2 = 0
-    while (executorPids().size < 2 && rewaited2 < 120) { Thread.sleep(1000); rewaited2 += 1 }
-    require(executorPids().size >= 2, "Worker did not relaunch the killed executor within 120s")
+    ProbeKill.awaitExecutors(appId)
 
     // ---- Phase 4: fingerprint rotation evicts superseded reliable pins ----
     // MemoSpec proves releasePin eviction in-process; this is the same claim

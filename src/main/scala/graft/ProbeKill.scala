@@ -103,6 +103,26 @@ object ProbeKill {
 
     def fired: Boolean = firedFlag.get
 
+    /** `lifetimeStarts` after the listener bus has gone quiet: TaskStart
+      * delivery is asynchronous, so a bare read right after a job returns
+      * can undercount the run's task window — and an undercounted dry-run
+      * window would arm the next kill far before the midpoint, degrading
+      * the deterministic placement this class exists for. Poll until the
+      * counter holds still for 500 ms (10 s cap — by then the bus backlog
+      * of a finished run has long drained).
+      */
+    def settledStarts(): Long = {
+      var last = lifetimeStarts.get()
+      var stable = 0
+      var waited = 0
+      while (stable < 5 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val cur = lifetimeStarts.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      last
+    }
+
     override def onTaskStart(ts: SparkListenerTaskStart): Unit = {
       lifetimeStarts.incrementAndGet()
       if (armed && !firedFlag.get) {
@@ -118,8 +138,16 @@ object ProbeKill {
             // JVM provably has work in flight. Fall back to any executor
             // of the app if the id lookup misses (already-dead process).
             byId.get(exec).orElse(byId.values.headOption).foreach { pid =>
-              println(s"[probe-kill] SIGKILL executor id=$exec pid=$pid on armed task-start #$n")
-              ProcessHandle.of(pid).ifPresent(_.destroyForcibly())
+              // Re-check the arm right before the SIGKILL: a threshold that
+              // fires on the killed run's LAST task starts this thread while
+              // the run is finishing, and an unconditional kill could then
+              // land AFTER disarm() — destabilizing the next phase, which is
+              // supposed to be clean (the cancel-flag guard the fixed-delay
+              // killer had, re-established for the spawned thread).
+              if (armed) {
+                println(s"[probe-kill] SIGKILL executor id=$exec pid=$pid on armed task-start #$n")
+                ProcessHandle.of(pid).ifPresent(_.destroyForcibly())
+              } else println(s"[probe-kill] kill cancelled by disarm before firing (task-start #$n)")
             }
           })
           t.setDaemon(true)
@@ -148,11 +176,18 @@ object ProbeKill {
       s.sparkContext.parallelize(1 to 8, 8).count()
       var last = failed.get
       var stableFor = 0L
-      while (stableFor < stableMs) {
+      var totalMs = 0L
+      // Bounded like every other probe wait: failures that keep trickling
+      // past a minute mean the cluster never settled — fail loudly with the
+      // probe's rerun message instead of hanging the multi-minute run.
+      while (stableFor < stableMs && totalMs < 60000L) {
         Thread.sleep(100)
+        totalMs += 100
         val cur = failed.get
         if (cur == last) stableFor += 100 else { last = cur; stableFor = 0 }
       }
+      require(stableFor >= stableMs,
+        "failed-task counter never quiesced within 60s — rerun the probe")
       last
     }
 

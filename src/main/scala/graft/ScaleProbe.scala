@@ -102,6 +102,16 @@ object ScaleProbe {
     if (!reuse) {
     val docs = Tables.documents(spark, sf)
     val reps = spark.range(k).select(col("id").as("rep"))
+    // Replica id shifts are DERIVED (floored at the historical constants so
+    // existing soak labels stay comparable): a fixed shift silently collides
+    // with genuine ids once the base corpus outgrows it, corrupting the very
+    // family structure the soak claims to preserve — the facts-mode
+    // o_orderkey fix, applied to every amplified id column.
+    def derivedShift(floor: Long, maxId: => Long): Long =
+      math.max(floor, maxId + 1L)
+    lazy val docShiftVal = derivedShift(10000000L,
+      docs.agg(max(col("doc_id"))).head().getLong(0))
+    val docShift = lit(if (mode == "length" || mode == "dims" || mode == "facts") 10000000L else docShiftVal)
     val amplifiedDocs =
       if (mode == "length")
         // K× LONGER, same ids: tail token "rep<r>" per copy keeps copies of
@@ -128,7 +138,7 @@ object ScaleProbe {
           col("lang"), col("source"))
         longDocs.crossJoin(reps)
           .select(
-            (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+            (col("doc_id") + col("rep") * docShift).as("doc_id"),
             when(col("rep") === 0, col("text"))
               .otherwise(concat(col("text"), lit(" xrep"), col("rep"))).as("text"),
             col("lang"), col("source"))
@@ -141,14 +151,14 @@ object ScaleProbe {
         // than uniform growth.
         docs.filter(col("doc_id") < 5).crossJoin(reps)
           .select(
-            (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+            (col("doc_id") + col("rep") * docShift).as("doc_id"),
             when(col("rep") === 0, col("text"))
               .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"),
             col("lang"), col("source"), col("n_chars"))
           .unionByName(docs.filter(col("doc_id") >= 5))
       else docs.crossJoin(reps)
         .select(
-          (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+          (col("doc_id") + col("rep") * docShift).as("doc_id"),
           when(col("rep") === 0, col("text"))
             .otherwise(concat(col("text"), lit(" rep"), col("rep"))).as("text"),
           col("lang"), col("source"), col("n_chars"))
@@ -168,9 +178,14 @@ object ScaleProbe {
         Tables.embeddings(spark, sf).select(col("vec_id"),
           flatten(array_repeat(col("embedding"), k)).as("embedding"), col("label"))
       else if (mode != "rows") Tables.embeddings(spark, sf) // length/hotbucket: text axis only
-      else Tables.embeddings(spark, sf).crossJoin(reps)
-        .select((col("vec_id") + col("rep") * lit(10000000L)).as("vec_id"),
-          col("embedding"), col("label"))
+      else {
+        val emb = Tables.embeddings(spark, sf)
+        val vecShift = lit(derivedShift(10000000L,
+          emb.agg(max(col("vec_id"))).head().getLong(0)))
+        emb.crossJoin(reps)
+          .select((col("vec_id") + col("rep") * vecShift).as("vec_id"),
+            col("embedding"), col("label"))
+      }
     amplifiedEmb
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -178,12 +193,15 @@ object ScaleProbe {
     // fresh event ids but KEEP user_id — per-user event streams (sessions,
     // windows, LWW keys) become Kx denser, the hot-key direction that
     // stresses state.
-    (if (mode == "rows")
-      Tables.events(spark, sf).crossJoin(reps)
-        .select((col("event_id") + col("rep") * lit(1000000000L)).as("event_id"),
+    (if (mode == "rows") {
+      val ev = Tables.events(spark, sf)
+      val eventShift = lit(derivedShift(1000000000L,
+        ev.agg(max(col("event_id"))).head().getLong(0)))
+      ev.crossJoin(reps)
+        .select((col("event_id") + col("rep") * eventShift).as("event_id"),
           (col("ts") + expr("make_interval(0, 0, 0, 0, 0, 0, rep)")).as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))
-    else Tables.events(spark, sf))
+    } else Tables.events(spark, sf))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     // Star-schema tables: dims ALWAYS ride at 1× (dims stay dims); the fact
@@ -201,12 +219,9 @@ object ScaleProbe {
     // at 1e9 so small-sf soak labels stay comparable across rounds.
     val factShiftVal =
       if (mode != "facts") 1000000000L
-      else {
-        val maxKey = math.max(
-          Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head().getLong(0),
-          Tables.lineitem(spark, sf).agg(max(col("l_orderkey"))).head().getLong(0))
-        math.max(1000000000L, maxKey + 1L)
-      }
+      else derivedShift(1000000000L, math.max(
+        Tables.orders(spark, sf).agg(max(col("o_orderkey"))).head().getLong(0),
+        Tables.lineitem(spark, sf).agg(max(col("l_orderkey"))).head().getLong(0)))
     val factShift = lit(factShiftVal)
     (if (mode == "facts")
       Tables.orders(spark, sf).crossJoin(reps)

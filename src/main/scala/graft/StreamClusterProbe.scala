@@ -177,12 +177,14 @@ object StreamClusterProbe {
     // ---- Phase 1: ingestDedupLoop dry run (cluster, no kill) ------------
     val outA = tmp("scp_a_out")
     val t0 = System.nanoTime()
-    val startsBeforeDry = killer.lifetimeStarts.get()
+    // settledStarts on both ends: async TaskStart delivery must not
+    // undercount the window the kill midpoint is computed from
+    val startsBeforeDry = killer.settledStarts()
     StreamingDaemon.ingestDedupLoop(
       s, inDir, corpusSigsC, outA, tmp("scp_a_ckp"), tmp("scp_a_sig"))
       .awaitTermination()
     val drySec = (System.nanoTime() - t0) / 1e9
-    val dryTasks = killer.lifetimeStarts.get() - startsBeforeDry
+    val dryTasks = killer.settledStarts() - startsBeforeDry
     require(acceptedSet(s, outA) == truthAccepted,
       "clean cluster ingest run diverges from single-process truth")
     println(f"[stream-probe] PASS(1/4): clean multi-JVM ingest run equals truth (${drySec}%.1f s, $dryTasks task starts)")
@@ -244,10 +246,10 @@ object StreamClusterProbe {
     // ---- Phase 4: statefulLww — kill mid-batch, then restart ------------
     val outL1 = tmp("scp_l1_out")
     val tL = System.nanoTime()
-    val startsBeforeLww = killer.lifetimeStarts.get()
+    val startsBeforeLww = killer.settledStarts()
     runLww(s, evDir, outL1, tmp("scp_l1_ckp"))
     val dryLww = (System.nanoTime() - tL) / 1e9
-    val lwwTasks = killer.lifetimeStarts.get() - startsBeforeLww
+    val lwwTasks = killer.settledStarts() - startsBeforeLww
     require(lwwFinal(s, outL1) == truthLww,
       "clean cluster statefulLww run diverges from batch truth")
     val outL2 = tmp("scp_l2_out")

@@ -44,9 +44,12 @@ import graft.streaming.StreamingDaemon
   *    sf0.1/K=10 leaked 19 of 3 366 replicas ≈ 0.6% — the expected
   *    1-(1-j^r)^b miss tail, quantified properly by the q_dedup_lsh_sweep
   *    / minhash_est harnesses), so the soak REPORTS the near-dup leak of
-  *    one extra crawl instead of asserting on it. Pass = wall
-  *    at-or-below-linear in K, accepted == truth at every K, store bytes
-  *    flat (O(accepted), not O(seen)).
+  *    one extra crawl instead of asserting on it. Pass = accepted == truth
+  *    at every K and store ROWS exactly O(accepted) at every K (hashes ==
+  *    accepted count, skeys K-invariant — both asserted; bytes and wall are
+  *    REPORTED, not asserted: bytes carry per-batch parquet dir overhead
+  *    that grows with batch count, and wall on this shared host throws
+  *    3-10× contention windows that would flake a hard linearity bound).
   *
   * Usage: runMain graft.StreamScaleProbe [sfDir] [K1,K2,...]
   * (defaults /root/testdata/sf0.1 and 10,40 — the facts-soak grid).
@@ -208,6 +211,11 @@ object StreamScaleProbe {
     val corpusSigs = graft.operators.TextQueries.bandKeysOf(corpus)
       .withColumnRenamed("doc_id", "corpus_doc").persist()
     corpusSigs.count()
+    // Replica doc-id shift derived from the data like every other amplified
+    // id (a fixed shift collides with genuine ids once the corpus outgrows
+    // it, and the accepted/leak classification below keys on id ranges)
+    val docShift = math.max(10000000L,
+      docs.agg(max(col("doc_id"))).head().getLong(0) + 1L)
     // truth: what ONE crawl of the fresh set admits against the corpus
     val truthOut = tmp("sss_ing_truth_out")
     StreamingDaemon.ingestDedupLoop(spark, {
@@ -218,6 +226,7 @@ object StreamScaleProbe {
     val truthAccepted = spark.read.parquet(s"$truthOut/batch=*")
       .select("doc_id").as[Long].collect().toSet
     println(s"[stream-soak] ingest truth: ${truthAccepted.size} of $nFresh fresh docs accepted")
+    var skeysRowsRef = -1L // K-invariant skeys row count, pinned at the first K
     for (k <- ks) {
       val inDir = tmp("sss_ing_in")
       // crawl f: exact re-crawl of the whole fresh set with fresh doc ids —
@@ -225,7 +234,7 @@ object StreamScaleProbe {
       // corpus-dup replicas by the corpus band keys, both deterministic
       for (f <- 0 until k) {
         fresh.select(
-          (col("doc_id") + lit(f.toLong) * lit(10000000L)).as("doc_id"),
+          (col("doc_id") + lit(f.toLong) * lit(docShift)).as("doc_id"),
           col("text"), col("lang"), col("source"), col("n_chars"))
           .coalesce(1).write.mode("append").parquet(inDir)
         Thread.sleep(1100)
@@ -238,10 +247,22 @@ object StreamScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       val kept = spark.read.parquet(s"$outDir/batch=*").select("doc_id")
         .as[Long].collect().toSet
-      require(kept.map(_ % 10000000L) == truthAccepted && kept.forall(_ < 10000000L),
+      require(kept.map(_ % docShift) == truthAccepted && kept.forall(_ < docShift),
         s"re-crawl replicas leaked past the store gate at K=$k: ${kept.size} accepted vs truth ${truthAccepted.size}")
+      // O(accepted), asserted in ROWS (deterministic; BYTES are reported but
+      // not asserted — per-batch parquet dir overhead grows with batch
+      // count): the hashes store must hold exactly the accepted hashes and
+      // the skeys store exactly the accepted docs' band keys, at EVERY K —
+      // a regression that folds rejected docs' signatures in fails here.
+      val hashRows = spark.read.parquet(s"$sigDir/hashes").count()
+      require(hashRows == truthAccepted.size,
+        s"hashes store is not O(accepted) at K=$k: $hashRows rows != ${truthAccepted.size} accepted")
+      val skeysRows = spark.read.parquet(s"$sigDir/skeys").count()
+      if (skeysRowsRef < 0) skeysRowsRef = skeysRows
+      require(skeysRows == skeysRowsRef,
+        s"skeys store grew with K (not O(accepted)): $skeysRows rows at K=$k vs $skeysRowsRef at K=${ks.head}")
       val storeKiB = dirBytes(sigDir) / 1024
-      println(f"[stream-soak] ingest   K=$k%-3d ${k * nFresh}%9d docs    $sec%7.1f s  accepted=${kept.size} (==truth)  storeKiB=$storeKiB")
+      println(f"[stream-soak] ingest   K=$k%-3d ${k * nFresh}%9d docs    $sec%7.1f s  accepted=${kept.size} (==truth)  storeRows=$hashRows+$skeysRows  storeKiB=$storeKiB")
     }
     // Informational near-dup recall line (NOT asserted — banded LSH recall
     // is probabilistic by design; see scaladoc): one tail-token near-dup
@@ -250,7 +271,7 @@ object StreamScaleProbe {
       val inDir = tmp("sss_ing_nd_in")
       fresh.coalesce(1).write.mode("append").parquet(inDir)
       Thread.sleep(1100)
-      fresh.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+      fresh.select((col("doc_id") + lit(docShift)).as("doc_id"),
         concat(col("text"), lit(" repx")).as("text"),
         col("lang"), col("source"), col("n_chars"))
         .coalesce(1).write.mode("append").parquet(inDir)
@@ -258,7 +279,7 @@ object StreamScaleProbe {
       StreamingDaemon.ingestDedupLoop(spark, inDir, corpusSigs, outDir,
         tmp("sss_ing_nd_ckp"), tmp("sss_ing_nd_sig")).awaitTermination()
       val leaked = spark.read.parquet(s"$outDir/batch=*").select("doc_id")
-        .as[Long].collect().count(_ >= 10000000L)
+        .as[Long].collect().count(_ >= docShift)
       println(f"[stream-soak] near-dup re-crawl leak (informational, LSH recall tail): $leaked of ${truthAccepted.size} replicas (${100.0 * leaked / truthAccepted.size}%.1f%%)")
     }
     println("[stream-soak] PASS: all three streaming pipelines hold their state posture at every K")
