@@ -89,6 +89,8 @@ object ProbeKill {
     @volatile private var threshold = Int.MaxValue
     @volatile private var armed = false
     private val firedFlag = new AtomicBoolean(false)
+    private val killToken = new AtomicBoolean(false)
+    @volatile private var killerThread: Thread = null
     @volatile var killedExecutor: String = ""
 
     def arm(afterTaskStarts: Int): Unit = {
@@ -96,10 +98,33 @@ object ProbeKill {
       sinceArm.set(0)
       threshold = afterTaskStarts
       firedFlag.set(false)
+      killerThread = null
+      // The kill permit lives for the whole armed window (set HERE, not at
+      // fire time — a fire-time set could land after disarm() already
+      // looked, reopening the race the token exists to close).
+      killToken.set(true)
       armed = true
     }
 
-    def disarm(): Unit = armed = false
+    /** Exactly-once kill permit: true only for the FIRST consumer per armed
+      * window. The spawned kill thread consumes it immediately before the
+      * SIGKILL; [[disarm]] consumes it to revoke. Whichever wins the CAS
+      * wins the window, so a post-disarm kill is impossible rather than
+      * unlikely (the round-16 `armed` re-check left a millisecond window).
+      */
+    private[graft] def consumeKillToken(): Boolean =
+      killToken.compareAndSet(true, false)
+
+    def disarm(): Unit = {
+      armed = false
+      consumeKillToken()
+      // If the kill thread won the token first, wait (bounded) for its
+      // SIGKILL to actually land before the caller proceeds to the next —
+      // supposedly clean — phase (restores the fixed-delay killer's
+      // join semantics for the spawned thread).
+      val t = killerThread
+      if (t != null) t.join(5000)
+    }
 
     def fired: Boolean = firedFlag.get
 
@@ -133,23 +158,23 @@ object ProbeKill {
           // The kill runs off the listener thread (pgrep forks a process);
           // the bus must keep draining while the killer works.
           val t = new Thread(() => {
-            val byId = executorPidsById(appId)
             // Target the executor the triggering task launched on — that
-            // JVM provably has work in flight. Fall back to any executor
-            // of the app if the id lookup misses (already-dead process).
-            byId.get(exec).orElse(byId.values.headOption).foreach { pid =>
-              // Re-check the arm right before the SIGKILL: a threshold that
-              // fires on the killed run's LAST task starts this thread while
-              // the run is finishing, and an unconditional kill could then
-              // land AFTER disarm() — destabilizing the next phase, which is
-              // supposed to be clean (the cancel-flag guard the fixed-delay
-              // killer had, re-established for the spawned thread).
-              if (armed) {
-                println(s"[probe-kill] SIGKILL executor id=$exec pid=$pid on armed task-start #$n")
-                ProcessHandle.of(pid).ifPresent(_.destroyForcibly())
-              } else println(s"[probe-kill] kill cancelled by disarm before firing (task-start #$n)")
+            // JVM provably has work in flight. On a lookup miss (executor
+            // already dead / pgrep raced the relaunch) SKIP the kill: a
+            // fallback to an arbitrary executor could hit an idle JVM,
+            // reintroducing the timing luck this class removes — better to
+            // let requireInterrupted demand an honest rerun.
+            executorPidsById(appId).get(exec) match {
+              case Some(pid) =>
+                if (consumeKillToken()) {
+                  println(s"[probe-kill] SIGKILL executor id=$exec pid=$pid on armed task-start #$n")
+                  ProcessHandle.of(pid).ifPresent(_.destroyForcibly())
+                } else println(s"[probe-kill] kill cancelled by disarm before firing (task-start #$n)")
+              case None =>
+                println(s"[probe-kill] pid lookup missed for executor id=$exec — skipping kill; the evidence check will demand a rerun if nothing was interrupted")
             }
           })
+          killerThread = t
           t.setDaemon(true)
           t.start()
         }

@@ -75,7 +75,11 @@ object StreamScaleProbe {
   /** StreamingQueryListener events are delivered asynchronously: the last
     * batch's progress may still be in flight when awaitTermination returns,
     * and asserting on a not-yet-updated watcher would flake the probe. Poll
-    * until the watcher holds still for 1 s (10 s cap).
+    * until the watcher holds still for 1 s (10 s cap) — and REQUIRE that it
+    * did: a silent return on listener-bus lag would let the hard state
+    * asserts below fire on a stale max (a false probe failure), so an
+    * unsettled watcher fails with the rerun message instead, mirroring
+    * quiescentSnapshot (ADVICE r16).
     */
   private def settle(w: StateWatcher): Unit = {
     var last = (w.maxRows, w.maxMem)
@@ -86,6 +90,21 @@ object StreamScaleProbe {
       val cur = (w.maxRows, w.maxMem)
       if (cur == last) stable += 1 else { stable = 0; last = cur }
     }
+    require(stable >= 10,
+      "streaming state watcher never settled within 10s — rerun the probe")
+  }
+
+  /** foreachBatch is at-least-once: a retried micro-batch must OVERWRITE its
+    * earlier count, not add to it, or an emitted-total equality assert flakes
+    * on retry — so counts key on batchId. Concurrent because foreachBatch
+    * runs on the stream's thread while main sums after awaitTermination
+    * (the old plain `var emitted` was also a cross-thread data race;
+    * ADVICE r16).
+    */
+  private final class BatchCounts {
+    private val m = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    def record(batchId: Long, rows: Long): Unit = m.put(batchId, rows)
+    def total: Long = { var s = 0L; m.forEach((_, v) => s += v); s }
   }
 
   private def dirBytes(path: String): Long = {
@@ -140,7 +159,7 @@ object StreamScaleProbe {
       val evDir = tmp("sss_lww_in")
       stageFiles(amp, pmod(col("event_id"), lit(6)), 6, evDir)
       watcher.reset()
-      var emitted = 0L
+      val counts = new BatchCounts
       val t0 = System.nanoTime()
       val q = spark.readStream
         .schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
@@ -152,8 +171,8 @@ object StreamScaleProbe {
         .option("checkpointLocation", tmp("sss_lww_ckp"))
         .outputMode(StreamingDaemon.statefulLwwOutputMode)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingDaemon.LwwUpdate], _: Long) =>
-          emitted += b.count(); ()
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingDaemon.LwwUpdate], batchId: Long) =>
+          counts.record(batchId, b.count()); ()
         }
         .start()
       q.awaitTermination()
@@ -161,7 +180,7 @@ object StreamScaleProbe {
       settle(watcher)
       require(watcher.maxRows == nKeys,
         s"statefulLww state is not O(keys): numRowsTotal=${watcher.maxRows} != $nKeys keys at K=$k")
-      println(f"[stream-soak] lww      K=$k%-3d ${k * nEvents}%9d events  $sec%7.1f s  stateRows=${watcher.maxRows}  stateMem=${watcher.maxMem / 1024}%d KiB  updates=$emitted")
+      println(f"[stream-soak] lww      K=$k%-3d ${k * nEvents}%9d events  $sec%7.1f s  stateRows=${watcher.maxRows}  stateMem=${watcher.maxMem / 1024}%d KiB  updates=${counts.total}")
     }
 
     // ---- 2) watermark dedup: O(horizon) state under a K× LONGER stream --
@@ -178,7 +197,7 @@ object StreamScaleProbe {
       val evDir = tmp("sss_wm_in")
       stageFiles(amp, (col("event_id") / lit(idShift)).cast("long"), k, evDir)
       watcher.reset()
-      var emitted = 0L
+      val counts = new BatchCounts
       val t0 = System.nanoTime()
       val q = spark.readStream
         .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
@@ -189,7 +208,7 @@ object StreamScaleProbe {
         .option("checkpointLocation", tmp("sss_wm_ckp"))
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) => emitted += b.count(); () }
+        .foreachBatch { (b: DataFrame, batchId: Long) => counts.record(batchId, b.count()); () }
         .start()
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -198,6 +217,7 @@ object StreamScaleProbe {
       // the K× total; 2.5× headroom absorbs watermark-lag boundary effects
       require(watcher.maxRows <= (nEvents * 2.5).toLong,
         s"watermark dedup state grew with the stream: numRowsTotal=${watcher.maxRows} vs one-batch bound ${nEvents} at K=$k")
+      val emitted = counts.total
       require(emitted == k * nEvents, s"dedup dropped unique ids: $emitted != ${k * nEvents}")
       println(f"[stream-soak] wm-dedup K=$k%-3d ${k * nEvents}%9d events  $sec%7.1f s  maxStateRows=${watcher.maxRows} (one-batch bound $nEvents)  stateMem=${watcher.maxMem / 1024}%d KiB")
     }

@@ -41,4 +41,31 @@ class ProbeKillSpec extends AnyFunSuite {
     val m = ProbeKill.parsePgrep(out)
     assert(m.keySet == Set("1") && Set(100L, 200L).contains(m("1")))
   }
+
+  // --- kill-token semantics (round-17: the disarm race is closed by a
+  // consume-once permit, not a re-check; these pin the CAS contract the
+  // spawned kill thread and disarm() both rely on) ---------------------
+
+  test("kill token: an armed window grants exactly one kill permit") {
+    val k = new ProbeKill.TaskStartKiller("spec-app-never-queried")
+    k.arm(1)
+    assert(k.consumeKillToken(), "first consumer must win the permit")
+    assert(!k.consumeKillToken(), "permit is consume-once within a window")
+  }
+
+  test("kill token: disarm revokes the permit, so a post-disarm kill cannot fire") {
+    val k = new ProbeKill.TaskStartKiller("spec-app-never-queried")
+    k.arm(1)
+    k.disarm() // consumes the token (and joins any spawned killer — none here)
+    assert(!k.consumeKillToken(),
+      "a kill thread reaching its CAS after disarm must find the permit gone")
+  }
+
+  test("kill token: re-arming grants a fresh permit after a consumed window") {
+    val k = new ProbeKill.TaskStartKiller("spec-app-never-queried")
+    k.arm(1)
+    k.disarm()
+    k.arm(1)
+    assert(k.consumeKillToken(), "each armed window carries its own permit")
+  }
 }
