@@ -70,3 +70,14 @@ if len(flagged) > 0.1 * len(rows) and med > 1.25:
     print(f"  ADVISORY: {len(flagged)}/{len(rows)} queries flagged with median {med:.2f} — "
           "pattern matches uniform host contention, not a per-query regression; "
           "re-run in a different window before treating any flag as real")
+# Small-flag contention signature (round-17 triage rule, BASELINE.md
+# round-17 section): ambient external load in a slow-but-not-swamped
+# window flags only the smallest fixed-overhead queries (sub-0.12 s
+# floors, where milliseconds of scheduler jitter clear the margin) while
+# the suite median stays modestly above 1. Distinct from a regression,
+# which moves a query regardless of its size class.
+elif real and len(real) <= 3 and med > 1.05 and all(r[3] < 0.12 for r in real):
+    print(f"  ADVISORY: all {len(real)} flags are sub-0.12 s-floor fixed-overhead "
+          f"queries in a slow window (median {med:.2f}) — matches the ambient-load "
+          "signature; only a flag persisting in a median<=1.05 window is worth "
+          "investigating")
