@@ -149,6 +149,37 @@ object BenchFloors {
     */
   val RestampMargin = 0.98
 
+  /** REGIME-SUSPECT GUARD (round-18, from the round-17 ADVICE): the
+    * two-pass rule assumed two consecutive passes are independent
+    * evidence, but BASELINE.md round-17 passes 32–33 showed a regime
+    * that breaks that assumption — the host's single-thread speed sat
+    * ~10% depressed while 4-way query throughput was normal, so the
+    * calib read high (+9–17% over the stamp profile), every t/runCalib
+    * read low, and 44–48 floors appeared sub-margin AT ONCE across two
+    * consecutive passes, pairing into 12 noise restamps.
+    *
+    * The calib value alone cannot distinguish that regime from a
+    * genuinely slower host (the round-11 case the calibration exists
+    * for), but the SIGHTING BREADTH can: uniform host drift cancels in
+    * normalized units (sightings stay rare), a real plan improvement
+    * moves one or a few related keys, while the skew regime moves a
+    * large fraction of the floor set together. A pass whose sub-margin
+    * sightings exceed max([[MassSightingMin]], [[MassSightingFrac]] of
+    * the existing floors at its sf) is therefore regime-suspect: it may
+    * still seed new keys, record/refresh pending candidates
+    * (conservatively, keeping the max of the old and new sample), and
+    * its at-or-above-margin reads still expire stale candidates — but
+    * it can never CONFIRM a restamp. Confirmation thus requires a pass
+    * of normal sighting breadth, and since the stamp takes the MAX of
+    * the two samples, every stamped floor is anchored at or above a
+    * measurement from an honest-regime pass. A corollary closes the
+    * lucky-window hole too: confirming a mass of pendings in one pass
+    * is impossible by construction, because a pass fast enough to
+    * confirm them all is itself mass-sub-margin and so suspect.
+    */
+  val MassSightingMin = 8
+  val MassSightingFrac = 0.10
+
   /** Companion-key suffix in `floor_pending.json`: `<key>#cal` records the
     * UNIT of the pass that pended `<key>` — 1.0 when the sample was held in
     * calibration units, 0.0 when in raw seconds. Without it a candidate
@@ -179,6 +210,30 @@ object BenchFloors {
     def dropPending(key: String): Unit = {
       pending -= key; pending -= (key + PendingUnitSuffix)
     }
+    // Normalized (sample, floor) pair for an existing floor, in whichever
+    // unit the key's calibration availability dictates — the single
+    // comparison rule both the sighting pre-scan and the merge loop use.
+    def norms(key: String, floor: Double, t: Double): (Double, Double) =
+      priorCalib.get(key).orElse(refEstimate) match {
+        case Some(floorCalib) => (t / runCalib, floor / floorCalib)
+        case None             => (t, floor)
+      }
+    // Pre-scan: sub-margin sighting breadth decides whether this pass may
+    // confirm restamps (MassSightingMin scaladoc — the calib-skew regime
+    // of BASELINE.md round-17 passes 32–33 reads dozens of floors
+    // sub-margin at once; an honest pass reads a handful).
+    val sightings = results.count { case (name, t) =>
+      t >= 0 && base.get(sfTag + "|" + name).exists { floor =>
+        val (curNorm, floorNorm) = norms(sfTag + "|" + name, floor, t)
+        curNorm < RestampMargin * floorNorm
+      }
+    }
+    val floorsAtSf = base.keysIterator.count(_.startsWith(sfTag + "|"))
+    val massLimit =
+      math.max(MassSightingMin, math.ceil(MassSightingFrac * floorsAtSf).toInt)
+    val regimeSuspect = sightings > massLimit
+    if (regimeSuspect)
+      System.err.println(s"[bench] NOTE: $sightings sub-margin sightings at $sfTag (limit $massLimit) — regime-suspect pass (calib-skew signature, BASELINE.md round-17 passes 32-33); pendings recorded/refreshed, no floor restamps this pass")
     results.foreach { case (name, t) =>
       if (t >= 0) {
         val key = sfTag + "|" + name
@@ -193,17 +248,17 @@ object BenchFloors {
             // (pre-round-12 files) — the pending bookkeeping inherits
             // whichever unit the comparison used.
             val hasCalib = priorCalib.get(key).orElse(refEstimate)
-            val (curNorm, floorNorm) = hasCalib match {
-              case Some(floorCalib) => (t / runCalib, floor / floorCalib)
-              case None             => (t, floor)
-            }
+            val (curNorm, floorNorm) = norms(key, floor, t)
             if (curNorm < RestampMargin * floorNorm) {
               // Only a same-UNIT candidate may confirm (PendingUnitSuffix
               // scaladoc): a candidate pended in the other unit is stale
               // bookkeeping, not a confirming sample — re-record fresh.
+              // And only a NORMAL-BREADTH pass may confirm at all
+              // (MassSightingMin scaladoc): a regime-suspect pass's
+              // sightings are recorded, never treated as evidence.
               val sameUnit = pending.get(key + PendingUnitSuffix)
                 .forall(u => (u > 0.5) == hasCalib.isDefined)
-              pending.get(key).filter(_ => sameUnit) match {
+              pending.get(key).filter(_ => sameUnit && !regimeSuspect) match {
                 case Some(pendNorm) =>
                   // second independent confirming pass: stamp the more
                   // conservative (higher) of the two sub-margin samples
@@ -222,8 +277,17 @@ object BenchFloors {
                       floors += key -> stampNorm
                   }
                   dropPending(key)
-                case None => // first sighting (or unit-mismatched stale one)
-                  pending += key -> curNorm
+                case None =>
+                  // First sighting, a unit-mismatched stale candidate, or
+                  // a regime-suspect pass (which may record/refresh but
+                  // never confirm). A same-unit candidate refreshed by a
+                  // suspect pass keeps the MAX of the two samples, so a
+                  // skew-regime reading can only make the eventual stamp
+                  // more conservative, never lower it.
+                  val refreshed = pending.get(key)
+                    .filter(_ => sameUnit)
+                    .fold(curNorm)(math.max(_, curNorm))
+                  pending += key -> refreshed
                   pending += (key + PendingUnitSuffix) ->
                     (if (hasCalib.isDefined) 1.0 else 0.0)
               }

@@ -150,6 +150,49 @@ class BenchFloorsSpec extends AnyFunSuite {
     assert(p3.isEmpty)
   }
 
+  test("regime-suspect guard: two same-skew-regime passes can never pair into a restamp (the round-17 pass-32/33 scenario)") {
+    // 12 floors stamped at the normal calib profile (0.22). A regime that
+    // depresses SINGLE-THREAD speed while 4-way query throughput stays
+    // normal reads calib 0.2568 (+17%) with unchanged raw query times, so
+    // 10 of the 12 keys read sub-margin AT ONCE with no plan change —
+    // the BASELINE.md round-17 pass-32/33 signature (48/44 sightings).
+    val names = (1 to 12).map(i => f"q_$i%02d")
+    val prior = names.map(n => s"sf0.1|$n" -> 1.0).toMap
+    val priorCalib = names.map(n => s"sf0.1|$n" -> 0.22).toMap
+    val skewed = names.take(10).map(_ -> 1.0) ++ names.drop(10).map(_ -> 1.3)
+    val (f1, c1, p1) =
+      BenchFloors.merge(prior, priorCalib, Map.empty, skewed, "sf0.1", runCalib = 0.2568)
+    assert(f1 == prior, "a regime-suspect pass must not stamp anything")
+    assert(names.take(10).forall(n => p1.contains(s"sf0.1|$n")), "it may still pend")
+    // A SECOND pass in the same skew regime — exactly the pairing that
+    // produced the 12 round-17 noise restamps — may refresh pendings but
+    // must not confirm them.
+    val (f2, c2, p2) =
+      BenchFloors.merge(f1, c1, p1, skewed, "sf0.1", runCalib = 0.2568)
+    assert(f2 == prior, "two same-regime passes must never pair into a restamp")
+    assert(names.take(10).forall(n => p2.contains(s"sf0.1|$n")))
+    // Back on the normal calib profile the same binary reads ~1.0
+    // normalized: every skew candidate EXPIRES, floors hold — the
+    // round-17 pass-34 outcome, now guaranteed by construction.
+    val (f3, c3, p3) =
+      BenchFloors.merge(f2, c2, p2, names.map(_ -> 1.0), "sf0.1", runCalib = 0.22)
+    assert(f3 == prior && p3.isEmpty)
+    // A genuine improvement pended during the skew period still lands:
+    // one honest NORMAL-BREADTH pass confirms it, and the stamp (max of
+    // the two samples) anchors at the more conservative one.
+    val oneFast = Seq("q_01" -> 0.7) ++ names.drop(1).map(_ -> 1.0)
+    val (f4, _, p4) = BenchFloors.merge(f2, c2, p2, oneFast, "sf0.1", runCalib = 0.22)
+    // pended sample (skew pass): 1.0/0.2568 = 3.894 calib units; honest
+    // sample: 0.7/0.22 = 3.18 — max picks the skew (higher) sample, so
+    // the floor lands at 3.894 * 0.22 = 0.857 raw, NOT the lucky 0.7.
+    assert(math.abs(f4("sf0.1|q_01") - (1.0 / 0.2568) * 0.22) < 1e-9)
+    assert(p4.isEmpty, "the other nine skew candidates expire in the honest pass")
+    // Uniform host drift (the round-11 2x-slower-host contract) is NOT
+    // regime-suspect: normalized ratios stay ~1.0 on a uniformly slower
+    // host, so sighting breadth stays normal and the ratchet stays alive
+    // (pinned end-to-end by the 2x-slower-host test above).
+  }
+
   test("deliberately-slowed sanity check: host drift normalizes out, a genuine regression does not") {
     // Floor recorded on the reference host: 1.0 s at calib 0.30.
     // The SAME binary on a 2x-slower host measures 2.0 s at calib 0.60:
