@@ -80,10 +80,13 @@ print(f"  REAL flags: {len(real)}" +
       ("" if not real else " -> " + ", ".join(r[1] for r in real)))
 # Broad-flag advisory (round-14 pass-7 lesson, BASELINE.md "Floor
 # convergence"): a genuine plan regression flags one or two related
-# queries; >10% of the suite flagging AT ONCE on a binary that read zero
-# flags in an adjacent window is 32-way host contention the single-thread
-# calib cannot capture. Re-run in another window before acting.
-if len(flagged) > 0.1 * len(rows) and med > 1.25:
+# queries; 8+ flagging AT ONCE on an elevated median, on a binary that
+# read zero flags in an adjacent window, is 32-way host contention the
+# single-thread calib cannot capture. Re-run in another window before
+# acting. (Round-18 tightening: the bar was >10% of the suite — ~17 keys
+# — which left a 4–16-flag gap that round-18 pass 1, 15 flags at median
+# 1.343, fell straight through.)
+if len(flagged) >= 8 and med > 1.25:
     print(f"  ADVISORY: {len(flagged)}/{len(rows)} queries flagged with median {med:.2f} — "
           "pattern matches uniform host contention, not a per-query regression; "
           "re-run in a different window before treating any flag as real")
@@ -94,8 +97,14 @@ if len(flagged) > 0.1 * len(rows) and med > 1.25:
 # earlier sub-0.12 s-floor proxy matched 7+ keys and would have advised
 # away a genuine regression on any small query. Distinct from a
 # regression, which moves a query regardless of its size class.
-elif real and len(real) <= 3 and med > 1.05 and all(r[1] in AMBIENT_TRIO for r in real):
+# The magnitude cap keeps the advisory honest: historical ambient-load
+# grazes on these keys read 1.5–1.7 normalized; a >=2x move is a real
+# regression no matter which key it lands on and must never be advised
+# away just because the window median is elevated.
+elif (real and len(real) <= 3 and med > 1.05
+      and all(r[1] in AMBIENT_TRIO for r in real)
+      and all(r[0] < 2.0 for r in real)):
     print(f"  ADVISORY: all {len(real)} flags are ambient-trio fixed-overhead "
-          f"keys ({', '.join(sorted(r[1] for r in real))}) in a slow window "
-          f"(median {med:.2f}) — matches the ambient-load signature; only a "
-          "flag persisting in a median<=1.05 window is worth investigating")
+          f"keys ({', '.join(sorted(r[1] for r in real))}) under 2.0x in a slow "
+          f"window (median {med:.2f}) — matches the ambient-load signature; only "
+          "a flag persisting in a median<=1.05 window is worth investigating")

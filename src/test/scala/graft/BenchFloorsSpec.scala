@@ -193,6 +193,26 @@ class BenchFloorsSpec extends AnyFunSuite {
     // (pinned end-to-end by the 2x-slower-host test above).
   }
 
+  test("regime-suspect breadth is judged against the keys actually MEASURED, not the whole floor set") {
+    // 100 floors, but a failure-heavy skew pass measures only 12 of them
+    // (the rest are -1.0 failure sentinels) and reads 10 sub-margin. An
+    // all-floors denominator would set the limit at ceil(0.1*100) = 10
+    // and classify the pass honest (10 > 10 is false); the measured
+    // denominator sets it at max(8, ceil(0.1*12)) = 8 and correctly
+    // flags it suspect — so two such passes can't pair into restamps.
+    val names = (1 to 100).map(i => f"q_$i%03d")
+    val prior = names.map(n => s"sf0.1|$n" -> 1.0).toMap
+    val priorCalib = names.map(n => s"sf0.1|$n" -> 0.22).toMap
+    val skewedPartial: Seq[(String, Double)] =
+      names.take(10).map(_ -> 1.0) ++ names.slice(10, 12).map(_ -> 1.3) ++
+        names.drop(12).map(_ -> -1.0)
+    val (f1, c1, p1) = BenchFloors.merge(
+      prior, priorCalib, Map.empty, skewedPartial, "sf0.1", runCalib = 0.2568)
+    val (f2, _, _) = BenchFloors.merge(
+      f1, c1, p1, skewedPartial, "sf0.1", runCalib = 0.2568)
+    assert(f2 == prior, "a failure-heavy skew pass must not slip under the breadth limit")
+  }
+
   test("deliberately-slowed sanity check: host drift normalizes out, a genuine regression does not") {
     // Floor recorded on the reference host: 1.0 s at calib 0.30.
     // The SAME binary on a 2x-slower host measures 2.0 s at calib 0.60:
