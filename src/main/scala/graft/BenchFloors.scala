@@ -144,8 +144,14 @@ object BenchFloors {
     * level rather than the luckiest window. A candidate that fails the
     * margin on the next pass at its sf expires (the improvement didn't
     * reproduce); a genuine plan improvement simply lands one pass later,
-    * which an accumulating ratchet doesn't care about. New keys still
-    * seed unconditionally (there is no floor to protect yet).
+    * which an accumulating ratchet doesn't care about. New keys seed
+    * unconditionally on a normal-breadth pass (there is no floor to
+    * protect yet) — but NOT on a regime-suspect one, whose skew-deflated
+    * sample would become a permanently tight first stamp (round-19
+    * closure of the r18 verdict's latent seed-from-suspect hole): such a
+    * pass records the key as a pending candidate instead, and the next
+    * normal-breadth pass stamps the seed at the conservative MAX of the
+    * pending sample and its own.
     */
   val RestampMargin = 0.98
 
@@ -165,11 +171,16 @@ object BenchFloors {
     * moves one or a few related keys, while the skew regime moves a
     * large fraction of the floor set together. A pass whose sub-margin
     * sightings exceed max([[MassSightingMin]], [[MassSightingFrac]] of
-    * the existing floors at its sf) is therefore regime-suspect: it may
-    * still seed new keys, record/refresh pending candidates
-    * (conservatively, keeping the max of the old and new sample), and
+    * the existing floors at its sf, capped at the measured breadth
+    * minus one so a small failure-heavy pass cannot sit at 100%
+    * sub-margin breadth and still read honest — the round-19 ADVICE
+    * hole: 8 measured / 8 sightings vs a MassSightingMin limit of 8 is
+    * not suspect under a plain max) is therefore regime-suspect: it may
+    * record/refresh pending candidates (conservatively, keeping the max
+    * of the old and new sample — and since round 19 first-time keys are
+    * recorded the same way rather than seeded), and
     * its at-or-above-margin reads still expire stale candidates — but
-    * it can never CONFIRM a restamp. Confirmation thus requires a pass
+    * it can never CONFIRM a restamp or stamp a first-time floor. Confirmation thus requires a pass
     * of normal sighting breadth, and since the stamp takes the MAX of
     * the two samples, every stamped floor is anchored at or above a
     * measurement from an honest-regime pass. A corollary closes the
@@ -253,19 +264,48 @@ object BenchFloors {
     val measuredWithFloor = results.count { case (name, t) =>
       t >= 0 && base.contains(sfTag + "|" + name)
     }
-    val massLimit =
-      math.max(MassSightingMin, math.ceil(MassSightingFrac * measuredWithFloor).toInt)
+    // The MassSightingMin lower bound exists for full-breadth passes (so
+    // a handful of honest sightings never trips the guard), but on a
+    // pass that measured few floored keys it would make suspicion
+    // unreachable (8 measured, 8 sub-margin -> limit 8, 8 > 8 false) —
+    // cap the limit at measured-1, so 100%-sub-margin small passes are
+    // suspect while a single-sighting pass (the normal one-improvement
+    // case) never is.
+    val massLimit = math.min(
+      math.max(MassSightingMin, math.ceil(MassSightingFrac * measuredWithFloor).toInt),
+      math.max(1, measuredWithFloor - 1))
     val regimeSuspect = sightings > massLimit
     if (regimeSuspect)
-      System.err.println(s"[bench] NOTE: $sightings sub-margin sightings at $sfTag (limit $massLimit) — regime-suspect pass (calib-skew signature, BASELINE.md round-17 passes 32-33); pendings recorded/refreshed, no floor restamps this pass")
+      System.err.println(s"[bench] NOTE: $sightings sub-margin sightings at $sfTag (limit $massLimit) — regime-suspect pass (calib-skew signature, BASELINE.md round-17 passes 32-33); pendings recorded/refreshed, no floor restamps or first-time seeds this pass")
     results.foreach { case (name, t) =>
       if (t >= 0) {
         val key = sfTag + "|" + name
         base.get(key) match {
-          case None => // new key: seed unconditionally
-            floors += key -> t
-            calib += key -> runCalib
-            dropPending(key)
+          case None =>
+            // New key. A normal-breadth pass seeds it (no floor to
+            // protect yet), folding in any pending sample a suspect pass
+            // left behind at the conservative max; a regime-suspect pass
+            // must NOT stamp its skew-deflated sample as a first-time
+            // floor — it records the key as a pending candidate instead
+            // (normalized units, since runCalib is always measured),
+            // exactly like a restamp sighting (RestampMargin scaladoc).
+            val seedSameUnit =
+              pending.get(key + PendingUnitSuffix).forall(_ > 0.5)
+            if (regimeSuspect) {
+              val refreshed = pending.get(key)
+                .filter(_ => seedSameUnit)
+                .fold(t / runCalib)(math.max(_, t / runCalib))
+              pending += key -> refreshed
+              pending += (key + PendingUnitSuffix) -> 1.0
+            } else {
+              val seed = pending.get(key)
+                .filter(_ => seedSameUnit)
+                .map(p => math.max(p, t / runCalib) * runCalib)
+                .getOrElse(t)
+              floors += key -> seed
+              calib += key -> runCalib
+              dropPending(key)
+            }
           case Some(floor) =>
             // This sample and the floor in the same units: calibration
             // units when any calib stamp exists, raw seconds otherwise

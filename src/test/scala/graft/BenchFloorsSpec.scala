@@ -213,6 +213,72 @@ class BenchFloorsSpec extends AnyFunSuite {
     assert(f2 == prior, "a failure-heavy skew pass must not slip under the breadth limit")
   }
 
+  test("regime-suspect limit is capped at measured-1: an 8-measured/8-sub-margin pass is suspect (the round-19 ADVICE hole)") {
+    // 20 floors, but the pass measures only 8 of them — and ALL 8 read
+    // sub-margin. Under a plain max(MassSightingMin, frac*measured) the
+    // limit is 8 and 8 > 8 is false, so two such failure-heavy skew
+    // passes could pair into up to 8 restamps — exactly the bug class
+    // the measured-denominator fix targets. The measured-1 cap sets the
+    // limit at 7 and flags the pass suspect.
+    val names = (1 to 20).map(i => f"q_$i%02d")
+    val prior = names.map(n => s"sf0.1|$n" -> 1.0).toMap
+    val priorCalib = names.map(n => s"sf0.1|$n" -> 0.22).toMap
+    val skewedPartial: Seq[(String, Double)] =
+      names.take(8).map(_ -> 1.0) ++ names.drop(8).map(_ -> -1.0)
+    val (f1, c1, p1) = BenchFloors.merge(
+      prior, priorCalib, Map.empty, skewedPartial, "sf0.1", runCalib = 0.2568)
+    val (f2, _, _) = BenchFloors.merge(
+      f1, c1, p1, skewedPartial, "sf0.1", runCalib = 0.2568)
+    assert(f2 == prior, "two 100%-sub-margin small passes must never pair into restamps")
+    // ... while a single-sighting pass (the normal one-improvement case)
+    // stays eligible: 1 measured, 1 sub-margin pends then confirms.
+    val oneKey: Seq[(String, Double)] =
+      Seq("q_01" -> 0.8) ++ names.drop(1).map(_ -> -1.0)
+    val (g1, gc1, gp1) = BenchFloors.merge(
+      prior, priorCalib, Map.empty, oneKey, "sf0.1", runCalib = 0.22)
+    assert(gp1.contains("sf0.1|q_01"), "a single sighting must still pend")
+    val (g2, _, gp2) = BenchFloors.merge(g1, gc1, gp1, oneKey, "sf0.1", runCalib = 0.22)
+    assert(math.abs(g2("sf0.1|q_01") - 0.8) < 1e-9 && gp2.isEmpty,
+      "a single-sighting pass must still be able to confirm")
+  }
+
+  test("regime-suspect pass must not SEED a first-time floor: the sample pends and a normal pass stamps the conservative max") {
+    // The r18 verdict's latent hole: the guard gated confirmation but a
+    // suspect pass could still stamp a skew-deflated sample as a NEW
+    // key's first floor — permanent, since floors never loosen. 12
+    // existing floors at the normal profile (0.22); the skew pass
+    // (calib 0.2568) reads 10 of them sub-margin (suspect) and also
+    // carries a first-time key q_new.
+    val names = (1 to 12).map(i => f"q_$i%02d")
+    val prior = names.map(n => s"sf0.1|$n" -> 1.0).toMap
+    val priorCalib = names.map(n => s"sf0.1|$n" -> 0.22).toMap
+    val skewed: Seq[(String, Double)] =
+      names.take(10).map(_ -> 1.0) ++ names.drop(10).map(_ -> 1.3) ++
+        Seq("q_new" -> 0.5)
+    val (f1, c1, p1) =
+      BenchFloors.merge(prior, priorCalib, Map.empty, skewed, "sf0.1", runCalib = 0.2568)
+    assert(!f1.contains("sf0.1|q_new"), "a suspect pass must not seed a first-time floor")
+    assert(!c1.contains("sf0.1|q_new"))
+    assert(math.abs(p1("sf0.1|q_new") - 0.5 / 0.2568) < 1e-9, "it pends instead (normalized)")
+    assert(p1("sf0.1|q_new#cal") == 1.0)
+    // A second suspect pass refreshes the candidate at the MAX of the two
+    // samples — a skew reading can only make the eventual seed more
+    // conservative, never lower it.
+    val skewed2 = skewed.init :+ ("q_new" -> 0.6)
+    val (f2, c2, p2) = BenchFloors.merge(f1, c1, p1, skewed2, "sf0.1", runCalib = 0.2568)
+    assert(!f2.contains("sf0.1|q_new"))
+    assert(math.abs(p2("sf0.1|q_new") - 0.6 / 0.2568) < 1e-9)
+    // The next NORMAL-breadth pass seeds — at the conservative max of the
+    // pending (skew-era) sample and its own, with its genuine calib.
+    val honest: Seq[(String, Double)] = names.map(_ -> 1.0) :+ ("q_new" -> 0.4)
+    val (f3, c3, p3) = BenchFloors.merge(f2, c2, p2, honest, "sf0.1", runCalib = 0.22)
+    val expected = math.max(0.6 / 0.2568, 0.4 / 0.22) * 0.22
+    assert(math.abs(f3("sf0.1|q_new") - expected) < 1e-9,
+      "the seed must anchor at the conservative max, not the lucky sample")
+    assert(c3("sf0.1|q_new") == 0.22)
+    assert(!p3.contains("sf0.1|q_new") && !p3.contains("sf0.1|q_new#cal"))
+  }
+
   test("deliberately-slowed sanity check: host drift normalizes out, a genuine regression does not") {
     // Floor recorded on the reference host: 1.0 s at calib 0.30.
     // The SAME binary on a 2x-slower host measures 2.0 s at calib 0.60:
