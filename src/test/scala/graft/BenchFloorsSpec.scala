@@ -277,6 +277,24 @@ class BenchFloorsSpec extends AnyFunSuite {
       "the seed must anchor at the conservative max, not the lucky sample")
     assert(c3("sf0.1|q_new") == 0.22)
     assert(!p3.contains("sf0.1|q_new") && !p3.contains("sf0.1|q_new#cal"))
+    // Unit pinning on a RAW-era file (no calib stamps anywhere): a
+    // suspect pass still pends a first-time key in CALIBRATION units
+    // (runCalib is always measured, and the eventual seed writes a calib
+    // stamp — matching the pre-existing seed behavior, which stamps
+    // calib even into raw-era files), so the pend → seed chain never
+    // mixes units regardless of the file's era.
+    val rawPrior = names.map(n => s"sf0.1|$n" -> 1.0).toMap
+    val rawSkewed: Seq[(String, Double)] =
+      names.map(_ -> 0.9) ++ Seq("q_new" -> 0.5) // raw compare: all 12 sub-margin
+    val (rf1, rc1, rp1) =
+      BenchFloors.merge(rawPrior, Map.empty, Map.empty, rawSkewed, "sf0.1", runCalib = 0.25)
+    assert(!rf1.contains("sf0.1|q_new"))
+    assert(math.abs(rp1("sf0.1|q_new") - 0.5 / 0.25) < 1e-9 && rp1("sf0.1|q_new#cal") == 1.0)
+    val rawHonest: Seq[(String, Double)] = names.map(_ -> 1.0) :+ ("q_new" -> 0.4)
+    val (rf2, rc2, rp2) = BenchFloors.merge(rf1, rc1, rp1, rawHonest, "sf0.1", runCalib = 0.25)
+    assert(math.abs(rf2("sf0.1|q_new") - math.max(0.5 / 0.25, 0.4 / 0.25) * 0.25) < 1e-9)
+    assert(rc2("sf0.1|q_new") == 0.25, "the seed must stamp its calib even in a raw-era file")
+    assert(!rp2.contains("sf0.1|q_new"))
   }
 
   test("deliberately-slowed sanity check: host drift normalizes out, a genuine regression does not") {
