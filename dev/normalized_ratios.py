@@ -90,6 +90,22 @@ if len(flagged) >= 8 and med > 1.25:
     print(f"  ADVISORY: {len(flagged)}/{len(rows)} queries flagged with median {med:.2f} — "
           "pattern matches uniform host contention, not a per-query regression; "
           "re-run in a different window before treating any flag as real")
+# Gray-zone contention note (round-20, from the round-19 verdict): the
+# driver's BENCH_r19 window (12 flags, median 1.203, 71.57 s total) sat
+# just under the hard advisory's 1.25 median bar and printed 12 bare
+# "REAL flags" — to a reader without the triage rule in hand, 12
+# regressions. A 10+-key sweep on a median >=1.15 is still the broad
+# contention form (a genuine plan regression moves one or a few related
+# keys, not a dozen at once on an elevated median), so it self-classifies
+# here with the clean-band totals to compare against, while the hard
+# advisory above keeps its stricter bar.
+elif len(flagged) >= 10 and med >= 1.15:
+    total = bench.get("value")
+    total_s = f"{total:.2f}s total" if isinstance(total, (int, float)) else "total n/a"
+    print(f"  GRAY-ZONE: {len(flagged)}/{len(rows)} queries flagged on median {med:.2f} "
+          f"({total_s}) — a broad sweep just under the uniform-contention bar; "
+          "clean-band totals are 59-67s at sf0.1 / 38-48s at sf0.001 (BASELINE.md). "
+          "Re-run in a clean window; only a flag persisting there is real")
 # Small-flag contention signature (round-17 triage rule; round-18 ADVICE
 # tightening): ambient external load in a slow-but-not-swamped window
 # flags only the three named fixed-overhead keys in AMBIENT_TRIO while

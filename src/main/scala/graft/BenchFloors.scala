@@ -180,8 +180,9 @@ object BenchFloors {
     * of the old and new sample — and since round 19 first-time keys are
     * recorded the same way rather than seeded), and
     * its at-or-above-margin reads still expire stale candidates — but
-    * it can never CONFIRM a restamp or stamp a first-time floor. Confirmation thus requires a pass
-    * of normal sighting breadth, and since the stamp takes the MAX of
+    * it can never CONFIRM a restamp or stamp a first-time floor.
+    * Confirmation thus requires a pass of normal sighting breadth, and
+    * since the stamp takes the MAX of
     * the two samples, every stamped floor is anchored at or above a
     * measurement from an honest-regime pass. A corollary closes the
     * lucky-window hole too: confirming a mass of pendings in one pass
@@ -197,6 +198,20 @@ object BenchFloors {
     * the affected floors from the improving pass's measured samples,
     * with provenance. Floors failing to tighten never weakens the
     * regression contract — runs simply read sub-1.0 until restated.
+    *
+    * The measured−1 cap carries a second accepted freeze, for SUBSET
+    * benches (round-20, from the round-19 ADVICE): a pass measuring
+    * only 2–8 floored keys (a hypothetical targeted re-run of a few
+    * queries) whose keys ALL genuinely improved sits at 100%
+    * sub-margin breadth and is regime-suspect by the cap every time —
+    * such a pass can pend and refresh its candidates but can never
+    * confirm them. The escape is the same pair as above: confirm from
+    * a pass of normal breadth (the full suite at that sf), or use the
+    * documented hand-restatement process. [[Bench]] today always runs
+    * the full suite, so the freeze is latent until a subset-run
+    * mechanism exists; it is the intended trade — a 100%-sub-margin
+    * read carries no internal evidence distinguishing a genuine
+    * subset improvement from the calib-skew regime.
     */
   val MassSightingMin = 8
   val MassSightingFrac = 0.10
@@ -210,9 +225,14 @@ object BenchFloors {
     * a raw-seconds value by runCalib — a floor in neither unit. A unit
     * mismatch now re-records the candidate fresh in the current unit
     * instead of mixing. Legacy entries (no companion) are treated as
-    * matching the current pass — exactly the pre-fix behavior, and correct
-    * for every existing file since a key's calib presence only changes on a
-    * stamp, which clears its pending entry anyway.
+    * matching the current pass in the RESTAMP path — exactly the pre-fix
+    * behavior, and correct for every existing file since a key's calib
+    * presence only changes on a stamp, which clears its pending entry
+    * anyway. The SEED path (floorless key) defaults the opposite way —
+    * absent companion = mismatch — because its pendings are always
+    * companion-stamped at write time, so a companion-less one there is a
+    * hand-edit relic of unknown unit (rationale at the seed branch in
+    * [[merge]], round-20 from the round-19 ADVICE).
     */
   val PendingUnitSuffix = "#cal"
 
@@ -289,8 +309,29 @@ object BenchFloors {
             // floor — it records the key as a pending candidate instead
             // (normalized units, since runCalib is always measured),
             // exactly like a restamp sighting (RestampMargin scaladoc).
+            // Seed-path pendings have no expiry of their own (an
+            // at-margin read expires RESTAMP candidates below, but a
+            // floorless key has no margin to read against), so one
+            // anomalously slow suspect sample inflates the eventual
+            // seed and a never-reappearing key's entry lingers — both
+            // accepted: an inflated seed self-corrects DOWN via the
+            // two-pass restamp rule, and a lingering entry is inert.
+            // Unit default: seed-path pendings are always written with
+            // their #cal companion at 1.0 (the suspect branch below
+            // stamps both keys), so a companion-LESS pending here can
+            // only be a hand-edit relic — a floor deleted during a
+            // restatement while a pre-companion raw-seconds pending
+            // survived. Hence `exists`, not the restamp path's
+            // `forall`: an absent companion defaults to MISMATCH and
+            // the relic is dropped (normal pass) or re-recorded fresh
+            // in the current unit (suspect pass) rather than maxed
+            // against a normalized sample and multiplied by runCalib —
+            // a value in no coherent unit. (The restamp path keeps the
+            // forall default, correct there because a legacy pending
+            // for a key WITH a floor was recorded in that floor's own
+            // comparison unit.)
             val seedSameUnit =
-              pending.get(key + PendingUnitSuffix).forall(_ > 0.5)
+              pending.get(key + PendingUnitSuffix).exists(_ > 0.5)
             if (regimeSuspect) {
               val refreshed = pending.get(key)
                 .filter(_ => seedSameUnit)

@@ -297,6 +297,37 @@ class BenchFloorsSpec extends AnyFunSuite {
     assert(!rp2.contains("sf0.1|q_new"))
   }
 
+  test("seed path treats an absent unit companion as MISMATCH: a hand-edit relic pending never unit-mixes into the seed") {
+    // The only way a floorless key carries a companion-less pending is a
+    // hand edit (the suspect branch always stamps #cal): a floor deleted
+    // during a restatement while a legacy raw-seconds pending survived.
+    // A matched-by-default relic would be maxed against a normalized
+    // sample and multiplied by runCalib — a seed in no coherent unit
+    // (here: max(raw 0.9 s, 0.1/0.22) * 0.22 = 0.198 s stamped for a
+    // 0.1 s query). The relic must be ignored instead.
+    val names = (1 to 12).map(i => f"q_$i%02d")
+    val prior = names.map(n => s"sf0.1|$n" -> 1.0).toMap
+    val priorCalib = names.map(n => s"sf0.1|$n" -> 0.22).toMap
+    val relic = Map("sf0.1|q_gone" -> 0.9) // raw-era pending, no #cal companion
+    // Normal-breadth pass: seeds from its own sample alone; relic cleared.
+    val honest: Seq[(String, Double)] = names.map(_ -> 1.0) :+ ("q_gone" -> 0.1)
+    val (f1, c1, p1) =
+      BenchFloors.merge(prior, priorCalib, relic, honest, "sf0.1", runCalib = 0.22)
+    assert(math.abs(f1("sf0.1|q_gone") - 0.1) < 1e-9,
+      "the relic must not inflate or unit-mix into the seed")
+    assert(c1("sf0.1|q_gone") == 0.22)
+    assert(!p1.contains("sf0.1|q_gone") && !p1.contains("sf0.1|q_gone#cal"))
+    // Regime-suspect pass: re-records the candidate fresh in the current
+    // (normalized) unit instead of maxing against the raw relic.
+    val skewed: Seq[(String, Double)] = names.map(_ -> 0.9) :+ ("q_gone" -> 0.1)
+    val (f2, _, p2) =
+      BenchFloors.merge(prior, priorCalib, relic, skewed, "sf0.1", runCalib = 0.2568)
+    assert(!f2.contains("sf0.1|q_gone"), "suspect pass still must not seed")
+    assert(math.abs(p2("sf0.1|q_gone") - 0.1 / 0.2568) < 1e-9,
+      "suspect pass re-records fresh in normalized units, ignoring the relic")
+    assert(p2("sf0.1|q_gone#cal") == 1.0)
+  }
+
   test("deliberately-slowed sanity check: host drift normalizes out, a genuine regression does not") {
     // Floor recorded on the reference host: 1.0 s at calib 0.30.
     // The SAME binary on a 2x-slower host measures 2.0 s at calib 0.60:
