@@ -494,8 +494,11 @@ object AnalyticsQueries extends QueryPack {
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
       val med = c.groupBy(col("o_orderpriority"))
         .agg(percentile(col("c"), lit(0.5)).as("med_c"))
+      // Pinned (round 21): `dev` feeds both the MAD percentile pass and the
+      // fence count; unpinned, the orders scan + median join ran twice.
       val dev = c.join(broadcast(med), Seq("o_orderpriority"))
         .withColumn("d2", abs(col("c") * 2 - col("med_c") * 2))
+        .pin()
       val stats = dev.groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n"),
@@ -1041,29 +1044,38 @@ object AnalyticsQueries extends QueryPack {
     // leaves as soon as cum_c crosses), so at 100 TB each level is one
     // shrinking equi join on a high-cardinality key, never a cartesian.
     // Built on a newSession: the temp view must not leak across queries.
+    // Round 21 rewrite (optimization guide §1.2 "the distributed
+    // algorithm"): the frontier recursion above is the GENERAL shape, but
+    // THIS walk's stop condition consumes a running sum of strictly
+    // positive increments (o_totalprice > 0 ⇒ price_c ≥ 1 cent), so cum_c
+    // is strictly increasing along each customer's chain and walk
+    // membership collapses to a closed form: order rn is reached iff
+    // rn ≤ 8 AND the PREVIOUS cumulative spend (cum_c − price_c, monotone
+    // ⇒ it bounds every earlier prefix) is still under the threshold. That
+    // turns 8 iterative UnionLoop joins (one exchange per level, plus the
+    // pinned rn table) into ONE window pass (row_number and the running sum
+    // share a single WindowExec/exchange) + one aggregation — identical
+    // rows, proven against the unchanged recursive-CTE oracle
+    // (RecursiveChainSpec pins equivalence vs the old spelling at two SFs).
     "q_recursive_chain" -> ((s, d) => {
-      val s2 = s.newSession()
-      Tables.orders(s2, d)
-        .select(col("o_custkey"), col("o_orderkey"),
-          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"),
-          row_number().over(Window.partitionBy(col("o_custkey"))
-            .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))
-        .pin()
-        .createOrReplaceTempView("rec_ord")
-      s2.sql(
-        """WITH RECURSIVE walk(custkey, rn, okey, cum_c) AS (
-          |  SELECT o_custkey, rn, o_orderkey, price_c FROM rec_ord WHERE rn = 1
-          |  UNION ALL
-          |  SELECT o.o_custkey, o.rn, o.o_orderkey, w.cum_c + o.price_c
-          |  FROM walk w JOIN rec_ord o
-          |    ON o.o_custkey = w.custkey AND o.rn = w.rn + 1
-          |  WHERE w.cum_c < 45000000 AND w.rn < 8
-          |)
-          |SELECT custkey, CAST(max(rn) AS BIGINT) AS hops,
-          |       max_by(okey, rn) AS last_okey,
-          |       max_by(cum_c, rn) AS cum_c,
-          |       CAST(CASE WHEN max_by(cum_c, rn) >= 45000000 THEN 1 ELSE 0 END AS BIGINT) AS crossed
-          |FROM walk GROUP BY custkey ORDER BY custkey""".stripMargin)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum_c", sum(col("price_c")).over(w))
+        .filter(col("rn") <= 8 && (col("cum_c") - col("price_c")) < 45000000L)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(col("rn")).cast("bigint").as("hops"),
+          max_by(col("o_orderkey"), col("rn")).as("last_okey"),
+          max_by(col("cum_c"), col("rn")).as("cum_c"),
+          when(max_by(col("cum_c"), col("rn")) >= 45000000L, 1L).otherwise(0L)
+            .as("crossed"))
+        .select(col("o_custkey").as("custkey"), col("hops"), col("last_okey"),
+          col("cum_c"), col("crossed"))
+        .orderBy(col("custkey"))
     })
   )
 

@@ -299,12 +299,19 @@ object JoinQueries extends QueryPack {
     // name lookup after the fact-side reduction.
     "q_report_suppwait" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      def late = Tables.lineitem(s, d)
+      // Round 21: `late` feeds BOTH the semi-join base and the anti-join
+      // probe side; as a plain subtree the lineitem⋈orders join (the two
+      // biggest scans in the query) was built twice — no common-subplan
+      // reuse across a join's two sides. Pinned once (tiny: two longs per
+      // late line), both consumers read the checkpoint (guide §2.4: remove
+      // the duplicated shuffle outright).
+      val late = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("interval 365 days"))
         .select(col("l_orderkey"), col("l_suppkey"))
+        .pin()
       late
         .join(li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
           col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")

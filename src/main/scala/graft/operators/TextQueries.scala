@@ -69,7 +69,7 @@ object TextQueries extends QueryPack {
     * exact Jaccard) — downstream always keys on (band, bkey), never the raw
     * shingle.
     */
-  private def bandBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def bandBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
     bandBucketsOf(shinglesOf(Tables.documents(s, d)))
 
   /** Per-doc prefix-scheme table (doc_id, n, ws, pl): each doc's
@@ -118,27 +118,44 @@ object TextQueries extends QueryPack {
     bandBucketsOf(shinglesOf(docs))
       .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("skey"))
 
-  /** The raw 8-row MinHash signature (doc_id, i, minh) — the sketch itself,
-    * shared by the band-key pipeline and the estimator-quality harness
-    * (q_dedup_minhash_est).
+  /** The WIDE 8-column MinHash signature (doc_id, m0..m7) — the sketch
+    * itself, shared by the band-key pipeline and the estimator-quality
+    * harness (q_dedup_minhash_est).
+    *
+    * Round 21 (optimization guide §2.3/§2.4): formerly the 8 sketch rows
+    * were produced by exploding every shingle row 8× and aggregating on
+    * (doc_id, i) — an 8× row amplification feeding the exchange, and every
+    * downstream banding needed a SECOND (doc_id, band) aggregation to
+    * reassemble the rows into band keys. The wide form computes all 8
+    * `min(affineHash(h, i))` columns in ONE groupBy(doc_id): map-side
+    * partial aggregation collapses each mapper's shingles to one 8-long row
+    * per doc before the shuffle (8× fewer shuffle rows, no explode), and
+    * band keys become pure projections over the wide row — the second
+    * exchange disappears from every consumer. Values are bit-identical
+    * (same min over the same affine family; MinHashWideSpec pins it against
+    * the row-form spelling).
     */
-  private def minhashSigsOf(shingles: org.apache.spark.sql.DataFrame) =
+  private def minhashSigsOf(shingles: org.apache.spark.sql.DataFrame) = {
+    // the polynomial fold runs ONCE per shingle row (projection below the
+    // aggregate); the 8 affine transforms are cheap arithmetic over it
+    val aggs = (0 until 8).map(i =>
+      min(TextFns.affineHash(col("h"), lit(i))).as(s"m$i"))
     shingles.drop("n_sh").withColumn("h", TextFns.rollingHash(col("sh")))
-      .withColumn("i", explode(sequence(lit(0), lit(7))))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(TextFns.affineHash(col("h"), col("i"))).as("minh"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** [[bandBuckets]] over a pre-shingled subset (see [[shinglesOf]]). */
+  /** [[bandBuckets]] over a pre-shingled subset (see [[shinglesOf]]): 4
+    * bands of 2 rows, each band key a projection over the wide signature —
+    * identical strings to the former sorted-collect_list spelling (the
+    * concat order IS the i order).
+    */
   private def bandBucketsOf(shingles: org.apache.spark.sql.DataFrame) = {
     minhashSigsOf(shingles)
-      .withColumn("band", (col("i") / 2).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        array_join(
-          transform(
-            sort_array(collect_list(struct(col("i"), col("minh")))),
-            p => p.getField("minh").cast("string")),
-          ",").as("bkey"))
+      .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+        concat_ws(",", col(s"m${2 * b}").cast("string"),
+          col(s"m${2 * b + 1}").cast("string"))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
   }
 
   /** Candidate pairs from the band buckets, WITHOUT a self-join: collect the
@@ -460,22 +477,33 @@ object TextQueries extends QueryPack {
     * family and the 60-bit naive-join demo alike; the second hash column
     * is only added when a plane above bit 29 is actually used.
     */
-  private def simhashSigsN(s: org.apache.spark.sql.SparkSession, d: String,
+  private[graft] def simhashSigsN(s: org.apache.spark.sql.SparkSession, d: String,
       nBits: Int, out: String) = {
     require(nBits >= 1 && nBits <= 60, s"nBits must be in [1,60], got $nBits")
+    // Round 21 (optimization guide §2.3/§2.4): formerly every token row was
+    // exploded nBits× and the votes aggregated in TWO shuffles —
+    // groupBy(doc_id, j) then groupBy(doc_id). Now the per-bit votes are
+    // nBits sibling sum() columns in ONE groupBy(doc_id): no explode (the
+    // 60-bit family amplified the token stream 60×), map-side partial
+    // aggregation collapses each mapper to one row per doc, and the bit
+    // assembly is a projection over the wide vote row. Vote math and
+    // tie-to-0 semantics are unchanged (same ±1 contribs, same v>0 test),
+    // so signatures are bit-identical.
     val base = docTokens(s, d).withColumn("h1", TextFns.rollingHash(col("w")))
-    val (withPlanes, bitExpr) =
-      if (nBits <= 30) (base, "shiftright(h1, j) % 2")
-      else (base.withColumn("h2", TextFns.rollingHash(upper(col("w")))),
-        "(CASE WHEN j < 30 THEN shiftright(h1, j) ELSE shiftright(h2, j - 30) END) % 2")
+    val withPlanes =
+      if (nBits <= 30) base
+      else base.withColumn("h2", TextFns.rollingHash(upper(col("w"))))
+    def bit(j: Int) =
+      if (j < 30) shiftright(col("h1"), j) % 2 else shiftright(col("h2"), j - 30) % 2
+    val votes = (0 until nBits).map(j =>
+      sum(when(bit(j) === 1, lit(1)).otherwise(lit(-1))).as(s"v$j"))
     withPlanes
-      .withColumn("j", explode(sequence(lit(0), lit(nBits - 1))))
-      .withColumn("contrib", when(expr(bitExpr) === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("v"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-        .otherwise(lit(0L))).as(out))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until nBits).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as(out))
   }
 
   /** 16-bit SimHash, shared by the signature dump (q_dedup_simhash) and the
@@ -522,11 +550,16 @@ object TextQueries extends QueryPack {
     val tok = docTokens(s, d)
     val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("cc")).pin()
     val vocab = corpus.orderBy(col("cc").desc, col("w")).limit(K).pin()
+    // Round 21: `target` feeds three consumers (nt, ntv, the LM join) —
+    // unpinned, each rebuilt the en-token aggregation from a fresh corpus
+    // tokenization. Pinned once (vocab-sized); and nt (the en token count)
+    // is Σ ct over it — read off the pinned table instead of a FOURTH
+    // tokenization pass (guide §2.4).
     val target = tok.filter(col("lang") === "en")
-      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      .groupBy(col("w")).agg(count(lit(1)).as("ct")).pin()
     val scalars = corpus.agg(sum(col("cc")).as("nc"))
       .crossJoin(vocab.agg(sum(col("cc")).as("ncv")))
-      .crossJoin(tok.filter(col("lang") === "en").agg(count(lit(1)).as("nt")))
+      .crossJoin(target.agg(coalesce(sum(col("ct")), lit(0L)).as("nt")))
       .crossJoin(vocab.join(target, Seq("w"), "inner")
         .agg(sum(col("ct")).as("ntv")))
     // Per-word LLR is carried as an exact micro-unit LONG (round(llr*1e6))
@@ -744,12 +777,18 @@ object TextQueries extends QueryPack {
     "q_dedup_minhash_est" -> ((s, d) => {
       val cands = candidateEdges(s, d)
       val mh = minhashSigsOf(shinglesOf(Tables.documents(s, d))).pin()
+      // wide signature (round 21): one row per doc joins each endpoint, and
+      // the 8-row agreement count collapses to a projection — the former
+      // (doc_b, i) join + groupBy(doc_a, doc_b) exchange are gone
+      def sideAs(p: String) = mh.select(
+        (col("doc_id").as(p) +: (0 until 8).map(j => col(s"m$j").as(s"${p}_m$j"))): _*)
       val agree = cands
-        .join(mh.select(col("doc_id").as("doc_a"), col("i"), col("minh").as("ma")), "doc_a")
-        .join(mh.select(col("doc_id").as("doc_b"), col("i"), col("minh").as("mb")),
-          Seq("doc_b", "i"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("agree8"))
+        .join(sideAs("doc_a"), "doc_a")
+        .join(sideAs("doc_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (0 until 8).map(j =>
+            when(col(s"doc_a_m$j") === col(s"doc_b_m$j"), 1L).otherwise(0L))
+            .reduce(_ + _).as("agree8"))
       val sets = Tables.documents(s, d)
         .select(col("doc_id"),
           array_distinct(TextFns.shinglesFromText(col("text"), 3)).as("shs"))
@@ -1047,12 +1086,15 @@ object TextQueries extends QueryPack {
     // all-pairs join this family exists to avoid (documented omission).
     "q_dedup_lsh_sweep" -> ((s, d) => {
       val sigs = minhashSigsOf(docShingles(s, d)).pin()
+      // wide signature (round 21): each config's band keys are pure
+      // projections over the one materialized 8-column row — the former
+      // per-config groupBy(doc_id, band) re-aggregation (one exchange per
+      // config) is gone; key strings are unchanged (concat order IS i order)
       def candFor(r: Int) = bandPairsOf(
-        sigs.withColumn("band", expr(s"i div $r").cast("int"))
-          .groupBy(col("doc_id"), col("band"))
-          .agg(array_join(transform(
-            sort_array(collect_list(struct(col("i"), col("minh")))),
-            p => p.getField("minh").cast("string")), ",").as("bkey")))
+        sigs.select(col("doc_id"), posexplode(array((0 until 8 / r).map(b =>
+          concat_ws(",", (0 until r).map(j =>
+            col(s"m${b * r + j}").cast("string")): _*)): _*)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey"))
         .distinct().withColumn("r", lit(r.toLong))
       val cand = Seq(1, 2, 4).map(candFor).reduce(_ unionAll _)
       val sets = Tables.documents(s, d)
@@ -1547,9 +1589,13 @@ object TextQueries extends QueryPack {
     "q_text_ppl_buckets" -> ((s, d) => {
       // Positive per-token µ-unit "perplexity proxy": (−Σlp6) div n_tok —
       // both operands non-negative, so Spark div == DuckDB // (floor).
+      // Pinned (round 21): `sc` feeds both the quartile aggregate and the
+      // bucketing join; unpinned, the whole unigram-LM scoring pipeline
+      // (two corpus tokenizations + the LM build) ran once PER consumer.
       val sc = unigramDocLp(s, d)
         .select(col("doc_id"), col("lang"),
           expr("(0 - sum_lp6) div n_tok").as("p6"))
+        .pin()
       val qs = sc.groupBy(col("lang"))
         .agg(percentile(col("p6"), lit(0.25)).as("q1"),
           percentile(col("p6"), lit(0.75)).as("q3"))
