@@ -245,10 +245,13 @@ object AnalyticsQueries extends QueryPack {
     // distinct-user count per cell. Both keys are high-cardinality or
     // bounded — nothing funnels through a low-cardinality sort at scale.
     "q_cohort_retention" -> ((s, d) => {
+      // Round 21 (guide §2.4): the cohort day is min(day) per user — a
+      // whole-partition window over the SAME user_id key the old
+      // groupBy+join pair shuffled twice for (and the join re-scanned
+      // events). One exchange, one scan, identical rows.
       val e = Tables.events(s, d)
         .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
-      e.join(cohort, "user_id")
+      e.withColumn("c_day", min(col("day")).over(Window.partitionBy(col("user_id"))))
         .select(col("user_id"), col("c_day"),
           datediff(col("day"), col("c_day")).cast("long").as("day_offset"))
         .groupBy(col("c_day"), col("day_offset"))
@@ -267,11 +270,16 @@ object AnalyticsQueries extends QueryPack {
     "q_time_gapfill" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select(date_trunc("day", col("ts")).as("day"), col("event_type"), col("value"))
+      // Round 21: the grid bounds and the type spine used to re-scan EVENTS
+      // (three corpus scans per run); every day and type present in events
+      // is present in the daily rollup, so both derive from the pinned
+      // (tiny: days × types rows) aggregate instead — one corpus scan.
       val daily = e.groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("tot"))
-      val grid = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .pin()
+      val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
-        .crossJoin(e.select(col("event_type")).distinct())
+        .crossJoin(daily.select(col("event_type")).distinct())
       // both sides are time-bounded-tiny; the AGGREGATE broadcasts because a
       // left join can only build its non-preserved (right) side
       grid.join(broadcast(daily), Seq("day", "event_type"), "left")
@@ -494,11 +502,11 @@ object AnalyticsQueries extends QueryPack {
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
       val med = c.groupBy(col("o_orderpriority"))
         .agg(percentile(col("c"), lit(0.5)).as("med_c"))
-      // Pinned (round 21): `dev` feeds both the MAD percentile pass and the
-      // fence count; unpinned, the orders scan + median join ran twice.
+      // NOT pinned (round 21, measured): checkpointing `dev` (order-grain,
+      // 3 cols) cost 2× the duplicated columnar re-scan it saves — the two
+      // consumers re-derive it from the pruned parquet scan instead.
       val dev = c.join(broadcast(med), Seq("o_orderpriority"))
         .withColumn("d2", abs(col("c") * 2 - col("med_c") * 2))
-        .pin()
       val stats = dev.groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n"),
@@ -968,6 +976,10 @@ object AnalyticsQueries extends QueryPack {
         min(col("value")).as("mn_value"), max(col("value")).as("mx_value"),
         min(col("event_type")).as("mns_event_type"), max(col("event_type")).as("mxs_event_type"),
         min(col("props")).as("mns_props"), max(col("props")).as("mxs_props"))
+        // Pinned (round 21): the six per-column report rows each select from
+        // this ONE-ROW aggregate; unpinned, every unionAll branch re-ran the
+        // whole 6-countDistinct corpus aggregation (6 scans in the plan).
+        .pin()
       def row(name: String, dc: String, nn: String,
               mnNum: Option[String], mnStr: Option[String]) = {
         val (mnN, mxN) = mnNum.map(c => (col("mn_" + c).cast("double"), col("mx_" + c).cast("double")))

@@ -340,16 +340,23 @@ object MetaQueries extends QueryPack {
     // C1: snapshot change detection — the reference's compaction-done test
     // ("largest file name differs", QHBaseCompact.java:171-184) over two
     // snapshots of the keyed relation.
+    // Round 21 (guide §2.4): the before-cutoff rows are a SUBSET of the
+    // after rows, so both snapshots' argmaxes compute in ONE aggregation —
+    // the before side as a conditional max_by (null ordering rows are
+    // ignored, so a key with no pre-cutoff row reads null exactly like the
+    // old left_outer join's miss). One scan + one (user_id, event_type)
+    // exchange replace two LWW passes + a join; same max_by((ts, event_id))
+    // tie-break as Compaction.lastWriteWins, identical rows (oracle
+    // unchanged).
     "q_change_detect" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      def topPerKey(df: org.apache.spark.sql.DataFrame, as: String) =
-        Compaction
-          .lastWriteWins(df, Seq("user_id", "event_type"), Seq("ts", "event_id"))
-          .select(col("user_id"), col("event_type"), col("event_id").as(as))
-      val before = topPerKey(ev.filter(col("ts") < lit("2024-01-15").cast("timestamp")), "before_id")
-      val after  = topPerKey(ev, "after_id")
-      after
-        .join(before, Seq("user_id", "event_type"), "left_outer")
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val ord = struct(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(
+          max_by(when(col("ts") < cutoff, col("event_id")),
+            when(col("ts") < cutoff, ord)).as("before_id"),
+          max_by(col("event_id"), ord).as("after_id"))
         .filter(col("before_id").isNull || col("before_id") =!= col("after_id"))
         .select(col("user_id"), col("event_type"), col("before_id"), col("after_id"))
         .orderBy(col("user_id"), col("event_type"))

@@ -694,13 +694,19 @@ object TextQueries extends QueryPack {
     val store = s.table(corpusSigTable(s, d))
     val hot = store.groupBy(col("skey")).agg(count(lit(1)).as("csz"))
       .filter(col("csz") > BucketCap).select(col("skey"))
-    val freshKeys = bandKeysOf(fresh)
+    // Round 21: the corpus↔new leg (skey form) and the new↔new leg (pair
+    // expansion) both start from the snapshot's band buckets — formerly
+    // each leg re-shingled and re-hashed the snapshot from parquet. One
+    // pinned bucket table now feeds both (guide §2.4).
+    val freshBuckets = bandBucketsOf(shinglesOf(fresh)).pin()
+    val freshKeys = freshBuckets
+      .select(col("doc_id"), concat_ws(":", col("band"), col("bkey")).as("skey"))
     val newCorpus = freshKeys
       .join(hot, Seq("skey"), "left_anti")
       .join(store, "skey")
       .select(col("doc_id").as("u"), col("corpus_doc").as("v"))
       .distinct()
-    val newNew = bandPairsOf(bandBucketsOf(shinglesOf(fresh)))
+    val newNew = bandPairsOf(freshBuckets)
       .distinct()
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     newCorpus.unionAll(newNew)
@@ -816,12 +822,18 @@ object TextQueries extends QueryPack {
       val docs = Tables.documents(s, d)
       val base = docs.filter(col("doc_id") % 10 =!= 7)
         .select(col("doc_id"), col("n_chars").as("b_chars"))
-      val delta = docs.filter(col("doc_id") % 10 === 7)
-        .select(col("doc_id"), col("n_chars").as("d_chars"), lit("I").as("op"))
-        .unionByName(docs.filter(col("doc_id") % 10 === 3)
-          .select(col("doc_id"), (col("n_chars") + 3).as("d_chars"), lit("U").as("op")))
-        .unionByName(docs.filter(col("doc_id") % 10 === 5)
-          .select(col("doc_id"), lit(0L).as("d_chars"), lit("D").as("op")))
+      // Round 21: the three delta branches are disjoint residue classes of
+      // one table — a single filtered scan with a CASE replaces the
+      // three-scan unionByName (same multiset of rows; the full-outer join
+      // downstream is order-insensitive).
+      val m = col("doc_id") % 10
+      val delta = docs.filter(m.isin(7, 3, 5))
+        .select(col("doc_id"),
+          when(m === 7, col("n_chars"))
+            .when(m === 3, col("n_chars") + 3)
+            .otherwise(lit(0L)).as("d_chars"),
+          when(m === 7, lit("I")).when(m === 3, lit("U"))
+            .otherwise(lit("D")).as("op"))
       base.join(delta, Seq("doc_id"), "full_outer")
         .withColumn("src",
           when(col("op") === "D", "deleted")
@@ -1096,7 +1108,11 @@ object TextQueries extends QueryPack {
             col(s"m${b * r + j}").cast("string")): _*)): _*)))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey"))
         .distinct().withColumn("r", lit(r.toLong))
-      val cand = Seq(1, 2, 4).map(candFor).reduce(_ unionAll _)
+      // pinned (round 21): both the exact-verify pass and the final
+      // per-config rollup read the candidate union; unpinned, all three
+      // re-banding/expansion chains ran twice (tiny table: one row per
+      // (config, candidate pair))
+      val cand = Seq(1, 2, 4).map(candFor).reduce(_ unionAll _).pin()
       val sets = Tables.documents(s, d)
         .select(col("doc_id"),
           array_distinct(TextFns.shinglesFromText(col("text"), 3)).as("shs"))

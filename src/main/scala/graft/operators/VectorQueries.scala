@@ -125,9 +125,15 @@ object VectorQueries extends QueryPack {
         posexplode(array((0 until 8).map(b =>
           VectorFns.signBucketAt(col("embedding"), b * 8, 8)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkt")
+    // Pinned (round 21): both self-join sides read this table; unpinned,
+    // the 8-band posexplode (interpreted HOF sign-buckets, the expensive
+    // projection here) plus the bucket-size window ran once PER side —
+    // the plan audit showed the whole pipeline duplicated under the
+    // BroadcastHashJoin (no exchange reuse across a broadcast side).
     val sized = banded
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bkt"))))
       .filter(col("bsz").between(2, TextQueries.BucketCap))
+      .pin()
     sized.select(col("band"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
       .join(
         sized.select(col("band"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("eb")),

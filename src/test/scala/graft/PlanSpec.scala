@@ -429,16 +429,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains(PlanPins.BroadcastNestedLoopJoin) && !p.contains(PlanPins.CartesianProduct), p)
   }
 
-  test("q_recursive_chain: WITH RECURSIVE plans as UnionLoop — equi-join steps, materialized rn table, no cartesian") {
+  test("q_recursive_chain: closed form is ONE window pass + one aggregation — no UnionLoop, no join") {
+    // Round 21: the monotone running sum collapsed the frontier recursion
+    // to a single window (row_number + running sum sharing one
+    // WindowExec/exchange on o_custkey) and one aggregation —
+    // RecursiveChainSpec pins row equality against the recursive-CTE
+    // spelling; this pin keeps the plan from regressing to per-level joins.
     val df = SparkEntry.queries("q_recursive_chain")(spark, d)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("UnionLoop"), p)
-    // each recursion level advances the frontier by an equi join against
-    // the ONE materialized rn table (LogicalRDD from localCheckpoint) —
-    // a per-level window recompute or a nested loop would show here
-    assert(p.contains("LogicalRDD"), p)
-    assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
-    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("UnionLoop"), p)
+    assert(!p.contains(PlanPins.AnyJoin), p)
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    // one o_custkey exchange feeds window AND aggregation; the only other
+    // exchange is the final rangepartitioning sort
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1, p)
   }
 
   test("q_histogram: one corpus exchange — per-bin combine is map-side, bin spine joins by broadcast") {
