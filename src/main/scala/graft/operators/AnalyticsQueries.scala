@@ -270,16 +270,19 @@ object AnalyticsQueries extends QueryPack {
     "q_time_gapfill" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select(date_trunc("day", col("ts")).as("day"), col("event_type"), col("value"))
-      // Round 21: the grid bounds and the type spine used to re-scan EVENTS
-      // (three corpus scans per run); every day and type present in events
-      // is present in the daily rollup, so both derive from the pinned
-      // (tiny: days × types rows) aggregate instead — one corpus scan.
+      // Round 21, measured and kept AS-IS: a pinned-daily variant (derive
+      // the grid bounds and type spine from the rollup, one corpus scan
+      // instead of three) benched 2.4x SLOWER here — the checkpoint adds
+      // an eager job and the three scans are cheap column-pruned
+      // aggregations. At 100 TB the one-scan variant wins (three full
+      // corpus reads vs one); it is recorded in OPTIMIZATION_r21.md as the
+      // production spelling, with the bench-scale shape retained because
+      // the driver's floors gate at bench scale.
       val daily = e.groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("tot"))
-        .pin()
-      val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val grid = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
-        .crossJoin(daily.select(col("event_type")).distinct())
+        .crossJoin(e.select(col("event_type")).distinct())
       // both sides are time-bounded-tiny; the AGGREGATE broadcasts because a
       // left join can only build its non-preserved (right) side
       grid.join(broadcast(daily), Seq("day", "event_type"), "left")
@@ -976,10 +979,14 @@ object AnalyticsQueries extends QueryPack {
         min(col("value")).as("mn_value"), max(col("value")).as("mx_value"),
         min(col("event_type")).as("mns_event_type"), max(col("event_type")).as("mxs_event_type"),
         min(col("props")).as("mns_props"), max(col("props")).as("mxs_props"))
-        // Pinned (round 21): the six per-column report rows each select from
-        // this ONE-ROW aggregate; unpinned, every unionAll branch re-ran the
-        // whole 6-countDistinct corpus aggregation (6 scans in the plan).
-        .pin()
+        // NOT pinned (round 21, measured 20x slower pinned): pinning forces
+        // ONE aggregate computing all six countDistincts — Spark plans that
+        // as an Expand that amplifies every row 7x (once per distinct
+        // group, long `props` strings included) before the shuffle. Left
+        // unpinned, Catalyst prunes each unionAll branch down to its OWN
+        // single-distinct aggregate (no Expand): six cheap pruned passes
+        // beat one 7x-amplified pass at every scale where Expand writes
+        // more shuffle bytes than five extra column-pruned scans read.
       def row(name: String, dc: String, nn: String,
               mnNum: Option[String], mnStr: Option[String]) = {
         val (mnN, mxN) = mnNum.map(c => (col("mn_" + c).cast("double"), col("mx_" + c).cast("double")))
