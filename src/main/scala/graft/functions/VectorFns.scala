@@ -57,25 +57,27 @@ object VectorFns {
     * scale path for ANN: candidates are confined to the probe's bucket, so a
     * 100 TB corpus prunes to ~n/2^bits before any distance math.
     */
-  def signBucket(v: Column, bits: Int): Column =
-    aggregate(
-      transform(
-        sequence(lit(0), lit(bits - 1)),
-        j => when(get(v, j) > 0, pow(lit(2.0), j).cast("int")).otherwise(lit(0))),
-      lit(0),
-      (acc, x) => acc + x)
+  def signBucket(v: Column, bits: Int): Column = signBucketAt(v, 0, bits)
 
   /** Sign-bit bucket over dims [offset, offset+bits): the band-`b` variant of
     * [[signBucket]] (offset = b*bits). Multi-band LSH unions candidates from
     * several disjoint dim groups, trading one more linear pass per band for
     * recall — the standard banding construction (one band missing a pair is
     * recovered by any other band agreeing).
+    *
+    * Round 21 (optimization guide §4): `bits` is a compile-time constant, so
+    * the former `aggregate(transform(sequence(...)))` spelling — an
+    * INTERPRETED higher-order fold building a scratch array per row per
+    * band — unrolls to a flat codegen'd sum of `when(v[j+offset] > 0, 1<<j)`
+    * terms (2^j as an integer literal instead of a double pow). Null
+    * semantics are unchanged BY CONSTRUCTION: the old fold iterated the
+    * index sequence (never the vector), so a null/short vector read
+    * `get(...) = null → otherwise(0)` per bit — exactly what the unrolled
+    * when-terms do. FunctionsSpec pins equality against the old spelling
+    * including the null-vector row.
     */
   def signBucketAt(v: Column, offset: Int, bits: Int): Column =
-    aggregate(
-      transform(
-        sequence(lit(0), lit(bits - 1)),
-        j => when(get(v, j + offset) > 0, pow(lit(2.0), j).cast("int")).otherwise(lit(0))),
-      lit(0),
-      (acc, x) => acc + x)
+    (0 until bits).map(j =>
+      when(get(v, lit(j + offset)) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
 }

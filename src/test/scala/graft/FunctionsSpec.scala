@@ -173,6 +173,32 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(5, 0, 15))
   }
 
+  test("property: unrolled signBucketAt equals the interpreted-HOF fold, nulls included (round 21)") {
+    // The old spelling, reconstructed: aggregate(transform(sequence(...)))
+    // — the interpreted fold the round-21 unroll replaced.
+    def hofForm(v: org.apache.spark.sql.Column, offset: Int, bits: Int) =
+      aggregate(
+        transform(
+          sequence(lit(0), lit(bits - 1)),
+          j => when(get(v, j + offset) > 0, pow(lit(2.0), j).cast("int")).otherwise(lit(0))),
+        lit(0),
+        (acc, x) => acc + x)
+    val rnd = new scala.util.Random(17)
+    val vecs: Seq[Array[Float]] =
+      Seq.fill(40)(Array.fill(64)(rnd.nextFloat() * 2 - 1)) :+
+        (null: Array[Float]) // null vector must stay null through both spellings
+    val df = vecs.toDF("v")
+    for ((offset, bits) <- Seq((0, 4), (0, 8), (24, 8), (56, 8))) {
+      val got = df.select(
+        VectorFns.signBucketAt(col("v"), offset, bits).as("fast"),
+        hofForm(col("v"), offset, bits).as("ref")).collect()
+      got.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch at ($offset,$bits)")
+        if (!r.isNullAt(0)) assert(r.getInt(0) == r.getInt(1), s"value mismatch at ($offset,$bits)")
+      }
+    }
+  }
+
   test("property: codegen DotProductF32 equals the HOF fold bit-for-bit") {
     val rnd = new scala.util.Random(11)
     val vecs = Seq.fill(50)((
