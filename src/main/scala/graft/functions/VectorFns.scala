@@ -76,8 +76,14 @@ object VectorFns {
     * when-terms do. FunctionsSpec pins equality against the old spelling
     * including the null-vector row.
     */
-  def signBucketAt(v: Column, offset: Int, bits: Int): Column =
+  def signBucketAt(v: Column, offset: Int, bits: Int): Column = {
+    // r21 ADVICE: 1 << j wraps silently for j >= 31 (the old pow(2.0, j)
+    // spelling saturated differently) — fail loudly outside the supported
+    // range instead of returning wrapped bucket ids.
+    require(bits >= 1 && bits <= 31,
+      s"signBucketAt: bits=$bits outside [1, 31] (Int shift would wrap)")
     (0 until bits).map(j =>
       when(get(v, lit(j + offset)) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
+  }
 }

@@ -84,6 +84,26 @@ object Components {
       if (r.isNullAt(2)) 0L else r.getLong(2))
   }
 
+  /** Pin (eager checkpoint) `d` and compute its [[edgeDigest]] IN THE SAME
+    * JOB via `Dataset.observe`: the CollectMetrics aggregates ride the
+    * checkpoint's materialization pass, so each contraction round costs one
+    * driver-visible job instead of two (round 22, guide §2.4/§5 — the
+    * digest job per round was pure scheduling latency; the digest itself is
+    * unchanged and ObservedDigestSpec pins it against [[edgeDigest]]).
+    */
+  private[graft] def pinWithDigest(d: DataFrame): (DataFrame, (Long, Long, Long)) = {
+    val obs = org.apache.spark.sql.Observation()
+    val pinned = graft.sources.Memo.pin(d.observe(obs,
+      count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("u"), col("v"))).as("h1"),
+      bit_xor(hash(col("u"), col("v")).cast("long")).as("h2")))
+    // pin() is eager, so the action has completed; get() returns without
+    // waiting. bit_xor over zero rows is null → 0L, matching edgeDigest.
+    val m = obs.get
+    def l(k: String) = m.get(k) match { case Some(x: Long) => x; case _ => 0L }
+    (pinned, (l("n"), l("h1"), l("h2")))
+  }
+
   /** Contract `edges` (any orientation; self-loops ignored) to per-vertex
     * component labels (v, lbl) where lbl = the component's minimum vertex
     * id. Throws if `maxIter` alternating rounds do not reach the fixpoint.
@@ -94,17 +114,15 @@ object Components {
     // handful of tasks, which beats its per-stage planning latency by a
     // wide margin (disabling it regressed 4 s → 17 s at local[32], where
     // every non-coalesced stage ran 32 near-empty tasks).
-    var e = edges
+    // Round 22: pin + digest share one job per round (see [[pinWithDigest]]).
+    var (e, chk) = pinWithDigest(edges
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .pin()
-    var chk = edgeDigest(e)
+      .distinct())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).pin()
-      val nchk = edgeDigest(next)
+      val (next, nchk) = pinWithDigest(smallStar(largeStar(e)))
       converged = nchk == chk
       chk = nchk
       e = next

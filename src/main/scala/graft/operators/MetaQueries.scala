@@ -348,6 +348,14 @@ object MetaQueries extends QueryPack {
     // exchange replace two LWW passes + a join; same max_by((ts, event_id))
     // tie-break as Compaction.lastWriteWins, identical rows (oracle
     // unchanged).
+    // NULL-KEY CAVEAT (r21 ADVICE): the identical-rows claim assumes
+    // non-null (user_id, event_type) — the old left_outer join never
+    // matched a NULL key (null ≠ null under EqualTo), so such groups always
+    // surfaced with before_id = null ('changed'), while this single groupBy
+    // computes before_id INSIDE the null-key group and can suppress the row
+    // when before_id = after_id. The events fixture carries no null keys
+    // (oracle-proven at every SF); a nullable-key source needs the join
+    // spelling or a null-key pre-filter.
     "q_change_detect" -> ((s, d) => {
       val cutoff = lit("2024-01-15").cast("timestamp")
       val ord = struct(col("ts"), col("event_id"))
