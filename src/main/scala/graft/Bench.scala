@@ -17,8 +17,19 @@ object Bench {
     // the min per query measures steady-state throughput — what a
     // long-running cluster actually sees — instead of one noise sample.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // The warmup pass is TIMED per query into bench/artifacts.json (round
+    // 22, VERDICT r21 item 7): memoized per-snapshot artifacts (LSH edge
+    // sets, signature stores, centroids) build HERE, so consumers like
+    // q_dedup_components read cheaper in the min-of-N than a cold run —
+    // this records what that warm start hides. Warmup seconds = artifact
+    // build + first-plan codegen/JIT + footer reads (an upper bound on the
+    // artifact cost, labeled as such). The timed methodology below is
+    // unchanged: same warmup-then-min-of-N contract as every archived round.
+    val warmup: Seq[(String, Double)] = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      name -> t
     }
     val samples: Seq[Seq[(String, Double)]] = (1 to rounds).map { _ =>
       ordered.map { case (name, fn) =>
@@ -123,6 +134,15 @@ object Bench {
           results.map { case (k, v) => s"$sfTag|$k" -> v }.toMap +
             ("_calib" -> calib) + ("_total" -> total) +
             ("_failed" -> failed.toDouble)) + "\n")
+      // Warmup/artifact-build record (see the warmup comment above):
+      // separate file, same flat shape — the driver's timed contract and the
+      // main JSON line are untouched.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench/artifacts.json"),
+        BenchFloors.renderFlatJson(
+          warmup.map { case (k, v) => s"$sfTag|$k" -> v }.toMap +
+            ("_calib" -> calib) +
+            ("_warmup_total" -> warmup.map(_._2).filter(_ >= 0).sum)) + "\n")
       try { // mirror; canonical write above already succeeded
         java.nio.file.Files.createDirectories(legacyPath.getParent)
         java.nio.file.Files.writeString(legacyPath, minimaJson + "\n")

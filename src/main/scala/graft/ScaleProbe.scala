@@ -97,7 +97,15 @@ object ScaleProbe {
         s"$out was amplified with '$recorded', this run asks for '$params' — params must match to reuse")
       println(s"[scaleprobe] reusing amplified corpus at $out (manifest verified: $params)")
     }
-    val spark = Sessions.tuned("local[32]", "32")
+    // cpus=<n>: core count for the RUN phase (round 22, VERDICT r21 item 6 —
+    // sf0.1 is too small to demonstrate parallel scaling: every 8-vs-32
+    // bench ratio is ≤1 there because plan+schedule latency dominates. The
+    // amplified corpus is where data-bound scaling is measurable: run the
+    // same amplified dir at cpus=8 and cpus=32 — `out=` reuse keeps the
+    // corpus identical — and record the ratios in BASELINE.md).
+    val cpus = args.find(_.startsWith("cpus="))
+      .map(_.stripPrefix("cpus=")).getOrElse("32")
+    val spark = Sessions.tuned(s"local[$cpus]", cpus)
     spark.sparkContext.setLogLevel("WARN")
     if (!reuse) {
     val docs = Tables.documents(spark, sf)
