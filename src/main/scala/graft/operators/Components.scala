@@ -107,18 +107,31 @@ object Components {
   /** Contract `edges` (any orientation; self-loops ignored) to per-vertex
     * component labels (v, lbl) where lbl = the component's minimum vertex
     * id. Throws if `maxIter` alternating rounds do not reach the fixpoint.
+    *
+    * `canonical = true` asserts the CALLER's edges are already in the loop's
+    * canonical form — u > v strictly (so no self-loops) and distinct — and
+    * already materialized (pinned/memoized), so the normalization pass (one
+    * full-edge-set exchange for the distinct + a checkpoint job) is skipped
+    * and only the initial digest job runs (round 22, guide §2.4: the
+    * memoized star-edge inputs of the clustering family are
+    * construction-canonical — bucket-min star edges are strictly ordered and
+    * deduped by their memo — so every timed run paid that exchange for
+    * nothing). Callers own the contract; the oracle gate and ComponentsSpec
+    * pin the results.
     */
-  def labels(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def labels(edges: DataFrame, maxIter: Int = 25, canonical: Boolean = false): DataFrame = {
     // AQE stays ON for the in-loop jobs — measured both ways at sf0.1:
     // AQE's partition coalescing collapses each tiny-graph exchange to a
     // handful of tasks, which beats its per-stage planning latency by a
     // wide margin (disabling it regressed 4 s → 17 s at local[32], where
     // every non-coalesced stage ran 32 near-empty tasks).
     // Round 22: pin + digest share one job per round (see [[pinWithDigest]]).
-    var (e, chk) = pinWithDigest(edges
-      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct())
+    var (e, chk) =
+      if (canonical) (edges, edgeDigest(edges))
+      else pinWithDigest(edges
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {

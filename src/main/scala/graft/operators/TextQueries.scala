@@ -554,9 +554,14 @@ object TextQueries extends QueryPack {
   private def dedupClusters(s: org.apache.spark.sql.SparkSession, d: String) =
     // connectivity-only consumer → star edges (identical components to the
     // clique expansion over the same buckets, linearly fewer edges, and —
-    // round 9 — over-cap buckets recovered instead of dropped)
+    // round 9 — over-cap buckets recovered instead of dropped).
+    // canonical = true (round 22): star edges are construction-canonical —
+    // doc_a = bucket min < doc_b strictly, deduped and pinned by the memo —
+    // so (doc_b, doc_a) is the loop's (u > v) form and the normalization
+    // exchange + checkpoint are skipped.
     Components.labels(
-      starEdges(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+      starEdges(s, d).select(col("doc_b").as("u"), col("doc_a").as("v")),
+      canonical = true)
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
 
   /** [[dedupClusters]] memoized per (context, source fingerprint), for consumers that build

@@ -120,29 +120,43 @@ object VectorQueries extends QueryPack {
   private def embedCandidates(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
+    // Round 22 (guide §8 "decide with small rows, move big rows once"): the
+    // band rows are THIN — (vec_id, band, bkt), no embedding. The round-21
+    // shape carried the full 64-float vector on every one of the 8 band rows
+    // through the checkpoint, the bucket-size window AND both self-join
+    // sides, and computed the cosine once per band collision before a
+    // distinct on (pair, cos). Now the self-join decides candidate PAIRS on
+    // thin rows, dedupes the ids, and the embeddings attach once per
+    // endpoint to the (128×-pruned) pair set — the payload crosses one
+    // vec-keyed join per side instead of riding an 8×-amplified band
+    // exchange, and the cosine runs once per pair. Same pairs, same cos_r
+    // (dedup before vs after the deterministic cosine is equivalent).
     val banded = e.select(
-        col("vec_id"), col("embedding"),
+        col("vec_id"),
         posexplode(array((0 until 8).map(b =>
           VectorFns.signBucketAt(col("embedding"), b * 8, 8)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkt")
     // Pinned (round 21): both self-join sides read this table; unpinned,
-    // the 8-band posexplode (interpreted HOF sign-buckets, the expensive
-    // projection here) plus the bucket-size window ran once PER side —
-    // the plan audit showed the whole pipeline duplicated under the
-    // BroadcastHashJoin (no exchange reuse across a broadcast side).
+    // the 8-band posexplode (sign-bucket projections) plus the bucket-size
+    // window ran once PER side — the plan audit showed the whole pipeline
+    // duplicated under the BroadcastHashJoin (no exchange reuse across a
+    // broadcast side).
     val sized = banded
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band"), col("bkt"))))
       .filter(col("bsz").between(2, TextQueries.BucketCap))
       .pin()
-    sized.select(col("band"), col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    sized.select(col("band"), col("bkt"), col("vec_id").as("vec_a"))
       .join(
-        sized.select(col("band"), col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        sized.select(col("band"), col("bkt"), col("vec_id").as("vec_b")),
         Seq("band", "bkt"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct() // a pair colliding in k bands appears k times
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .select(
         col("vec_a"), col("vec_b"),
         round(VectorFns.cosine(col("ea"), col("eb")), 6).as("cos_r"))
-      .distinct() // a pair colliding in k bands appears k times, same cos_r
   }
 
   /** [[embedCandidates]] materialized once per (context, source fingerprint) — the candidate
@@ -743,9 +757,15 @@ object VectorQueries extends QueryPack {
     // large-star/small-star contraction as the text-side dedup. Oracle is
     // the exact recursive transitive closure.
     "q_dedup_semantic" -> ((s, d) => {
+      // canonical = true (round 22): embedPairs is distinct with
+      // vec_a < vec_b strictly and pinned by its memo; the threshold filter
+      // preserves all three properties, so (vec_b, vec_a) is the contraction
+      // loop's canonical (u > v) form and the normalization exchange +
+      // checkpoint are skipped.
       Components.labels(
         embedPairs(s, d).filter(col("cos_r") >= 0.4)
-          .select(col("vec_a").as("u"), col("vec_b").as("v")))
+          .select(col("vec_b").as("u"), col("vec_a").as("v")),
+        canonical = true)
         .select(col("v").as("vec_id"), col("lbl").as("cluster_id"))
         .orderBy(col("vec_id"))
     }),

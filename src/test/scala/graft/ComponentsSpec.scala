@@ -72,6 +72,21 @@ class ComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(sparkLabels(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("canonical=true equals the normalizing path on pre-canonical edges") {
+    // Round 22: callers with construction-canonical inputs (u > v strict,
+    // distinct, materialized) skip the normalization exchange + checkpoint.
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.max(e._1, e._2), math.min(e._1, e._2)))
+      .distinct
+    val df = edges.toDF("u", "v").localCheckpoint()
+    val fast = Components.labels(df, canonical = true)
+      .as[(Long, Long)].collect().toMap
+    val slow = Components.labels(df).as[(Long, Long)].collect().toMap
+    assert(fast == slow && fast == ufLabels(edges))
+  }
+
   test("incremental fold equals full recontraction over the same edge set") {
     // The q_dedup_cluster_incremental claim, stated directly: folding the
     // new snapshot's edges into the corpus label store (contracting only
