@@ -513,9 +513,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q_dedup_lsh_sweep: configs re-band the materialized signature table — corpus tokenizes once, no cartesian") {
     val df = SparkEntry.queries("q_dedup_lsh_sweep")(spark, d)
     val plan0 = df.queryExecution.executedPlan
-    // one FileScan remains: the shingle-set table for the exact verify;
-    // all three banding configs read the checkpointed signatures
-    assert(plan0.collectLeaves().count(_.toString.contains(PlanPins.FileScan)) == 1, plan0.toString)
+    // ZERO FileScans (round 22): all three banding configs read the
+    // checkpointed signatures, and the exact verify reads the memoized
+    // shingle-set table (docShingleSets) instead of re-tokenizing the
+    // corpus once per endpoint join
+    assert(plan0.collectLeaves().count(_.toString.contains(PlanPins.FileScan)) == 0, plan0.toString)
     val p = plan0.toString
     assert(!p.contains(PlanPins.CartesianProduct) && !p.contains(PlanPins.BroadcastNestedLoopJoin), p)
   }
