@@ -165,7 +165,7 @@ object TextQueries extends QueryPack {
     * per doc before the shuffle (8× fewer shuffle rows, no explode), and
     * band keys become pure projections over the wide row — the second
     * exchange disappears from every consumer. Values are bit-identical
-    * (same min over the same affine family; MinHashWideSpec pins it against
+    * (same min over the same affine family; WideSigSpec pins it against
     * the row-form spelling).
     */
   private def minhashSigsOf(shingles: org.apache.spark.sql.DataFrame) = {
